@@ -1,0 +1,111 @@
+"""Catalog layer: named tables over Parquet, Hive-metastore style.
+
+The reference binds six MongoDB collection handles at startup
+(``/root/reference/index.js:284-289``); our analog is a catalog of named
+relational tables. Two modes:
+
+* **Ephemeral views** (`load_tables` / `register_views`) — read the driver's
+  Parquet fixtures and expose them as temp views for DataFrame/SQL queries.
+  This is what the driver-facing queries use: no metastore daemon needed.
+* **Managed tables** (`create_managed_tables`) — ``saveAsTable`` into
+  ``spark.sql.warehouse.dir`` through the session catalog, the
+  Hive-metastore-compatible path (BASELINE.json ``spark_approach``). On a real
+  cluster this is where you'd also ``ANALYZE TABLE`` for CBO stats and bucket
+  the big fact tables (`bucketBy(n, "l_orderkey")`) so repeated joins on the
+  key shuffle zero bytes.
+
+Scale note (100 TB): fixtures are single Parquet files; production tables
+would be date-partitioned directories (`partitionBy("o_orderdate")`) so
+partition pruning cuts scans, with file sizes targeted at 128-512 MB via
+``spark.sql.files.maxPartitionBytes``-aligned writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Driver fixture tables (TESTDATA.md) — the relational modeling surface for
+# every reference query shape plus the LLM-pipeline extension tables.
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimension tables that should always be broadcast in joins: at any
+# scale factor these stay tiny relative to the facts (region=5, nation=25,
+# part/supplier/customer grow slowly) — SURVEY.md §2.4's observation that all
+# reference joins have one tiny side.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.ts is Parquet TIMESTAMP(NANOS); Spark's timestamp is µs-only.
+
+    Read ns as long (legacy conf, set at runtime so it also applies when the
+    caller hands us a foreign SparkSession, e.g. the driver's) and truncate to
+    a µs timestamp with integer division — `ts div 1000` stays in int64; a
+    float path would lose precision above 2^53 ns.
+    """
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # non-settable on some builds; the session.py default covers ours
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every fixture table as a DataFrame (lazy — no scan happens here)."""
+    try:
+        # Timestamp rendering (date_format) follows the session timezone;
+        # oracle comparison requires UTC regardless of the caller's session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    out = {}
+    for name in TABLE_NAMES:
+        if name == "events":
+            out[name] = _read_events(spark, sf_dir)
+        else:
+            out[name] = spark.read.parquet(table_path(sf_dir, name))
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register all fixture tables as temp views named after themselves.
+
+    Last registration wins if called with a different ``sf_dir`` — callers
+    (driver, tests, bench) use one scale factor per run.
+    """
+    tables = load_tables(spark, sf_dir)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables
+
+
+def create_managed_tables(
+    spark: SparkSession, sf_dir: str, database: str = "mini_hive"
+) -> None:
+    """Materialize the fixtures as managed Parquet tables in the session
+    catalog (Hive-metastore-compatible DDL path)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+    for name in TABLE_NAMES:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df.write.mode("overwrite").format("parquet").saveAsTable(f"{database}.{name}")
