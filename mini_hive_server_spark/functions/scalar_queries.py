@@ -1,1 +1,138 @@
-"""(placeholder — queries land in this round)"""
+"""Scalar function surface — SURVEY.md §2.8 (X1-X10) and §2.1 S8 (JSON).
+
+The reference's entire expression language is JS idioms inside route
+handlers; each maps to a built-in Catalyst expression (no UDFs — everything
+here stays inside whole-stage codegen).
+
+Portability notes baked into the oracle SQL (DuckDB dialect differences):
+* double→int casts: Spark ANSI truncates, DuckDB rounds → use explicit
+  `floor` on both sides;
+* rounding to cents: `floor(x*100 + 0.5)` on both sides instead of `round`,
+  whose half-way tie-breaking differs between engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_SCALAR_ORACLE = """
+SELECT
+  o_orderkey,
+  coalesce(nullif(o_orderpriority, '5-LOW'), 'unprioritized')    AS priority_or_default,
+  CASE WHEN o_orderstatus = 'O' THEN 'open' ELSE 'closed' END    AS status_label,
+  'order-' || CAST(o_orderkey AS VARCHAR)                        AS order_tag,
+  CAST(floor(o_totalprice) AS BIGINT)                            AS price_int,
+  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)                AS price_cents,
+  round(o_totalprice * 0.9, 2)                                   AS discounted,
+  (o_orderpriority IN ('1-URGENT', '2-HIGH'))                    AS is_priority,
+  lpad(CAST(o_custkey AS VARCHAR), 10, '0')                      AS custkey_padded
+FROM orders
+WHERE o_orderkey < 50
+ORDER BY o_orderkey
+"""
+
+
+@register("scalar_expressions", oracle=_SCALAR_ORACLE, tags=("scalar",))
+def scalar_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X9 in one projection.
+
+    Reference idioms: `x || 0` coalescing (index.js:340,398,...), ternaries
+    (index.js:150-153,393), template-string concat (index.js:151-153),
+    parseInt/parseFloat (index.js:470-471), `Math.round(usd*100)` cents
+    conversion (index.js:267), arithmetic (index.js:482), ObjectId
+    stringify (index.js:551).
+    """
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.filter(F.col("o_orderkey") < 50)
+        .select(
+            "o_orderkey",
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")),
+                F.lit("unprioritized"),
+            ).alias("priority_or_default"),
+            F.when(F.col("o_orderstatus") == "O", "open")
+            .otherwise("closed")
+            .alias("status_label"),
+            F.concat(F.lit("order-"), F.col("o_orderkey").cast("string")).alias(
+                "order_tag"
+            ),
+            F.floor(F.col("o_totalprice")).cast("long").alias("price_int"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+            F.round(F.col("o_totalprice") * 0.9, 2).alias("discounted"),
+            F.col("o_orderpriority")
+            .isin("1-URGENT", "2-HIGH")
+            .alias("is_priority"),
+            F.lpad(F.col("o_custkey").cast("string"), 10, "0").alias("custkey_padded"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+_STRING_ORACLE = """
+SELECT
+  c_custkey,
+  starts_with(c_name, 'Customer#')       AS has_prefix,
+  string_split(c_name, '#')[2]           AS id_part,
+  upper(c_mktsegment)                    AS seg_upper,
+  lower(c_name)                          AS name_lower,
+  length(c_name)                         AS name_len,
+  substr(c_name, 1, 8)                   AS name_head
+FROM customer
+WHERE c_custkey < 25
+ORDER BY c_custkey
+"""
+
+
+@register("string_functions", oracle=_STRING_ORACLE, tags=("scalar", "string"))
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: string prefix test / split (`authHeader.startsWith('Bearer ')`,
+    `split(' ')[1]` — index.js:95-99) plus the standard string surface."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    return (
+        customer.filter(F.col("c_custkey") < 25)
+        .select(
+            "c_custkey",
+            F.col("c_name").startswith("Customer#").alias("has_prefix"),
+            F.element_at(F.split(F.col("c_name"), "#"), 2).alias("id_part"),
+            F.upper(F.col("c_mktsegment")).alias("seg_upper"),
+            F.lower(F.col("c_name")).alias("name_lower"),
+            F.length(F.col("c_name")).alias("name_len"),
+            F.substring(F.col("c_name"), 1, 8).alias("name_head"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("json_ingest_extract", oracle=_JSON_ORACLE, tags=("scalar", "json", "source"))
+def json_ingest_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: JSON ingestion — `express.json()` body parsing where client
+    documents pass straight into storage (index.js:14,199,925). The events
+    fixture's `props` column is a JSON string; extract a typed field and
+    aggregate it. `get_json_object` is codegen'd — no Python in the loop."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.select(
+            "event_type",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("k").alias("sum_k"))
+        .orderBy("event_type")
+    )

@@ -1,1 +1,276 @@
-"""(placeholder — queries land in this round)"""
+"""Aggregations — SURVEY.md §2.5 (A1-A7) plus the idiomatic supersets
+(rollup/cube/grouping-sets) flagged there as extensions.
+
+Scale notes: every aggregate here compiles to partial (map-side) +
+final HashAggregate, so the shuffle carries pre-combined state, not rows —
+the distributed upgrade of the reference's single-node `$group` / JS
+`reduce`. Conditional counts are one-pass `sum(when(...))` instead of the
+reference's N separate filtered scans (index.js:335-337).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables, register_views
+from ..registry import register
+
+_COUNT_WHERE_ORACLE = """
+SELECT count(*) AS n_workers
+FROM customer
+WHERE c_mktsegment = 'MACHINERY'
+"""
+
+
+@register("count_with_predicate", oracle=_COUNT_WHERE_ORACLE, tags=("agg",))
+def count_with_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: `countDocuments({role:'worker'})` (index.js:1203-1204)."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    return customer.filter(F.col("c_mktsegment") == "MACHINERY").agg(
+        F.count(F.lit(1)).alias("n_workers")
+    )
+
+
+_COND_COUNTS_ORACLE = """
+SELECT
+  count(*)                                  AS n_total,
+  count(*) FILTER (WHERE o_orderstatus = 'O')     AS n_open,
+  count(*) FILTER (WHERE o_orderstatus = 'F')     AS n_fulfilled,
+  count(*) FILTER (WHERE o_orderstatus = 'P')     AS n_partial
+FROM orders
+"""
+
+
+@register("conditional_counts", oracle=_COND_COUNTS_ORACLE, tags=("agg",))
+def conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the reference materializes all rows then counts subsets in JS
+    (`subs.filter(s => s.status==='pending').length`, index.js:335-337,
+    557-559). One-pass conditional aggregation replaces three scans."""
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def count_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        count_if(F.col("o_orderstatus") == "F").alias("n_fulfilled"),
+        count_if(F.col("o_orderstatus") == "P").alias("n_partial"),
+    )
+
+
+_EMPTY_SUM_ORACLE = """
+SELECT coalesce(round(sum(o_totalprice), 2), CAST(0 AS DOUBLE)) AS total
+FROM orders
+WHERE o_totalprice < 0
+"""
+
+
+@register("sum_empty_input_default", oracle=_EMPTY_SUM_ORACLE, tags=("agg", "null-semantics"))
+def sum_empty_input_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 quirk (SURVEY.md §2.11 item 2): Mongo's `$group` on empty input
+    yields `[]`, defaulted to 0 by `agg[0]?.x || 0` (index.js:1210,1216).
+    SQL `sum` over empty input yields NULL → wrap in `coalesce(sum, 0)`."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.filter(F.col("o_totalprice") < 0).agg(
+        F.coalesce(F.round(F.sum("o_totalprice"), 2), F.lit(0).cast("double")).alias(
+            "total"
+        )
+    )
+
+
+_FILTERED_SUM_ORACLE = """
+SELECT round(sum(o_totalprice), 2) AS total_paid, count(*) AS n_payments
+FROM orders
+WHERE o_custkey = 77
+"""
+
+
+@register("filtered_grand_total", oracle=_FILTERED_SUM_ORACLE, tags=("agg",))
+def filtered_grand_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: `[{$match:{email}}, {$group:{_id:null, totalPaid:{$sum:...}}}]`
+    (index.js:562-566) — filter pushed to the scan, then a grand total."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.filter(F.col("o_custkey") == 77).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("total_paid"),
+        F.count(F.lit(1)).alias("n_payments"),
+    )
+
+
+_COALESCED_SUM_ORACLE = """
+SELECT round(sum(coalesce(nullif(l_discount, 0.0), CAST(0 AS DOUBLE))), 2) AS total_disc,
+       count(*) AS n
+FROM lineitem
+WHERE l_orderkey < 1000
+"""
+
+
+@register("sum_with_null_default", oracle=_COALESCED_SUM_ORACLE, tags=("agg", "null-semantics"))
+def sum_with_null_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: `reduce((s,x)=>s+(x.payable_amount||0),0)` (index.js:340-343,617)
+    — per-element null-coalescing inside a sum. Nulls are derived with
+    `nullif` since the fixtures are fully populated."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return li.filter(F.col("l_orderkey") < 1000).agg(
+        F.round(
+            F.sum(
+                F.coalesce(
+                    F.nullif(F.col("l_discount"), F.lit(0.0)),
+                    F.lit(0).cast("double"),
+                )
+            ),
+            2,
+        ).alias("total_disc"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_DASHBOARD_ORACLE = """
+SELECT * FROM
+  (SELECT count(*)                                   AS total_customers,
+          count(*) FILTER (WHERE c_mktsegment='MACHINERY') AS machinery_customers,
+          round(sum(c_acctbal), 2)                   AS total_balance
+   FROM customer)
+CROSS JOIN
+  (SELECT count(*)                              AS total_orders,
+          count(*) FILTER (WHERE o_orderstatus = 'O') AS open_orders,
+          round(sum(o_totalprice), 2)           AS total_revenue
+   FROM orders)
+"""
+
+
+@register("dashboard_multi_metric", oracle=_DASHBOARD_ORACLE, tags=("agg", "composite"))
+def dashboard_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: the admin-home dashboard (index.js:1200-1233) issues 4+ sequential
+    round-trips for counts and sums; here both tables are aggregated in one
+    job and the two single-row results are cross-joined (trivial join — both
+    sides are 1 row after partial aggregation)."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].agg(
+        F.count(F.lit(1)).alias("total_customers"),
+        F.sum(F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0)).alias(
+            "machinery_customers"
+        ),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
+    orders = t["orders"].agg(
+        F.count(F.lit(1)).alias("total_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+            "open_orders"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+    )
+    return cust.crossJoin(orders)
+
+
+_ROLLUP_ORACLE = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       count(*) AS n,
+       round(sum(c_acctbal), 2) AS balance
+FROM customer
+GROUP BY ROLLUP (c_mktsegment)
+ORDER BY segment
+"""
+
+
+@register("rollup_by_segment", oracle=_ROLLUP_ORACLE, tags=("agg", "rollup"))
+def rollup_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idiomatic superset of A1+A4 (SURVEY.md §2.5): per-role and grand-total
+    metrics in one pass via `rollup` instead of the reference's separate
+    countDocuments + $group round-trips."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    return (
+        customer.rollup("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("balance"),
+        )
+        .select(
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("segment"),
+            "n",
+            "balance",
+        )
+        .orderBy("segment")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT coalesce(l_returnflag, '*') AS rflag,
+       coalesce(l_linestatus, '*') AS lstatus,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY rflag, lstatus
+"""
+
+
+@register("cube_flag_status", oracle=_CUBE_ORACLE, tags=("agg", "cube"))
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`cube` over the two lineitem flags — all 2^2 grouping combinations in
+    a single shuffle."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("*")).alias("rflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("*")).alias("lstatus"),
+            "n",
+            "qty",
+        )
+        .orderBy("rflag", "lstatus")
+    )
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT coalesce(o_orderstatus, '*')   AS status,
+       coalesce(o_orderpriority, '*') AS priority,
+       count(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY status, priority
+"""
+
+
+@register("grouping_sets_status_priority", oracle=_GROUPING_SETS_ORACLE, tags=("agg",))
+def grouping_sets_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as the DataFrame
+    path) — two independent group-bys in one scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, '*')   AS status,
+               coalesce(o_orderpriority, '*') AS priority,
+               count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status, priority
+        """
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT count(DISTINCT o_custkey) AS n_active_customers,
+       count(DISTINCT o_orderpriority) AS n_priorities,
+       count(*) AS n_orders
+FROM orders
+WHERE o_orderstatus <> 'F'
+"""
+
+
+@register("distinct_count", oracle=_DISTINCT_ORACLE, tags=("agg",))
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expand + two-phase agg under the hood).
+    The approximate variant (`approx_count_distinct`, HLL) is benchmarked
+    separately — its result is engine-specific so it is not oracle-gated."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return orders.filter(F.col("o_orderstatus") != "F").agg(
+        F.countDistinct("o_custkey").alias("n_active_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -1,1 +1,101 @@
-"""(placeholder — queries land in this round)"""
+"""Sorts, limits, top-k — SURVEY.md §2.6 (O1-O3).
+
+Scale notes: `orderBy(...).limit(k)` compiles to TakeOrderedAndProject —
+each partition keeps a k-row heap and only k·partitions rows reach the
+driver; no global sort materializes. Top-k *per group* uses a window
+row_number with partial pushdown; at extreme scale a two-phase
+(per-partition top-k then global) variant can be expressed the same way.
+Every ordering carries a unique-key tiebreaker → results are total-ordered
+and oracle-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_ORDER_DESC_ORACLE = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice
+FROM orders
+ORDER BY o_orderdate DESC, o_orderkey DESC
+LIMIT 20
+"""
+
+
+@register("order_desc_recent", oracle=_ORDER_DESC_ORACLE, tags=("sort",))
+def order_desc_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1: timestamp-descending feeds (`sort({createdAt:-1})`,
+    index.js:523,534,1036). The reference's sort on an all-missing key
+    (index.js:1008) is the degenerate case: every key NULL → `desc_nulls_last`
+    ordering, preserved by the tiebreaker."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.orderBy(F.col("o_orderdate").desc(), F.col("o_orderkey").desc())
+        .limit(20)
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+_TOP_WORKERS_ORACLE = """
+SELECT c_name AS name, c_acctbal AS coins, c_mktsegment AS img
+FROM customer
+WHERE c_mktsegment = 'BUILDING'
+ORDER BY c_acctbal DESC, c_name
+LIMIT 6
+"""
+
+
+@register("top_workers", oracle=_TOP_WORKERS_ORACLE, tags=("sort", "topk"))
+def top_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/§3.3: the reference's only fully-pushed-down pipeline —
+    `[$match{role:'worker'}, $sort{coins:-1}, $limit 6, $project]`
+    (index.js:1239-1250). Same logical shape here; physical plan is
+    TakeOrderedAndProject over a filtered scan (distributed top-k, no full
+    sort)."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    return (
+        customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_name"))
+        .limit(6)
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_acctbal").alias("coins"),
+            F.col("c_mktsegment").alias("img"),
+        )
+    )
+
+
+_TOPK_PER_GROUP_ORACLE = """
+SELECT c_mktsegment, c_name, c_acctbal, rank FROM (
+  SELECT c_mktsegment, c_name, c_acctbal,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY c_acctbal DESC, c_custkey) AS rank
+  FROM customer
+)
+WHERE rank <= 3
+ORDER BY c_mktsegment, rank
+"""
+
+
+@register("topk_per_group", oracle=_TOPK_PER_GROUP_ORACLE, tags=("sort", "topk", "window-fn"))
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (the natural extension of O2: top workers *per
+    segment*) via a ranking window function. Rank is computed after a single
+    hash-partition on the group key — no global sort."""
+    customer = load_tables(spark, sf_dir)["customer"]
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        customer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("c_mktsegment", "c_name", "c_acctbal", "rank")
+        .orderBy("c_mktsegment", "rank")
+    )

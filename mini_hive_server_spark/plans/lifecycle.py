@@ -1,1 +1,175 @@
-"""(placeholder — queries land in this round)"""
+"""Composite lifecycle queries — SURVEY.md §3's top entry points as single
+DAGs.
+
+Each reference endpoint issued 2-4 sequential MongoDB round-trips plus JS
+post-processing; here every step collapses into one Catalyst plan: the scans
+share the job, the aggregates are partial-pushed, and the final assembly is
+a projection. This is the architectural point of the Spark build — the
+reference's §3.1 dashboard is 4 network round-trips, ours is one job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_BUYER_HOME_ORACLE = """
+SELECT * FROM
+  (SELECT c_name AS name, c_acctbal AS coins
+   FROM customer WHERE c_custkey = 42)
+CROSS JOIN
+  (SELECT count(*)                              AS n_tasks,
+          count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open_tasks,
+          round(sum(o_totalprice), 2)           AS total_paid
+   FROM orders WHERE o_custkey = 42)
+CROSS JOIN
+  (SELECT count(*)                                AS n_submissions,
+          count(*) FILTER (WHERE l_linestatus = 'O')    AS n_pending,
+          count(*) FILTER (WHERE l_linestatus = 'F')    AS n_approved,
+          round(sum(CASE WHEN l_linestatus = 'F'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END), 2)          AS approved_value
+   FROM lineitem
+   WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 42))
+"""
+
+
+@register("buyer_home_dashboard", oracle=_BUYER_HOME_ORACLE, tags=("composite", "headline"))
+def buyer_home_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 `GET /buyer/home` (index.js:542-589): profile lookup + task scan
+    + `$in` semi-join into submissions + conditional counts + filtered sum —
+    the reference's 4 round-trips as one job. The per-buyer key sets are
+    broadcast; nothing large shuffles."""
+    t = load_tables(spark, sf_dir)
+    profile = (
+        t["customer"]
+        .filter(F.col("c_custkey") == 42)
+        .select(F.col("c_name").alias("name"), F.col("c_acctbal").alias("coins"))
+    )
+    my_orders = t["orders"].filter(F.col("o_custkey") == 42)
+    order_stats = my_orders.agg(
+        F.count(F.lit(1)).alias("n_tasks"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
+            "n_open_tasks"
+        ),
+        F.round(F.sum("o_totalprice"), 2).alias("total_paid"),
+    )
+    li = t["lineitem"]
+    keys = my_orders.select("o_orderkey")
+    sub_stats = (
+        li.join(F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi")
+        .agg(
+            F.count(F.lit(1)).alias("n_submissions"),
+            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias(
+                "n_pending"
+            ),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias(
+                "n_approved"
+            ),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("l_linestatus") == "F",
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    ).otherwise(0.0)
+                ),
+                2,
+            ).alias("approved_value"),
+        )
+    )
+    return profile.crossJoin(order_stats).crossJoin(sub_stats)
+
+
+_WORKER_HOME_ORACLE = """
+SELECT * FROM
+  (SELECT s_name AS name, s_acctbal AS coins
+   FROM supplier WHERE s_suppkey = 7)
+CROSS JOIN
+  (SELECT count(*)                             AS total_submissions,
+          count(*) FILTER (WHERE l_linestatus = 'O') AS pending_submissions,
+          count(*) FILTER (WHERE l_linestatus = 'F') AS approved_submissions,
+          round(sum(CASE WHEN l_linestatus = 'F'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0 END), 2)       AS total_earning
+   FROM lineitem WHERE l_suppkey = 7)
+"""
+
+
+@register("worker_home_stats", oracle=_WORKER_HOME_ORACLE, tags=("composite",))
+def worker_home_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3 worker-home (index.js:325-372): the reference fetches ALL of a
+    worker's submissions then filters/sums in JS (A3/A6); here the
+    conditional counts and the null-safe earnings sum happen in one
+    partial-aggregated pass with the filter pushed to the scan."""
+    t = load_tables(spark, sf_dir)
+    profile = (
+        t["supplier"]
+        .filter(F.col("s_suppkey") == 7)
+        .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("coins"))
+    )
+    li = t["lineitem"].filter(F.col("l_suppkey") == 7)
+    stats = li.agg(
+        F.count(F.lit(1)).alias("total_submissions"),
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias(
+            "pending_submissions"
+        ),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias(
+            "approved_submissions"
+        ),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("l_linestatus") == "F",
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                ).otherwise(0.0)
+            ),
+            2,
+        ).alias("total_earning"),
+    )
+    return profile.crossJoin(stats)
+
+
+_APPROVE_ORACLE = """
+SELECT o.o_orderkey,
+       count(*) FILTER (WHERE l.l_returnflag = 'A') AS n_approved,
+       CASE WHEN count(*) FILTER (WHERE l.l_returnflag = 'A') >= 3
+            THEN 'completed' ELSE o.o_orderstatus END AS new_status
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_custkey = 42
+GROUP BY o.o_orderkey, o.o_orderstatus
+ORDER BY o.o_orderkey
+"""
+
+
+@register("approve_submission_batch", oracle=_APPROVE_ORACLE, tags=("composite", "mutation"))
+def approve_submission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3 honorable-mention `PATCH .../approve` (index.js:799-849): the
+    read → ownership check → approved-count → conditional status flip state
+    machine (guard `approvedCount >= task.required_workers`, index.js:821)
+    as one join + agg + `when` — batch form of the 5-step per-request
+    pipeline."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_custkey") == 42)
+    li = t["lineitem"]
+    joined = li.join(
+        F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner"
+    )
+    counted = joined.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0)).alias(
+            "n_approved"
+        )
+    )
+    return (
+        counted.select(
+            "o_orderkey",
+            "n_approved",
+            F.when(F.col("n_approved") >= 3, "completed")
+            .otherwise(F.col("o_orderstatus"))
+            .alias("new_status"),
+        )
+        .orderBy("o_orderkey")
+    )
