@@ -1,1 +1,206 @@
-"""(placeholder — queries land in this round)"""
+"""Event-time processing on the `events` fixture — SURVEY.md §2.9/§7 step 6.
+
+The reference has no streaming operators (request/response only); its
+notifications feed (index.js:53-60 write, 226-238 read) is an append-only
+time-desc stream. The driver's `events` table is the designated surface for
+idiomatic Spark event-time ops. Batch forms here are oracle-checked; the
+Structured Streaming variants live in `mini_hive_server_spark.streaming`
+(memory-sink tested, not oracle-gated).
+
+Determinism: events.ts has nanosecond precision; Spark truncates to µs on
+read. Every oracle first casts ts to µs (`CAST(ts AS TIMESTAMP)`) so both
+engines bucket/order the same values, and window starts are emitted as
+formatted strings.
+
+Scale notes: tumbling/sliding windows are hash-aggregations on
+(window, keys) — partial-aggregated, shuffle carries combined state.
+Sessionization uses a per-user sort window; at 100 TB the partition key
+(user_id) distributes it, with AQE skew-split for hot users.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_TUMBLING_ORACLE = f"""
+SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '{_TS_FMT_DUCK}') AS window_start,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_tumbling_hourly", oracle=_TUMBLING_ORACLE, tags=("event-time", "headline"))
+def events_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation via `F.window` — the canonical
+    event-time rollup (batch form; streaming twin in streaming/)."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SLIDING_ORACLE = f"""
+WITH slid AS (
+  SELECT time_bucket(INTERVAL '30 minutes', CAST(ts AS TIMESTAMP))
+           - k.k * INTERVAL '30 minutes' AS w_start,
+         value
+  FROM events, (VALUES (0), (1)) k(k)
+)
+SELECT strftime(w_start, '{_TS_FMT_DUCK}') AS window_start,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM slid
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("events_sliding_window", oracle=_SLIDING_ORACLE, tags=("event-time",))
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in 2
+    windows. Spark's `window(ts, len, slide)` expands rows internally; the
+    oracle reproduces it with an explicit 2-offset expansion."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", _TS_FMT_SPARK).alias("window_start"),
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start")
+    )
+
+
+_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_sessionize", oracle=_SESSION_ORACLE, tags=("event-time", "window-fn"))
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) as gaps-and-islands: lag +
+    conditional flag + per-user count. Batch-checkable equivalent of
+    `session_window`; the streaming module exposes the native
+    `session_window` form."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_RUNNING_ORACLE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id
+                              ORDER BY CAST(ts AS TIMESTAMP), event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value
+FROM events
+WHERE user_id < 10
+ORDER BY user_id, event_id
+"""
+
+
+@register("events_running_total", oracle=_RUNNING_ORACLE, tags=("event-time", "window-fn"))
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running total ordered by event time — the frame-based window
+    aggregate surface (ROWS UNBOUNDED PRECEDING)."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.filter(F.col("user_id") < 10)
+        .select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 2).alias("running_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'view')     AS view,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'error')    AS error
+FROM events
+WHERE user_id < 20
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register("events_type_pivot", oracle=_PIVOT_ORACLE, tags=("event-time", "pivot"))
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type → columns with an explicit value list (never let
+    pivot infer values at scale — that's an extra distinct scan)."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "signup", "error"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_id")
+    )

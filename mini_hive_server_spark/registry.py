@@ -54,6 +54,7 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.mutations",
     "mini_hive_server_spark.plans.lifecycle",
     "mini_hive_server_spark.operators.windows",
+    "mini_hive_server_spark.operators.setops",
     "mini_hive_server_spark.operators.dedup",
     "mini_hive_server_spark.operators.similarity",
     "mini_hive_server_spark.operators.text_analysis",
