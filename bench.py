@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly one JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+The headline set spans the engine's cost classes: fact-table aggregation
+(q1), selective join pipelines (q3/q5), event-time windowing and
+sessionization, dedup (exact hash + MinHash-LSH — the 100 TB path, not the
+exhaustive pair scan), vector similarity, text feature extraction, and the
+composite dashboard. Each query is materialized with a count() action after
+a warm-up of the input footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from mini_hive_server_spark import registry
+from mini_hive_server_spark.session import get_spark
+
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "events_tumbling_hourly",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_cosine_topk",
+    "text_quality_score",
+    "buyer_home_dashboard",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="mhs-bench")
+
+    qs = registry.queries()
+    timings: dict[str, float] = {}
+    # warm-up: resolve footers/schemas once so timings measure execution
+    for name in HEADLINE:
+        qs[name](spark, sf_dir)
+
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = qs[name](spark, sf_dir).count()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

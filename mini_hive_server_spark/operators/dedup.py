@@ -114,21 +114,45 @@ ORDER BY d1, d2
 """
 
 
-def _exact_jaccard_pairs(docs: DataFrame, candidates: DataFrame | None) -> DataFrame:
+def _exact_jaccard_pairs(
+    docs: DataFrame,
+    candidates: DataFrame | None,
+    sh: DataFrame | None = None,
+) -> DataFrame:
     """Exact Jaccard for all shingle-sharing pairs (or only `candidates`
     (d1,d2) if given), thresholded. Integer-ratio arithmetic → bit-identical
-    across engines."""
-    sh = shingle_sets(docs)
+    across engines. Pass a persisted `sh` when the caller already
+    materialized the shingle relation (diamond plans recompute lineage per
+    branch otherwise)."""
+    if sh is None:
+        sh = shingle_sets(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    if candidates is not None:
-        inter = inter.join(candidates, ["d1", "d2"], "left_semi")
+    if candidates is None:
+        # exhaustive: every shingle-sharing pair
+        inter = (
+            a.join(
+                b,
+                (F.col("a.sh") == F.col("b.sh"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    else:
+        # candidate-driven: intersect shingle sets ONLY for LSH-collided
+        # pairs — this is what makes the LSH tier linear; a post-hoc semi
+        # join would still execute the quadratic self-join
+        inter = (
+            candidates.join(a, F.col("a.doc_id") == F.col("d1"))
+            .join(
+                b,
+                (F.col("b.doc_id") == F.col("d2")) & (F.col("a.sh") == F.col("b.sh")),
+            )
+            .groupBy("d1", "d2")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jac = F.col("c") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
@@ -170,7 +194,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic shingle self-join.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = shingle_sets(docs)
+    # persist the shingle relation: it feeds the signature pipeline AND both
+    # sides of the verification join — without it Spark recomputes the
+    # explode once per branch of the diamond
+    sh = shingle_sets(docs).persist()
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
@@ -178,6 +205,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows_per_band = _N_PERM // _N_BANDS
+    sig = sig.persist()  # feeds both sides of the band-bucket self-join
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -207,7 +235,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    return _exact_jaccard_pairs(docs, candidates=candidates)
+    return _exact_jaccard_pairs(docs, candidates=candidates, sh=sh)
 
 
 # ----------------------------------------------------------------- SimHash
