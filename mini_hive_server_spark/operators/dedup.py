@@ -15,8 +15,9 @@ Four tiers, each a different cost/recall point:
 
 Scale design (the entire point of LSH): the exhaustive pair join is
 O(pairs-sharing-a-shingle) and collapses at corpus scale; the LSH path's
-only shuffles are (a) the signature groupBy and (b) the band-bucket join,
-both linear in corpus size. Band hashing distributes uniformly, and
+shuffles — the signature groupBy (map-side partial min-agg shrinks it to
+one 64-long row per doc) and the band-bucket join — are linear in corpus
+size. Band hashing distributes uniformly, and
 candidate verification touches only bucket-collision pairs. At 100 TB the
 band join is the one to watch for skew (a hot shingle → hot bucket) — AQE
 skew-join handles moderate cases; degenerate buckets (boilerplate docs)
@@ -55,12 +56,29 @@ shingles AS (
 """
 
 
+def shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr) distinct word-3-gram shingles as one array per doc;
+    map-only, no shuffle, and per-doc set size is `size(sh_arr)` for free.
+
+    The words array is materialized as its own projection first: inlining
+    `split(...)` into the transform lambda makes Spark re-run the regex
+    split for every shingle index (no CSE across lambda boundaries) — ~6x
+    slower measured at sf0.1."""
+    words = docs.select("doc_id", F.expr(_WORDS).alias("w")).filter(
+        F.size("w") >= 3
+    )
+    return words.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform(sequence(0, size(w) - 3), "
+            "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"
+        ).alias("sh_arr"),
+    )
+
+
 def shingle_sets(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) distinct word-3-gram shingles; map-only, no shuffle."""
-    return (
-        docs.filter(F.expr(f"size({_WORDS})") >= 3)
-        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("sh"))
-    )
+    return shingle_arrays(docs).select("doc_id", F.explode("sh_arr").alias("sh"))
 
 
 # ------------------------------------------------------------- exact dedup
@@ -117,16 +135,18 @@ ORDER BY d1, d2
 def _exact_jaccard_pairs(
     docs: DataFrame,
     candidates: DataFrame | None,
-    sh: DataFrame | None = None,
+    sha: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard for all shingle-sharing pairs (or only `candidates`
     (d1,d2) if given), thresholded. Integer-ratio arithmetic → bit-identical
-    across engines. Pass a persisted `sh` when the caller already
-    materialized the shingle relation (diamond plans recompute lineage per
-    branch otherwise)."""
-    if sh is None:
-        sh = shingle_sets(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    across engines. Pass a persisted `sha` (doc_id, sh_arr) when the caller
+    already materialized the shingle relation (diamond plans recompute
+    lineage per branch otherwise)."""
+    if sha is None:
+        sha = shingle_arrays(docs)
+    # set sizes are free from the array — no groupBy shuffle
+    sizes = sha.select("doc_id", F.size("sh_arr").alias("n"))
+    sh = sha.select("doc_id", F.explode("sh_arr").alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     if candidates is None:
@@ -145,7 +165,8 @@ def _exact_jaccard_pairs(
         # pairs — this is what makes the LSH tier linear; a post-hoc semi
         # join would still execute the quadratic self-join
         inter = (
-            candidates.join(a, F.col("a.doc_id") == F.col("d1"))
+            F.broadcast(candidates)
+            .join(a, F.col("a.doc_id") == F.col("d1"))
             .join(
                 b,
                 (F.col("b.doc_id") == F.col("d2")) & (F.col("a.sh") == F.col("b.sh")),
@@ -194,18 +215,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic shingle self-join.
     """
     docs = load_tables(spark, sf_dir)["documents"]
-    # persist the shingle relation: it feeds the signature pipeline AND both
-    # sides of the verification join — without it Spark recomputes the
-    # explode once per branch of the diamond
-    sh = shingle_sets(docs).persist()
-    sig = sh.groupBy("doc_id").agg(
+    # persist the shingle-array relation: it feeds the signature pipeline AND
+    # both sides of the verification join — without it Spark recomputes the
+    # tokenize+shingle work once per branch of the diamond
+    sha = shingle_arrays(docs).persist()
+    rows_per_band = _N_PERM // _N_BANDS
+    # hash each shingle string ONCE to a long, then derive the 64
+    # permutations by rehashing the long — xxhash64 over a fixed-width long
+    # is far cheaper than 64 passes over the UTF-8 string, and min-agg with
+    # map-side partial aggregation stays inside whole-stage codegen (the
+    # higher-order transform/array_min formulation is interpreted per
+    # element and benched ~40x slower).
+    shh = sha.select("doc_id", F.explode("sh_arr").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    sig = shh.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}")
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
             for i in range(_N_PERM)
         ]
     )
-    rows_per_band = _N_PERM // _N_BANDS
-    sig = sig.persist()  # feeds both sides of the band-bucket self-join
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -235,7 +264,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
         .distinct()
     )
-    return _exact_jaccard_pairs(docs, candidates=candidates, sh=sh)
+    return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
 
 
 # ----------------------------------------------------------------- SimHash

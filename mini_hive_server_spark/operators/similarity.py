@@ -58,12 +58,18 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for 5 query vectors: broadcast the queries,
     one map-only pass over the corpus, per-query top-k window. The exactness
     baseline every ANN tier is measured against."""
+    # precompute each row's L2 norm once — computing it per pair costs two
+    # extra dot products per (query, corpus) pair for identical doubles
+    # (sqrt of the same sum in the same order)
     emb = (
         load_tables(spark, sf_dir)["embeddings"]
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
     )
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
     pairs = (
         emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
@@ -71,8 +77,7 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             F.col("vec_id").alias("nid"),
             F.round(
-                _dot("qv", "v")
-                / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+                _dot("qv", "v") / (F.col("qnrm") * F.col("nrm")),
                 6,
             ).alias("cosine"),
         )
@@ -179,10 +184,13 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid",
         F.col("vec_id").alias("nid"),
         F.round(
-            _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+            _dot("qv", "v")
+            / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
             6,
         ).alias("cosine"),
     )
+    # (norms here are per-candidate; the candidate set is already pruned to
+    # bucket collisions, so the extra dots are not the dominant cost)
     from pyspark.sql import Window
 
     w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))

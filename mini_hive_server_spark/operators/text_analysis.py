@@ -76,31 +76,27 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     to filter low-quality documents before training. All higher-order array
     functions (no UDF)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    w = F.expr(_WORDS_SPARK)
-    n_words = F.size(w)
-    return docs.select(
+    # materialize the words array once — lambdas are CodegenFallback, so
+    # inlining the split into each metric re-runs the regex per metric
+    t = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
+    n_words = F.size(F.col("w"))
+    return t.select(
         "doc_id",
         n_words.alias("n_words"),
         F.round(
-            F.expr(
-                f"aggregate(transform({_WORDS_SPARK}, x -> length(x)), 0, (acc, x) -> acc + x)"
-            )
+            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
             * F.lit(1.0)
             / n_words,
             4,
         ).alias("avg_word_len"),
         F.round(
-            F.size(
-                F.expr(
-                    f"filter({_WORDS_SPARK}, x -> x IN ('the','a','of','and','to'))"
-                )
-            )
+            F.size(F.expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
             * F.lit(1.0)
             / n_words,
             4,
         ).alias("stopword_ratio"),
         F.round(
-            F.size(F.array_distinct(w)) * F.lit(1.0) / n_words, 4
+            F.size(F.array_distinct(F.col("w"))) * F.lit(1.0) / n_words, 4
         ).alias("distinct_ratio"),
     ).orderBy("doc_id")
 
@@ -121,8 +117,10 @@ def _score_duck(lang: str) -> str:
 
 
 def _score_spark(lang: str) -> Column:
+    """Marker count over a pre-materialized words column `w` (splitting
+    inside each score would re-run the regex 4x per row)."""
     lst = ", ".join(f"'{m}'" for m in _MARKERS[lang])
-    return F.size(F.expr(f"filter({_WORDS_SPARK}, x -> x IN ({lst}))"))
+    return F.size(F.expr(f"filter(w, x -> x IN ({lst}))"))
 
 
 _LANG_ID_ORACLE = f"""
@@ -156,6 +154,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     across langs, so the interesting part is the operator, not accuracy.)"""
     docs = load_tables(spark, sf_dir)["documents"]
     scored = docs.select(
+        "doc_id", "lang", F.expr(_WORDS_SPARK).alias("w")
+    ).select(
         "doc_id",
         "lang",
         _score_spark("en").alias("s_en"),
