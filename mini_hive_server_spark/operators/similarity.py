@@ -202,6 +202,142 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EMB_NEARDUP_THRESHOLD = 0.45
+
+_EMB_NEARDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+)
+SELECT a.vec_id AS d1, b.vec_id AS d2,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_EMB_NEARDUP_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE, tags=("llm", "dedup", "similarity"))
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold 0.45): semantic
+    dedup, the tier that catches paraphrases exact/shingle tiers miss.
+
+    Exact all-pairs over the upper triangle with per-row norms precomputed
+    (one dot per pair). At this corpus size the join broadcasts; at 100 TB
+    exact all-pairs is inherently quadratic, so the scale path swaps the
+    candidate generator for the hyperplane-LSH bucketing in this module
+    (recall tuned via tables/bits to the dedup threshold — at a real
+    near-dup threshold of ~0.95 per-bit agreement is ~0.9, so multiprobe
+    recall is ~1-4e-8) and keeps this exact cosine only for verification,
+    mirroring the MinHash->exact-Jaccard structure in dedup.py."""
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= _EMB_NEARDUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("d1"),
+            F.col("b.vec_id").alias("d2"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .orderBy("d1", "d2")
+    )
+
+
+_IVF_K = 16  # coarse-quantizer cells
+_IVF_NPROBE = 6  # cells scanned per query
+
+
+@register("similarity_ivf_ann", oracle=None, tags=("llm", "similarity"))
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    (fixed seed), each vector assigned to its nearest centroid cell; a query
+    scans only its `nprobe` nearest cells and exact cosine re-ranks the
+    candidates. The second ANN family next to hyperplane LSH — IVF adapts
+    to the data distribution where LSH is data-oblivious.
+
+    Scale shape: centroid training is a sample (k-means on a 0.1% sample is
+    standard at 100 TB), assignment is a map-only broadcast-centroid pass,
+    the probe is an equi-join on cell id, and re-rank touches ~nprobe/k of
+    the corpus. Rows-only check (cell membership is a recall/latency
+    trade); tests measure recall against the brute-force tier."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    feat = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
+    km = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(feat)
+    centers = km.clusterCenters()
+    # broadcast the centroids as literal arrays; assignment is map-only
+    center_cols = [
+        F.array(*[F.lit(float(x)) for x in c]) for c in centers
+    ]
+
+    def _sq_dist(vec_col: str, center) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), center, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def _cell_ranks(vec_col: str, n: int):
+        """array of the `n` nearest cell ids for the vector column."""
+        dist_structs = F.array(
+            *[
+                F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("cell"))
+                for i, c in enumerate(center_cols)
+            ]
+        )
+        return F.slice(
+            F.transform(F.array_sort(dist_structs), lambda s: s["cell"]), 1, n
+        )
+
+    corpus = emb.select(
+        "vec_id", "v", F.element_at(_cell_ranks("v", 1), 1).alias("cell")
+    )
+    queries = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("v").alias("qv"),
+            F.explode(_cell_ranks("v", _IVF_NPROBE)).alias("cell"),
+        )
+    )
+    candidates = (
+        corpus.join(F.broadcast(queries), "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qv", "vec_id", "v")
+        .distinct()
+    )
+    pairs = candidates.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(
+            _dot("qv", "v") / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+            6,
+        ).alias("cosine"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "cosine", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
 _NORM_STATS_ORACLE = """
 WITH e AS (
   SELECT label, sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),

@@ -66,3 +66,22 @@ def test_multimodal_metadata_never_reads_payload(spark):
     total = sum(r.n_items for r in df.collect())
     assert total == n_docs
     assert "payload" not in plan.lower() or "ReadSchema" not in plan, plan
+
+
+def test_ivf_ann_recall(spark):
+    """IVF with nprobe=6 of 16 cells must recover most of the brute-force
+    top-5 while scanning a strict subset of the corpus."""
+    brute = {(r.qid, r.nid) for r in QS["similarity_cosine_topk"](spark, SF_SMOKE).collect()}
+    ann = {(r.qid, r.nid) for r in QS["similarity_ivf_ann"](spark, SF_SMOKE).collect()}
+    recall = len(brute & ann) / len(brute)
+    assert recall >= 0.5, f"IVF recall@5 {recall:.2f} below floor"
+
+
+def test_embedding_cosine_symmetric_threshold(spark):
+    """Every emitted embedding near-dup pair is upper-triangle and at or
+    above the threshold; no self-pairs."""
+    rows = QS["dedup_embedding_cosine"](spark, SF_SMOKE).collect()
+    assert rows, "threshold should capture the closest fixture pairs"
+    for r in rows:
+        assert r.d1 < r.d2
+        assert r.cosine >= 0.45
