@@ -20,6 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..registry import register
+
 # Explicit schema — a streaming source never infers (each micro-batch must
 # agree). ts arrives as int64 nanoseconds (see catalog._read_events).
 EVENTS_SCHEMA = T.StructType(
@@ -86,12 +88,81 @@ def session_window_counts(events: DataFrame) -> DataFrame:
     )
 
 
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+        T.StructField("mx", T.DoubleType()),
+    ]
+)
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: per-user
+    running (count, sum, max) over the stream, state carried across
+    micro-batches in an explicit GroupState. This is the escape hatch for
+    stateful logic the built-in windows can't express (per-key model state,
+    custom eviction, CEP-ish patterns); the built-ins above remain the
+    first choice (SURVEY.md §2.10 — UDFs are the sanctioned slow path).
+
+    Scale shape: state is partitioned by the grouping key across executors
+    (same shuffle as a streaming groupBy) and lives in the state store;
+    Arrow batches per key-group keep the Python crossing vectorized.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total, mx = (
+            state.get if state.exists else (0, 0.0, float("-inf"))
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+        state.update((n, total, mx))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 2)],
+                "max_value": [mx],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:
     """Drive a streaming aggregation to completion over the static fixture
     (processAllAvailable = deterministic local run), results in the
     `query_name` in-memory table."""
+    try:
+        # idempotent re-runs: a lingering memory-sink table from a previous
+        # invocation in the same session would collide on queryName
+        spark = agg.sparkSession
+        spark.catalog.dropTempView(query_name)
+    except Exception:
+        pass
     q = (
         agg.writeStream.outputMode(output_mode)
         .format("memory")
@@ -102,3 +173,26 @@ def run_to_memory(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+@register("streaming_user_running_stats", oracle=None, tags=("streaming",))
+def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper for the custom stateful operator: runs the
+    events file-stream through `user_running_stats` to a memory sink and
+    returns the final per-user state. Rows-only check (streaming emit
+    timing is not SQL-expressible); the test gate proves the final state
+    equals the batch groupBy over the same data."""
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(user_running_stats(stream), "mhs_stream_user_stats", "update")
+    out = spark.table("mhs_stream_user_stats")
+    # update-mode emits accumulate; the final state per user is the row
+    # with the highest running count
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("max_value").alias("max_value"),
+        )
+        .orderBy("user_id")
+    )

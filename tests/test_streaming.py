@@ -35,3 +35,28 @@ def test_session_window_covers_all_events(spark):
     assert total == n_events
     # sessions are per-user and non-empty
     assert out.filter("n_events <= 0").count() == 0
+
+
+def test_user_running_stats_matches_batch(spark):
+    """The custom applyInPandasWithState operator's final per-user state
+    must equal the batch groupBy over the same data."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.streaming.events_stream import user_running_stats
+
+    stream = read_events_stream(spark, SF_SMOKE)
+    run_to_memory(user_running_stats(stream), "stream_user_stats", output_mode="update")
+    # update mode: keep the last emit per user
+    out = spark.table("stream_user_stats")
+    w_latest = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+    )
+    streamed = {(r.user_id, r.n_events) for r in w_latest.collect()}
+    batch = {
+        (r.user_id, r.n)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
