@@ -47,7 +47,12 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
-    # warm-up: resolve footers/schemas once so timings measure execution
+    # warm-up: list files + read footers once (a metadata count per table)
+    # so per-query timings measure execution, not first-touch file listing
+    from mini_hive_server_spark.catalog import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
     for name in HEADLINE:
         qs[name](spark, sf_dir)
 
