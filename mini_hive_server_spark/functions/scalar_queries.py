@@ -80,6 +80,7 @@ SELECT
   c_custkey,
   starts_with(c_name, 'Customer#')       AS has_prefix,
   string_split(c_name, '#')[2]           AS id_part,
+  regexp_matches(string_split(c_name, '#')[2], '^[0-9]+$') AS id_is_valid,
   upper(c_mktsegment)                    AS seg_upper,
   lower(c_name)                          AS name_lower,
   length(c_name)                         AS name_len,
@@ -101,6 +102,10 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             F.col("c_name").startswith("Customer#").alias("has_prefix"),
             F.element_at(F.split(F.col("c_name"), "#"), 2).alias("id_part"),
+            # X7's ObjectId.isValid analog (index.js:1179): regex validity
+            F.element_at(F.split(F.col("c_name"), "#"), 2)
+            .rlike("^[0-9]+$")
+            .alias("id_is_valid"),
             F.upper(F.col("c_mktsegment")).alias("seg_upper"),
             F.lower(F.col("c_name")).alias("name_lower"),
             F.length(F.col("c_name")).alias("name_len"),
