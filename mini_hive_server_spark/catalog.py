@@ -101,11 +101,29 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def create_managed_tables(
-    spark: SparkSession, sf_dir: str, database: str = "mini_hive"
+    spark: SparkSession,
+    sf_dir: str,
+    database: str = "mini_hive",
+    tables: tuple[str, ...] = TABLE_NAMES,
 ) -> None:
-    """Materialize the fixtures as managed Parquet tables in the session
-    catalog (Hive-metastore-compatible DDL path)."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-    for name in TABLE_NAMES:
+    """Materialize fixtures as catalogued Parquet tables via saveAsTable
+    (Hive-metastore-compatible DDL path). Data lands under /tmp with an
+    explicit LOCATION so a vanilla driver session (whose warehouse dir is
+    its CWD) never writes inside the repo; idempotent per session."""
+    sf_name = os.path.basename(os.path.normpath(sf_dir))
+    # explicit LOCATION: without it the database *directory* is created
+    # under the session warehouse dir — the CWD for a vanilla session
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {database} "
+        f"LOCATION '/tmp/mhs_spark_warehouse/{sf_name}/{database}'"
+    )
+    for name in tables:
+        if spark.catalog.tableExists(f"{database}.{name}"):
+            continue
         df = spark.read.parquet(table_path(sf_dir, name))
-        df.write.mode("overwrite").format("parquet").saveAsTable(f"{database}.{name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", f"/tmp/mhs_spark_warehouse/{sf_name}/{database}/{name}")
+            .saveAsTable(f"{database}.{name}")
+        )

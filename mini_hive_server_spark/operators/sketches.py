@@ -1,0 +1,146 @@
+"""Approximate (sketch) aggregations and skew-mitigation patterns.
+
+The reference has no approximate operators (SURVEY.md §2.5: "No
+distinct-agg, median/percentile, approx"), but at 100 TB exact
+distinct/quantiles are shuffle-heavy, and sketches are how a training-data
+pipeline counts unique documents or monitors value distributions cheaply:
+
+* `approx_count_distinct` — HyperLogLog++: fixed-size sketch per group,
+  merged map-side; the shuffle carries kilobytes per group regardless of
+  cardinality (exact distinct expands rows per distinct value).
+* `percentile_approx` — streaming t-digest-style quantiles, same shape.
+
+Sketch outputs are engine-specific (Spark HLL++ vs DuckDB's HLL give
+different estimates on the same data), so these register rows-only; pytest
+bounds them against the exact answers (relative error well inside HLL's
+published 5%-at-default-precision envelope).
+
+Also here: the salting pattern for skewed aggregation keys — two-stage
+groupBy((key, salt)) → groupBy(key). The result is bit-identical to the
+direct groupBy (sums/counts re-associate), so it IS oracle-gated; what
+changes is the shuffle layout: a hot key spreads over `_N_SALT` reducers
+instead of melting one. (For skewed *joins*, prefer AQE skew-join which
+does this automatically; explicit salting remains the tool for skewed
+aggs with heavy per-group state.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+
+@register("sketch_approx_distinct", oracle=None, tags=("agg", "sketch"))
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct users per event type, next to the exact count the
+    test bounds it against. At scale the exact column is the one you drop."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register("sketch_approx_quantiles", oracle=None, tags=("agg", "sketch"))
+def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of order totals per status
+    (`percentile_approx`, accuracy 10k) — distribution monitoring without a
+    full sort. Rows-only; the test bounds each estimate between the exact
+    neighboring order statistics."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", [0.5, 0.95, 0.99], 10000).alias("q"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "o_orderstatus",
+            F.round(F.col("q")[0], 2).alias("p50"),
+            F.round(F.col("q")[1], 2).alias("p95"),
+            F.round(F.col("q")[2], 2).alias("p99"),
+            "n",
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_N_SALT = 8
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_salted_two_stage", oracle=_SALTED_AGG_ORACLE, tags=("agg", "skew"))
+def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation salted aggregation: stage 1 groups by (key, salt)
+    so a hot key's rows spread across `_N_SALT` reducers; stage 2 merges
+    the partials per key. Counts and sums re-associate, so the result is
+    bit-identical to the direct groupBy — oracle-gated to prove it.
+
+    Note the float subtlety: sum-of-sums changes addition order vs a
+    direct sum, so the *unrounded* double can differ in the last ulp; the
+    round(2) on output absorbs it (and the oracle applies the same
+    rounding), same policy as every float aggregate in the registry."""
+    events = load_tables(spark, sf_dir)["events"]
+    salted = events.withColumn(
+        "salt", (F.col("event_id") % _N_SALT).cast("int")
+    )
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_CATALOG_SQL_ORACLE = """
+SELECT n.n_name, count(*) AS n_customers
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n_customers DESC, n_name
+"""
+
+
+@register("catalog_managed_sql", oracle=_CATALOG_SQL_ORACLE, tags=("catalog", "sql"))
+def catalog_managed_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Hive-metastore-style path end-to-end: fixtures materialized as
+    catalogued tables via saveAsTable DDL (explicit /tmp LOCATION), then
+    pure Spark SQL over catalog-qualified names — the surface a Hive/
+    Thrift user of the engine would hit. On a cluster the same code backs
+    onto a real metastore (enableHiveSupport) and gains ANALYZE TABLE
+    statistics for the cost-based optimizer."""
+    import os
+    from ..catalog import create_managed_tables
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"mini_hive_{sf_name}"
+    create_managed_tables(spark, sf_dir, database=db, tables=("customer", "nation"))
+    return spark.sql(
+        f"""
+        SELECT n.n_name, count(*) AS n_customers
+        FROM {db}.customer c JOIN {db}.nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n_customers DESC, n_name
+        """
+    )

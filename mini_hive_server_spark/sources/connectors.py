@@ -164,7 +164,12 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 10 TB x 10 TB shuffle; bucketing removes it.)"""
     sf_name = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     db = f"mhs_bucketed_{sf_name}"
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    # explicit LOCATION keeps the database directory out of the session
+    # warehouse dir (the CWD for a vanilla driver session)
+    spark.sql(
+        f"CREATE DATABASE IF NOT EXISTS {db} "
+        f"LOCATION '{_tmp_dir(sf_dir, 'bucketed_db')}'"
+    )
     tables = load_tables(spark, sf_dir)
     specs = {
         "orders_b": (tables["orders"], "o_orderkey"),
