@@ -241,3 +241,45 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_TOKENIZE_UDTF_ORACLE = """
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+  FROM documents WHERE doc_id < 20
+)
+SELECT doc_id, CAST(i AS INTEGER) AS pos, arr[i + 1] AS token
+FROM w, unnest(range(0, len(arr))) AS t(i)
+ORDER BY doc_id, pos
+"""
+
+
+@register("text_tokenize_udtf", oracle=_TOKENIZE_UDTF_ORACLE, tags=("llm", "text", "udtf"))
+def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface: a table function exploding each document into
+    (pos, token) rows, consumed via LATERAL join in SQL. For this exact
+    job the builtin (posexplode(split(...))) is the production path — the
+    UDTF exists to prove the extension point where per-row Python must
+    emit a variable number of rows (parsers, segmenters, samplers).
+    Python's str.split() and the '\\s+' regex agree on this corpus, so it
+    is oracle-gated."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos: int, token: string")
+    class Tokenize:
+        def eval(self, text):
+            for i, t in enumerate(str(text).lower().split()):
+                yield i, t
+
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("mhs_tokenize", Tokenize)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.pos, t.token
+        FROM (SELECT doc_id, text FROM documents WHERE doc_id < 20) d,
+             LATERAL mhs_tokenize(d.text) t
+        ORDER BY d.doc_id, t.pos
+        """
+    )

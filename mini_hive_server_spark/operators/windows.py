@@ -204,3 +204,118 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .na.fill(0)
         .orderBy("user_id")
     )
+
+
+_LAG_DELTA_ORACLE = f"""
+WITH o AS (
+  SELECT user_id,
+         CAST(ts AS TIMESTAMP) AS tsu,
+         event_id,
+         value,
+         lag(value)  OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_value,
+         lead(value) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_value
+  FROM events
+)
+SELECT user_id,
+       strftime(tsu, '{_TS_FMT_DUCK}') AS ts_s,
+       event_id,
+       round(value - coalesce(prev_value, value), 2) AS delta_prev,
+       round(coalesce(next_value, value) - value, 2) AS delta_next
+FROM o
+WHERE user_id < 5
+ORDER BY user_id, tsu, event_id
+"""
+
+
+@register("events_lag_delta", oracle=_LAG_DELTA_ORACLE, tags=("event-time", "window-fn"))
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead deltas per user over event time — change detection, the
+    window-function pair the running total doesn't cover. One hash
+    exchange on user_id; event_id breaks timestamp ties so both engines
+    order identically."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+            "event_id",
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.col("value")), 2
+            ).alias("delta_prev"),
+            F.round(
+                F.coalesce(F.lead("value").over(w), F.col("value")) - F.col("value"), 2
+            ).alias("delta_next"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+_NTILE_ORACLE = """
+WITH ranked AS (
+  SELECT event_type, value,
+         ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id) AS quartile
+  FROM events
+)
+SELECT event_type, quartile,
+       count(*) AS n,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM ranked
+GROUP BY event_type, quartile
+ORDER BY event_type, quartile
+"""
+
+
+@register("events_ntile_quartiles", oracle=_NTILE_ORACLE, tags=("event-time", "window-fn"))
+def events_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) bucketing per event type with per-quartile ranges —
+    rank-family window coverage (row_number lives in topk_per_group,
+    lag/lead above). event_id tie-break keeps bucket boundaries identical
+    across engines."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        events.select("event_type", "value", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+_DATE_PARTS_ORACLE = """
+SELECT CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
+       CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
+       count(*) AS n,
+       round(avg(value), 2) AS avg_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_date_parts", oracle=_DATE_PARTS_ORACLE, tags=("event-time", "scalar"))
+def events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar decomposition (day-of-week x hour-of-day heatmap input) —
+    the date-part extraction surface the reference never computes on
+    (completion_date stored but unused, index.js:499). DuckDB's dow is
+    0=Sunday; Spark's dayofweek is 1=Sunday, so shift by one."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.select(
+            (F.dayofweek("ts") - 1).alias("dow"),
+            F.hour("ts").alias("hod"),
+            "value",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 2).alias("avg_value"),
+        )
+        .orderBy("dow", "hod")
+    )
