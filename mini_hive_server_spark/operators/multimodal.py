@@ -143,3 +143,63 @@ def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mime_type", "origin")
     )
+
+
+_FRAME_SIZE = 16  # bytes per pseudo-frame
+_FRAME_STRIDE = 64  # bytes between sampled frame starts
+_MAX_FRAMES = 4  # frames sampled per item
+
+_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame-sampling kernel shape: emit a VARIABLE number of rows per
+    input item (one per sampled frame) — the plumbing a video decoder
+    (stride-sample k frames, embed each) slots into. Deterministic stand-in:
+    fixed-size byte windows at a fixed stride."""
+    for pdf in batches:
+        ids, idxs, hashes = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            if len(b) < _FRAME_SIZE:
+                continue
+            n_frames = min(_MAX_FRAMES, (len(b) - _FRAME_SIZE) // _FRAME_STRIDE + 1)
+            for i in range(n_frames):
+                ids.append(doc_id)
+                idxs.append(i)
+                hashes.append(
+                    hashlib.md5(b[i * _FRAME_STRIDE : i * _FRAME_STRIDE + _FRAME_SIZE]).hexdigest()
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_md5": pd.Series(hashes, dtype="object"),
+            }
+        )
+
+
+_FRAME_ORACLE = f"""
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       md5(substr(text, CAST(i * {_FRAME_STRIDE} + 1 AS INTEGER), {_FRAME_SIZE})) AS frame_md5
+FROM documents,
+     unnest(range(0, least({_MAX_FRAMES},
+                           CAST(floor((length(text) - {_FRAME_SIZE}) / {_FRAME_STRIDE}) AS BIGINT) + 1))) AS t(i)
+WHERE length(text) >= {_FRAME_SIZE}
+ORDER BY doc_id, frame_idx
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAME_ORACLE, tags=("llm", "multimodal"))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-based frame sampling over binary payloads via mapInPandas —
+    one item expands to k frame rows (the video path: sample frames, then
+    embed/caption each). The ASCII fixture makes byte windows equal text
+    substrings, so the kernel is oracle-checkable end-to-end."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    records = attach_payload(docs)
+    frames = records.select("doc_id", "payload").mapInPandas(
+        _sample_frames, schema=_FRAME_SCHEMA
+    )
+    return frames.orderBy("doc_id", "frame_idx")
