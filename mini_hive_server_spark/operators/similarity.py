@@ -19,6 +19,7 @@ centroid assignment instead of hyperplane signs.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -103,24 +104,29 @@ def _hyperplanes(dim: int = 64) -> np.ndarray:
     return np.random.RandomState(42).randn(_N_TABLES * _N_BITS, dim)
 
 
-def lsh_table_buckets(vec_col: str) -> list[F.Column]:
-    """Per-table bucket ids: pack each table's hyperplane sign bits into an
-    int. Pure expression work — map-only at any scale."""
-    planes = _hyperplanes()
-    buckets = []
-    for t in range(_N_TABLES):
-        bucket = F.lit(0)
-        for b in range(_N_BITS):
-            plane = planes[t * _N_BITS + b]
-            lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-            dot = F.aggregate(
-                F.zip_with(F.col(vec_col), lit_plane, lambda x, y: x * y),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        buckets.append(bucket)
-    return buckets
+def _bucket_kernel(vs: pd.Series) -> pd.Series:
+    """All `_N_TABLES` bucket ids per vector in one Arrow batch: a single
+    (batch x dim) @ (dim x tables*bits) matrix multiply, sign bits packed
+    per table. The hyperplanes ride in the function closure (shipped once
+    per executor), replacing the earlier formulation that inlined 48
+    plane-literal arrays into the plan (~1.7 MB task binaries) and
+    evaluated 48 interpreted higher-order dot products per row.
+
+    Wrapped with F.pandas_udf inside the query, NOT at module level: the
+    Python worker re-imports this module, and a module-level pandas_udf
+    decorator needs a SparkSession the worker doesn't have."""
+    planes = _hyperplanes()  # (tables*bits, dim)
+    mat = np.vstack(vs.to_numpy())  # (n, dim)
+    signs = (mat @ planes.T) >= 0  # (n, tables*bits)
+    weights = 1 << np.arange(_N_BITS)
+    buckets = np.stack(
+        [
+            signs[:, t * _N_BITS : (t + 1) * _N_BITS] @ weights
+            for t in range(_N_TABLES)
+        ],
+        axis=1,
+    ).astype("int32")
+    return pd.Series(list(buckets))
 
 
 @register("similarity_lsh_ann", oracle=None, tags=("llm", "similarity"))
@@ -137,27 +143,21 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests measure recall against the brute-force tier. At 100 TB: bucket
     assignment is map-only, the probe join is an equi-join on
     (table, bucket), and candidate re-rank touches only collided vectors."""
-    emb = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    lsh_bucket_ids = F.pandas_udf(_bucket_kernel, "array<int>")
+    emb = (
+        load_tables(spark, sf_dir)["embeddings"]
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("bkts", lsh_bucket_ids("v"))
     )
-    buckets = lsh_table_buckets("v")
     # corpus side: one (table, bucket) row per table
     corpus = emb.select(
-        "vec_id",
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
-                    for t, b in enumerate(buckets)
-                ]
-            )
-        ).alias("tb"),
-    ).select("vec_id", "v", "tb.tbl", "tb.bucket")
+        "vec_id", "v", F.posexplode("bkts").alias("tbl", "bucket")
+    )
     # query side: own bucket + 1-bit-flip probes per table
     q = emb.filter(F.col("vec_id") < 5)
     probes = []
-    for t, b in enumerate(lsh_table_buckets("v")):
+    for t in range(_N_TABLES):
+        b = F.col("bkts")[t]
         probes.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
         for bit in range(_N_BITS):
             probes.append(

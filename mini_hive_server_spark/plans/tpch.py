@@ -184,3 +184,103 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
+
+
+_ARGMIN_ORACLE = """
+WITH mn AS (
+  SELECT o_custkey, min(o_totalprice) AS m
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name, o_orderkey, round(o_totalprice, 2) AS price
+FROM customer
+JOIN orders ON c_custkey = orders.o_custkey
+JOIN mn ON orders.o_custkey = mn.o_custkey AND o_totalprice = m
+WHERE c_custkey < 100
+ORDER BY c_custkey, o_orderkey
+"""
+
+
+@register("argmin_cheapest_order", oracle=_ARGMIN_ORACLE, tags=("join", "agg"))
+def argmin_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2's argmin shape on the fixture schema: the per-group
+    minimum computed once, joined back to select the achieving rows
+    (Catalyst decorrelates the equivalent correlated subquery to exactly
+    this plan). Ties keep all achieving rows in both engines."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"]
+    mn = orders.groupBy("o_custkey").agg(F.min("o_totalprice").alias("m"))
+    cust = t["customer"].filter(F.col("c_custkey") < 100)
+    return (
+        orders.join(
+            F.broadcast(mn.withColumnRenamed("o_custkey", "mk")),
+            (F.col("o_custkey") == F.col("mk")) & (F.col("o_totalprice") == F.col("m")),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+        )
+        .orderBy("c_custkey", "o_orderkey")
+    )
+
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 300
+)
+SELECT c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       round(o_totalprice, 2) AS totalprice,
+       round(sum(l_quantity), 2) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("q18_large_orders", oracle=_Q18_ORACLE, tags=("headline", "agg", "join"))
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate as a semi-join filter on
+    the fact, then re-aggregate with dimensions. The `big` subquery is the
+    interesting plan piece: one pass over lineitem produces the qualifying
+    keys (partial-agg'd), which then SEMI-join back — no row
+    multiplication before the final group-by. At 100 TB both lineitem
+    passes shuffle on l_orderkey, so with bucketed tables
+    (source_bucketed_join) they'd be shuffle-free."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 300)
+        .select("l_orderkey")
+    )
+    orders = t["orders"].join(
+        big.withColumnRenamed("l_orderkey", "bk"),
+        F.col("o_orderkey") == F.col("bk"),
+        "left_semi",
+    )
+    return (
+        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("totalprice").desc(), "o_orderkey")
+        .limit(20)
+    )
