@@ -319,3 +319,113 @@ def events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+_ASOF_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+  FROM events WHERE user_id < 5
+),
+carried AS (
+  SELECT user_id, event_id, tsu,
+         max(CASE WHEN event_type = 'click' THEN tsu END)
+           OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click
+  FROM e
+)
+SELECT user_id, event_id,
+       strftime(tsu, '{_TS_FMT_DUCK}') AS ts_s,
+       coalesce(strftime(last_click, '{_TS_FMT_DUCK}'), 'never') AS last_click_s,
+       CAST(coalesce(date_diff('second', last_click, tsu), -1) AS BIGINT) AS secs_since_click
+FROM carried
+ORDER BY user_id, tsu, event_id
+"""
+
+
+@register("events_asof_last_click", oracle=_ASOF_ORACLE, tags=("event-time", "window-fn", "asof"))
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): each event picks up
+    the most recent STRICTLY-PRIOR 'click' by the same user. For the
+    self-as-of case the cheapest plan is not a join at all — a running
+    `max(when(...))` window with a 1-preceding frame carries the last
+    click timestamp forward in one sort per user partition. A two-table
+    as-of is the same shape after a union-and-tag: tag both inputs, union,
+    one window pass, filter to the probe side — still a single shuffle on
+    the key, never a range cross-join. (DuckDB's native ASOF JOIN is the
+    oracle's spelling of the same semantics.)"""
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    last_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    return (
+        events.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts"),
+            last_click.alias("last_click"),
+        )
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+            F.coalesce(
+                F.date_format("last_click", _TS_FMT_SPARK), F.lit("never")
+            ).alias("last_click_s"),
+            F.coalesce(
+                (F.unix_timestamp("ts") - F.unix_timestamp("last_click")),
+                F.lit(-1),
+            ).alias("secs_since_click"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )
+
+
+_ROLLUP_2LEVEL_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         event_type,
+         count(*) AS n,
+         sum(value) AS v
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
+       event_type,
+       sum(n) AS n,
+       round(sum(v), 2) AS total_value
+FROM hourly
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register("events_rollup_two_level", oracle=_ROLLUP_2LEVEL_ORACLE, tags=("event-time", "agg", "rollup"))
+def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the daily rollup is computed
+    FROM the hourly partials, not from raw events — the pattern that makes
+    multi-resolution dashboards O(hours) instead of O(events) at refresh
+    time. Counts/sums re-associate so the result is identical to a direct
+    daily aggregate (the oracle proves it); at 100 TB the hourly relation
+    is a materialized incremental table and each coarser level reads the
+    finer one."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "h"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(F.sum("n").alias("n"), F.round(F.sum("v"), 2).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
