@@ -191,3 +191,49 @@ def ownership_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.filter(
         (F.col("o_orderkey") == 4242) & (F.col("o_custkey") == 77)
     ).agg((F.count(F.lit(1)) > 0).alias("is_owner"))
+
+
+_TIERS = ((0.0, 50.0, "low"), (50.0, 150.0, "mid"), (150.0, 400.0, "high"), (400.0, 1e9, "extreme"))
+
+_RANGE_JOIN_ORACLE = """
+WITH tiers(lo, hi, tier) AS (
+  VALUES (0.0, 50.0, 'low'), (50.0, 150.0, 'mid'),
+         (150.0, 400.0, 'high'), (400.0, 1000000000.0, 'extreme')
+)
+SELECT tier, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events JOIN tiers ON value >= lo AND value < hi
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@register("range_join_value_tiers", oracle=_RANGE_JOIN_ORACLE, tags=("join", "range"))
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join — the second operator Spark lacks natively
+    (with as-of): events joined to [lo, hi) value tiers on a non-equi
+    predicate. With a tiny range dimension Catalyst runs a
+    BroadcastNestedLoopJoin, which is the right plan: fact rows stream
+    map-only past the broadcast intervals.
+
+    For a LARGE range dimension the NLJ is quadratic; the scale rewrite is
+    binning — assign both sides a fixed-width bin id (floor(x/w)), explode
+    intervals across the bins they overlap, equi-join on bin, re-check the
+    residual range predicate. That turns the range join into a hash join
+    whose skew AQE can manage. `dedup.py`'s band-bucket join is the same
+    idea with hashes for bands."""
+    events = load_tables(spark, sf_dir)["events"]
+    tiers = spark.createDataFrame(
+        list(_TIERS), "lo double, hi double, tier string"
+    )
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("tier")
+    )
