@@ -1,0 +1,63 @@
+"""Physical-plan regression tests for the headline queries: SCALE.md's
+claims (pushdown, pruning, broadcast-first joins, top-k without global
+sort) asserted against the actual executed plans so a refactor that
+silently degrades a plan fails the suite."""
+
+from __future__ import annotations
+
+import re
+
+from mini_hive_server_spark import registry
+
+from .conftest import SF_SMOKE
+
+QS = registry.queries()
+
+
+def _plan(spark, name: str) -> str:
+    """Formatted explain string — the tree .toString() truncates long
+    scan attributes (ReadSchema/PushedFilters)."""
+    df = QS[name](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def _shuffles(plan: str) -> int:
+    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "l_comment" not in m.group(1), "scan reads unused columns"
+    assert "partial_sum" in plan or "HashAggregate" in plan
+
+
+def test_q3_broadcasts_fact_never_shuffled_for_join(spark):
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # only the grouped aggregation may shuffle (top-k needs no range exchange)
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    plan = _plan(spark, "q5_region_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert _shuffles(plan) <= 2, plan  # final agg + output sort
+
+
+def test_top_workers_is_takeordered(spark):
+    plan = _plan(spark, "top_workers")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _shuffles(plan) == 0, "top-k must not globally sort"
+
+
+def test_multimodal_features_map_only(spark):
+    """The mapInPandas feature pass must not shuffle the payload — only
+    the final presentation sort may exchange."""
+    plan = _plan(spark, "multimodal_feature_extract")
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
