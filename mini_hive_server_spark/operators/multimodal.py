@@ -203,3 +203,55 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sample_frames, schema=_FRAME_SCHEMA
     )
     return frames.orderBy("doc_id", "frame_idx")
+
+
+_RESIZE_TARGET = 64  # bytes in the "resized" payload
+
+_RESIZE_SCHEMA = "doc_id long, out_bytes int, resized_md5 string"
+
+
+def _resize_payloads(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Resize kernel shape: per item, produce a fixed-size output payload
+    (truncate or zero-pad to _RESIZE_TARGET bytes) — where a real image
+    resize (decode -> scale -> re-encode) slots in. Deterministic, so the
+    plumbing is oracle-checkable."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        resized = payloads.map(
+            lambda b: bytes(b)[:_RESIZE_TARGET].ljust(_RESIZE_TARGET, b"0")
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "out_bytes": resized.map(len).astype("int32"),
+                "resized_md5": resized.map(lambda b: hashlib.md5(b).hexdigest()),
+            }
+        )
+
+
+_RESIZE_ORACLE = f"""
+SELECT doc_id,
+       {_RESIZE_TARGET} AS out_bytes,
+       md5(substr(text, 1, {_RESIZE_TARGET})
+           || repeat('0', {_RESIZE_TARGET} - least({_RESIZE_TARGET}, length(text))))
+         AS resized_md5
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@register("multimodal_resize", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal"))
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size payload normalization via mapInPandas — the resize step
+    of an image pipeline with the codec swapped for a deterministic
+    truncate-or-pad with '0' bytes (printable, so the ASCII fixture keeps
+    byte ops equal to VARCHAR ops in the oracle — DuckDB's md5 is
+    VARCHAR-only). One map-only Arrow pass; output size is constant per item, so
+    downstream batch shapes are predictable — exactly why real pipelines
+    resize before batching."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    records = attach_payload(docs)
+    out = records.select("doc_id", "payload").mapInPandas(
+        _resize_payloads, schema=_RESIZE_SCHEMA
+    )
+    return out.orderBy("doc_id")
