@@ -238,3 +238,26 @@ def source_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parsed.select(
         "doc_id", F.col("m.lang").alias("lang"), F.col("m.n_chars").alias("n_chars")
     ).orderBy("doc_id")
+
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+ORDER BY s_suppkey
+"""
+
+
+@register("source_orc_roundtrip", oracle=_ORC_ROUNDTRIP_ORACLE, tags=("source",))
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + reader round-trip — the third columnar-ecosystem format
+    next to Parquet (native) and the text formats. Same typed-reader
+    policy; equality with the Parquet original proves lossless conversion.
+    (The oracle reads the Parquet fixture — DuckDB never touches the ORC
+    files; the round-trip happens entirely on the Spark side.)"""
+    out = _tmp_dir(sf_dir, "supplier_orc")
+    supplier = load_tables(spark, sf_dir)["supplier"].select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    supplier.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.orderBy("s_suppkey")
