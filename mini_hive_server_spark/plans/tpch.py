@@ -284,3 +284,319 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("totalprice").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+_Q7_ORACLE = """
+SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey  = o_custkey
+  JOIN supplier ON s_suppkey  = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, yr
+ORDER BY supp_nation, cust_nation, yr
+"""
+
+
+@register("q7_nation_volume", oracle=_Q7_ORACLE, tags=("headline", "join"))
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: the same dimension table (nation) joined twice under
+    different roles (supplier's nation vs customer's nation) with a
+    disjunctive cross-pair predicate.
+
+    Reference analog: the 2-hop enrichment joins (`index.js:205-206`,
+    SURVEY.md §2.4 J3) where one lookup table serves two roles. Plan notes:
+    both nation dims are filtered to the two named nations BEFORE the join
+    (so the broadcast build sides carry 2 rows each and the pair-OR
+    predicate only runs on survivors); the fact-side joins stay broadcast,
+    with only lineitem↔orders as a potential shuffle at 100 TB — and that
+    one is co-partitioned under the bucketed-table layout
+    (source_bucketed_join)."""
+    t = load_tables(spark, sf_dir)
+    pair = ("NATION_1", "NATION_2")
+    n1 = (
+        t["nation"].filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    )
+    n2 = (
+        t["nation"].filter(F.col("n_name").isin(*pair))
+        .select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    )
+    li = t["lineitem"]
+    joined = (
+        li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("yr"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "yr")
+        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    )
+
+
+_Q8_ORACLE = """
+SELECT yr,
+       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS yr,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY yr
+ORDER BY yr
+"""
+
+
+@register("q8_market_share", oracle=_Q8_ORACLE, tags=("headline", "join", "agg"))
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: national market share = ratio of two conditional
+    aggregates over an 8-table star join (nation again in two roles; the
+    numerator is `sum(CASE WHEN))` — SURVEY.md §2.5 A3's conditional-count
+    idiom applied to revenue).
+
+    Scale: the only big-big join is lineitem↔orders; part/customer/supplier
+    sides are filtered or dimension-sized and broadcast. The ratio is
+    computed post-aggregation on grouped rows (one row per year), so the
+    division never touches fact-table cardinality."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    region = t["region"].filter(F.col("r_name") == "ASIA")
+    n2 = (
+        t["nation"].join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    li = t["lineitem"]
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        joined.select(
+            F.year("o_orderdate").alias("yr"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+        .groupBy("yr")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
+                / F.sum("volume"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("yr")
+    )
+
+
+_Q13_ORACLE = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_order_histogram", oracle=_Q13_ORACLE, tags=("join", "agg"))
+def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: two-level aggregation — per-customer order counts
+    (preserving zero-order customers via LEFT OUTER with a join-side filter)
+    re-aggregated into a distribution histogram.
+
+    The join-side predicate (`o_orderpriority <> '5-LOW'`) must live in the
+    join condition, not a WHERE, or zero-order customers vanish — the outer-
+    join analog of SURVEY.md §2.11's null-fidelity traps. Scale: first agg
+    shuffles on c_custkey (fact-sized), second on c_count (tiny);
+    count(o_orderkey) counts only matched rows, so the null path needs no
+    special casing."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(F.col("o_orderpriority") != "5-LOW")
+    per_cust = (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+_Q14_ORACLE = """
+SELECT round(
+         100.00 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN l_extendedprice * (1 - l_discount)
+                           ELSE 0 END)
+         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+@register("q14_promo_revenue", oracle=_Q14_ORACLE, tags=("join", "agg"))
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: single-row global ratio of conditional revenue over a
+    month of fact data joined to a dimension.
+
+    The date filter prunes at the Parquet scan (pushed predicate on
+    l_shipdate); part broadcasts; the aggregate collapses to one row before
+    the division — the `x || 0` default-then-divide idiom of the reference's
+    dashboard percentages (SURVEY.md §2.8 X1) done engine-side."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_supplier_cnt", oracle=_Q16_ORACLE, tags=("join", "agg"))
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT IN exclusion subquery (→ anti-join; sound here
+    because s_suppkey is non-null, sidestepping NOT IN's three-valued-logic
+    trap) + count(DISTINCT) grouped by part attributes, with lineitem
+    standing in for partsupp as the part↔supplier bridge (the fixture has no
+    partsupp table).
+
+    Scale: the exclusion side (negative-balance suppliers) is tiny →
+    broadcast anti-join, map-only. count(DISTINCT l_suppkey) expands to
+    Catalyst's two-phase distinct-aggregate (partial dedup per partition
+    before the shuffle), so the shuffle carries distinct (group, suppkey)
+    pairs, not raw fact rows."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 23, 36, 45, 49))
+    )
+    bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = t["lineitem"].join(
+        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+_Q22_ORACLE = """
+WITH ab AS (
+  SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+)
+SELECT c_mktsegment, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer, ab
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+  )
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+@register("q22_idle_capital", oracle=_Q22_ORACLE, tags=("join", "agg"))
+def q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate subquery (global average balance)
+    as a filter threshold + NOT EXISTS anti-join (customers with no urgent
+    orders), re-aggregated by segment.
+
+    The scalar subquery is a 1-row DataFrame cross-joined broadcast — the
+    same plan Catalyst produces for an uncorrelated scalar subquery: the
+    average is computed once, shipped to every executor, never recomputed
+    per row. The NOT EXISTS side is filtered to urgent orders BEFORE the
+    anti-join so the build side shrinks 5×. Reference analog: the balance
+    guard predicates of SURVEY.md §2.3 F7 (`user.coins < totalCost`) done
+    set-wise."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"]
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    urgent = t["orders"].filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
