@@ -600,3 +600,608 @@ def q22_idle_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+_Q4_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("q4_priority_check", oracle=_Q4_ORACLE, tags=("join", "agg"))
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS over the fact table -> left-semi
+    join, counting orders per priority that had at least one late shipment.
+    (The fixture has no l_commitdate/l_receiptdate; lateness here is
+    `l_shipdate > o_orderdate + 60 days`, preserving the correlated-
+    inequality semi-join shape.)
+
+    Scale: the semi-join carries only (l_orderkey, l_shipdate) from the fact
+    side after column pruning, and the orders side is pre-filtered to one
+    quarter before the shuffle. The correlated predicate rides in the join
+    condition, so the semi-join deduplicates order keys during the build —
+    no distinct pass needed. Reference analog: existence checks
+    (SURVEY.md §2.3 F8) batched set-wise."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t["lineitem"].select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q6_ORACLE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.04 AND 0.06
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", oracle=_Q6_ORACLE, tags=("agg",))
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the purest
+    test of predicate pushdown + whole-stage codegen.
+
+    All three predicates (date range, discount band, quantity cap) are plain
+    column comparisons, so every one reaches the Parquet reader as a pushed
+    filter and prunes row groups by min/max stats; at 100 TB this is the
+    difference between scanning a year and scanning the whole table. The agg
+    is a single partial->final HashAggregate with no grouping keys (one row),
+    so the shuffle carries 32 partial sums total."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.04)
+            & (F.col("l_discount") <= 0.06)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q9_ORACLE = """
+SELECT nation, yr, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS yr,
+         CAST(l_extendedprice * (1 - l_discount)
+           - 0.8 * p_retailprice * l_quantity AS DECIMAL(18,4)) AS amount
+  FROM lineitem
+  JOIN part     ON p_partkey  = l_partkey
+  JOIN supplier ON s_suppkey  = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, yr
+ORDER BY nation, yr DESC
+"""
+
+
+@register("q9_product_profit", oracle=_Q9_ORACLE, tags=("join", "agg"))
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit per nation per year for parts matching a
+    substring pattern (LIKE '%...%'). (No partsupp in the fixture, so supply
+    cost is modeled as 0.8 x p_retailprice; the join topology — fact joined
+    to 4 tables with a non-pushable contains-pattern on the dimension — is
+    what the shape exercises.)
+
+    Scale: `contains` can't prune row groups, but it runs on the PART
+    dimension (small), shrinking it BEFORE the broadcast — the fact table is
+    then filtered by the broadcast hash join itself. lineitem<->orders is the
+    one shuffle join; everything else is map-side.
+
+    The profit expression subtracts two same-magnitude products
+    (cancellation), so double summation order shifts the cent rounding
+    between engines; the amount is cast to DECIMAL(18,4) per row in BOTH
+    engines so the aggregate is exact and order-independent."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_name").contains("widget")).select(
+        "p_partkey", "p_retailprice"
+    )
+    li = t["lineitem"]
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), li.l_suppkey == F.col("s_suppkey"))
+        .join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        joined.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("yr"),
+            amount.cast("decimal(18,4)").alias("amount"),
+        )
+        .groupBy("nation", "yr")
+        .agg(F.round(F.sum("amount"), 2).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.col("yr").desc())
+    )
+
+
+_Q10_ORACLE = """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(c_acctbal, 2) AS acctbal, n_name, c_mktsegment
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name, c_mktsegment
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("q10_returned_items", oracle=_Q10_ORACLE, tags=("join", "agg", "topk"))
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in one
+    quarter — fact-filtered join, group by the full customer tuple, global
+    top-k.
+
+    Scale: both fact filters (quarter of orders, returnflag='R') push to the
+    scans; customer + nation broadcast; the grouped set is customer-
+    cardinality so the final TakeOrderedAndProject top-k needs only 20 rows
+    per partition. c_custkey in the ORDER BY breaks revenue ties so the
+    20-row cut is deterministic across engines."""
+    t = load_tables(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            "n_name",
+            "c_mktsegment",
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+_Q11_ORACLE = """
+WITH nation_value AS (
+  SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS part_value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, round(part_value, 2) AS part_value
+FROM nation_value
+WHERE part_value > (SELECT sum(part_value) * 0.001 FROM nation_value)
+ORDER BY part_value DESC, l_partkey
+"""
+
+
+@register("q11_value_concentration", oracle=_Q11_ORACLE, tags=("join", "agg"))
+def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-key value sums filtered by a scalar threshold
+    derived from the SAME aggregate (parts holding >0.1% of one nation's
+    traded value). lineitem stands in for partsupp as the part<->supplier
+    bridge.
+
+    Scale: the per-part aggregate is computed once and persisted
+    conceptually — in this plan Catalyst's ReuseExchange dedupes the two
+    consumers of the identical aggregate subplan (verified in the physical
+    plan), so the fact table is scanned and shuffled once. The grand total
+    collapses to 1 row broadcast to the filter. Rounding happens AFTER the
+    threshold comparison in both engines so the cut uses full precision."""
+    t = load_tables(spark, sf_dir)
+    nat = t["nation"].filter(F.col("n_name") == "NATION_3").select("n_nationkey")
+    supp = (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    per_part = (
+        t["lineitem"]
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "part_value_raw"
+            )
+        )
+    )
+    threshold = per_part.agg(
+        (F.sum("part_value_raw") * F.lit(0.001)).alias("cutoff")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("part_value_raw") > F.col("cutoff"))
+        .select("l_partkey", F.round("part_value_raw", 2).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+_Q12_ORACLE = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= o_orderdate + INTERVAL 30 DAY
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+@register("q12_late_lines", oracle=_Q12_ORACLE, tags=("join", "agg"))
+def q12_late_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: dual conditional counters (high- vs low-priority)
+    over fact rows that violate a cross-table date condition. (No l_shipmode
+    in the fixture: grouping is by l_linestatus and "late" is shipping >30
+    days after the order date — the join-predicate + CASE-counter topology
+    is unchanged.)
+
+    Scale: the year filter pushes to the lineitem scan; the cross-table
+    lateness predicate evaluates inside the join (no post-join filter
+    stage); the CASE counters are map-side partial sums — the classic
+    "pivot a flag into columns" idiom (SURVEY.md §2.5 A3) at fact scale."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            t["orders"],
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+        )
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", oracle=_Q15_ORACLE, tags=("join", "agg"))
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax over a derived aggregate — the supplier(s)
+    whose quarterly revenue equals the global maximum (the original's
+    revenue VIEW expressed as a reused DataFrame).
+
+    Scale: the per-supplier aggregate is supplier-cardinality (small); the
+    1-row max is broadcast back and compared with equality. Revenue is
+    rounded to cents BEFORE the max/equality in BOTH engines, so the
+    comparison is exact and the ties-keep-all semantics are deterministic.
+    Same argmax-join-back pattern as `argmin_cheapest_order` (Q2 shape) but
+    with a global (ungrouped) extreme."""
+    t = load_tables(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "total_revenue"
+            )
+        )
+    )
+    best = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+_Q17_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("q17_small_quantity", oracle=_Q17_ORACLE, tags=("join", "agg"))
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery — revenue from orders
+    below half the part's own average quantity.
+
+    Plan: the correlated `avg(l_quantity) per part` decorrelates into a
+    grouped aggregate joined back on partkey — but computed only for the
+    one brand's parts: the brand filter shrinks part to ~1/25, broadcast-
+    joins lineitem (map-side), and the per-part averages over that already-
+    filtered fact slice are what the threshold needs. At 100 TB the avg
+    table is brand-parts-cardinality -> broadcast; no second fact shuffle.
+    The DuckDB oracle's correlated subquery sees lineitem rows ONLY for
+    brand parts too (the avg is per-partkey and partkeys are brand-
+    disjoint), so both engines aggregate identical slices."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
+    li_b = t["lineitem"].join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    per_part_avg = li_b.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cutoff")
+    )
+    return (
+        li_b.join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_pk"))
+        .filter(F.col("l_quantity") < F.col("qty_cutoff"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+_Q19_ORACLE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#2'
+       AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3'
+       AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4'
+       AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@register("q19_disjunctive_revenue", oracle=_Q19_ORACLE, tags=("join", "agg"))
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate straddling both join sides
+    (part attributes AND lineitem quantity per disjunct).
+
+    Plan: the disjunction can't split into per-side pushdowns wholesale, but
+    each side's derivable envelope CAN: part is pre-filtered to the brand
+    union and size max, lineitem to the quantity envelope [1,30] — both push
+    to the scans — then the exact OR evaluates inside the broadcast join.
+    This derived-envelope trick is what keeps a 100 TB scan from reading
+    rows no disjunct could accept."""
+    t = load_tables(spark, sf_dir)
+    part = t["part"].filter(
+        F.col("p_brand").isin("Brand#2", "Brand#3", "Brand#4")
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= 15)
+    )
+    li = t["lineitem"].filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    disjunct = (
+        (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disjunct)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+_Q20_ORACLE = """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_4'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'PROMO'
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_suppkey
+    HAVING sum(l_quantity) > 100
+  )
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_promo_suppliers", oracle=_Q20_ORACLE, tags=("join", "agg"))
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN-subquery chain — suppliers (in one nation)
+    who moved real volume of a part class: part-filter -> fact aggregate with
+    HAVING -> semi-join into the supplier dimension.
+
+    Scale: evaluation runs inside-out — PROMO parts broadcast into the
+    year-pruned fact scan, per-supplier quantity sums (supplier-cardinality)
+    filter by the HAVING threshold, and that small key set semi-joins
+    supplier as a broadcast. The 100 TB fact is touched once, map-side
+    only. Reference analog: SURVEY.md §2.4 J1's id-list-then-probe done in
+    one plan instead of two round trips."""
+    t = load_tables(spark, sf_dir)
+    promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
+    movers = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    nat = t["nation"].filter(F.col("n_name") == "NATION_4").select("n_nationkey")
+    return (
+        t["supplier"]
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q21_ORACLE = """
+SELECT s_suppkey, s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = 'NATION_2'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  )
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 10
+"""
+
+
+@register("q21_waiting_supplier", oracle=_Q21_ORACLE, tags=("join", "agg", "topk"))
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the hardest classic — EXISTS + NOT EXISTS self-joins
+    on the fact table: suppliers who were the SOLE late shipper on finished
+    multi-supplier orders. (Lateness = shipped >90 days after order date,
+    standing in for the missing commit/receipt dates.)
+
+    Plan: base = one nation's late lines on finished orders (all dimension
+    joins broadcast). The EXISTS becomes a left-semi self-join against
+    (orderkey, suppkey) pairs; the NOT EXISTS a left-anti against the late
+    subset of those pairs — the anti side carries o_orderdate via a fact-
+    sized join, the one unavoidable shuffle. Both probes are column-pruned
+    to 2-3 columns before shuffling; the final top-10 is
+    TakeOrderedAndProject with s_suppkey as tie-break."""
+    t = load_tables(spark, sf_dir)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    nat = t["nation"].filter(F.col("n_name") == "NATION_2").select("n_nationkey")
+    orders_f = t["orders"].filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    base = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("l_orderkey", "l_suppkey", "s_suppkey", "s_name")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o2_orderkey"), F.col("l_suppkey").alias("o2_suppkey")
+    )
+    late_others = (
+        li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(late)
+        .select(
+            F.col("l_orderkey").alias("o3_orderkey"),
+            F.col("l_suppkey").alias("o3_suppkey"),
+        )
+    )
+    return (
+        base.join(
+            others,
+            (F.col("o2_orderkey") == F.col("l_orderkey"))
+            & (F.col("o2_suppkey") != F.col("l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            late_others,
+            (F.col("o3_orderkey") == F.col("l_orderkey"))
+            & (F.col("o3_suppkey") != F.col("l_suppkey")),
+            "left_anti",
+        )
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(10)
+    )
