@@ -275,42 +275,44 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"].select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    feat = emb.select("vec_id", "v", array_to_vector("v").alias("features"))
-    km = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(feat)
-    centers = km.clusterCenters()
-    # broadcast the centroids as literal arrays; assignment is map-only
-    center_cols = [
-        F.array(*[F.lit(float(x)) for x in c]) for c in centers
-    ]
-
-    def _sq_dist(vec_col: str, center) -> F.Column:
-        return F.aggregate(
-            F.zip_with(F.col(vec_col), center, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def _cell_ranks(vec_col: str, n: int):
-        """array of the `n` nearest cell ids for the vector column."""
-        dist_structs = F.array(
-            *[
-                F.struct(_sq_dist(vec_col, c).alias("d"), F.lit(i).alias("cell"))
-                for i, c in enumerate(center_cols)
-            ]
-        )
-        return F.slice(
-            F.transform(F.array_sort(dist_structs), lambda s: s["cell"]), 1, n
-        )
-
-    corpus = emb.select(
-        "vec_id", "v", F.element_at(_cell_ranks("v", 1), 1).alias("cell")
+    # Train the coarse quantizer on a bounded sample — at 100 TB a full-
+    # corpus k-means is the bottleneck, and 16 centroids stabilize with a
+    # few thousand points; the sample fraction shrinks as the corpus grows.
+    n = emb.count()
+    frac = min(1.0, 4096.0 / max(n, 1))
+    feat = emb.sample(fraction=frac, seed=42).select(
+        "vec_id", array_to_vector("v").alias("features")
     )
+    km = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(feat)
+    centers = np.array(km.clusterCenters())  # (k, dim)
+    # Centroids ride in the pandas_udf closures (~8 KB shipped once per
+    # task), and each Arrow batch does ONE (batch x dim) @ (dim x k)
+    # matmul. The earlier form inlined every centroid as a plan-literal
+    # array and ran k interpreted zip_with/aggregate passes per row
+    # (higher-order fns are CodegenFallback).
+    c_sq = (centers**2).sum(axis=1)
+
+    def _cell_dists(vs: pd.Series) -> np.ndarray:
+        mat = np.vstack(vs.to_numpy())  # (n, dim)
+        return -2.0 * (mat @ centers.T) + c_sq  # argmin-equivalent sq-dist
+
+    def _nearest_kernel(vs: pd.Series) -> pd.Series:
+        return pd.Series(_cell_dists(vs).argmin(axis=1).astype("int32"))
+
+    def _probe_kernel(vs: pd.Series) -> pd.Series:
+        order = np.argsort(_cell_dists(vs), axis=1, kind="stable")
+        return pd.Series(list(order[:, :_IVF_NPROBE].astype("int32")))
+
+    nearest_cell = F.pandas_udf(_nearest_kernel, "int")
+    probe_cells = F.pandas_udf(_probe_kernel, "array<int>")
+
+    corpus = emb.select("vec_id", "v", nearest_cell("v").alias("cell"))
     queries = (
         emb.filter(F.col("vec_id") < 5)
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
-            F.explode(_cell_ranks("v", _IVF_NPROBE)).alias("cell"),
+            F.explode(probe_cells("v")).alias("cell"),
         )
     )
     candidates = (
