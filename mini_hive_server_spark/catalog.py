@@ -88,6 +88,28 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def parallelize_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Guarantee cluster parallelism for a CPU-heavy map stage downstream.
+
+    Scan parallelism is file/row-group granularity. A table packed into
+    fewer splits than cores (the fixture is ONE single-row-group file per
+    table → one task) serializes per-row kernels — shingling, hash
+    signatures, vector arithmetic, Pandas UDFs — onto one core no matter
+    the cluster size. When (and only when) the scan yields fewer
+    partitions than ``defaultParallelism``, repartition up to it; the
+    shuffle moves just the scan's (pruned) columns, megabytes here.
+
+    At 100 TB the input has thousands of splits, the condition is false,
+    and NO shuffle is inserted — this must stay a no-op on healthy layouts.
+    The explicit numPartitions keeps AQE from coalescing the small local
+    exchange back into one partition.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, *keys) if keys else df.repartition(par)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register all fixture tables as temp views named after themselves.
 

@@ -31,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import load_tables, parallelize_scan
 from ..registry import register
 
 # ---------------------------------------------------------------- shingles
@@ -63,9 +63,18 @@ def shingle_arrays(docs: DataFrame) -> DataFrame:
     The words array is materialized as its own projection first: inlining
     `split(...)` into the transform lambda makes Spark re-run the regex
     split for every shingle index (no CSE across lambda boundaries) — ~6x
-    slower measured at sf0.1."""
-    words = docs.select("doc_id", F.expr(_WORDS).alias("w")).filter(
-        F.size("w") >= 3
+    slower measured at sf0.1.
+
+    The input goes through `parallelize_scan` first: the shingle + hash
+    pipeline is CPU-bound per document, and a corpus packed into few
+    parquet splits (the fixture is ONE single-row-group file → one task)
+    serializes the whole map stage onto one core. Measured at sf0.1: the
+    signature stage drops 8.0s → sub-second on 32 cores; at scale (many
+    splits) no shuffle is inserted."""
+    words = (
+        parallelize_scan(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", F.expr(_WORDS).alias("w"))
+        .filter(F.size("w") >= 3)
     )
     return words.select(
         "doc_id",
@@ -299,7 +308,9 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
             out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
         return pd.Series(out)
 
-    return docs.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+    return parallelize_scan(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", simhash64(F.col("text")).alias("simhash")
+    )
 
 
 @register("dedup_simhash", oracle=None, tags=("llm", "dedup"))

@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import load_tables, parallelize_scan
 from ..registry import register
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
@@ -63,7 +63,9 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # extra dot products per (query, corpus) pair for identical doubles
     # (sqrt of the same sum in the same order)
     emb = (
-        load_tables(spark, sf_dir)["embeddings"]
+        parallelize_scan(
+            load_tables(spark, sf_dir)["embeddings"], "vec_id"
+        )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", F.sqrt(_dot("v", "v")))
     )
@@ -145,7 +147,9 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     (table, bucket), and candidate re-rank touches only collided vectors."""
     lsh_bucket_ids = F.pandas_udf(_bucket_kernel, "array<int>")
     emb = (
-        load_tables(spark, sf_dir)["embeddings"]
+        parallelize_scan(
+            load_tables(spark, sf_dir)["embeddings"], "vec_id"
+        )
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("bkts", lsh_bucket_ids("v"))
     )
@@ -272,9 +276,9 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    emb = load_tables(spark, sf_dir)["embeddings"].select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
+    emb = parallelize_scan(
+        load_tables(spark, sf_dir)["embeddings"], "vec_id"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     # Train the coarse quantizer on a bounded sample — at 100 TB a full-
     # corpus k-means is the bottleneck, and 16 centroids stabilize with a
     # few thousand points; the sample fraction shrinks as the corpus grows.

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_tables
+from ..catalog import load_tables, parallelize_scan
 from ..registry import register
 
 # shared normalization: lowercase, trim, whitespace-split
@@ -77,8 +77,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions (no UDF)."""
     docs = load_tables(spark, sf_dir)["documents"]
     # materialize the words array once — lambdas are CodegenFallback, so
-    # inlining the split into each metric re-runs the regex per metric
-    t = docs.select("doc_id", F.expr(_WORDS_SPARK).alias("w"))
+    # inlining the split into each metric re-runs the regex per metric;
+    # parallelize_scan spreads the interpreted lambdas across cores when
+    # the corpus arrives in fewer splits than the cluster has slots
+    t = parallelize_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    )
     n_words = F.size(F.col("w"))
     return t.select(
         "doc_id",
