@@ -158,3 +158,97 @@ def mutation_delete_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cust77_remaining"
         ),
     )
+
+
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT o_custkey, round(sum(o_totalprice) / 1000, 2) AS new_bal
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY o_custkey
+),
+j AS (
+  SELECT c_custkey, round(c_acctbal, 2) AS old_bal, new_bal
+  FROM customer LEFT JOIN upd ON c_custkey = o_custkey
+),
+versions AS (
+  SELECT c_custkey, 1 AS version, old_bal AS acctbal,
+         (new_bal IS NULL OR new_bal = old_bal) AS is_current,
+         DATE '1990-01-01' AS valid_from,
+         CASE WHEN new_bal IS NOT NULL AND new_bal <> old_bal
+              THEN DATE '1995-01-01' END AS valid_to
+  FROM j
+  UNION ALL
+  SELECT c_custkey, 2, new_bal, TRUE, DATE '1995-01-01', NULL
+  FROM j WHERE new_bal IS NOT NULL AND new_bal <> old_bal
+)
+SELECT c_custkey, version, acctbal, is_current, valid_from, valid_to
+FROM versions
+ORDER BY c_custkey, version
+"""
+
+
+@register("mutation_scd2_merge", oracle=_SCD2_ORACLE, tags=("mutation", "scd"))
+def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2: apply a CDC batch (per-customer
+    1995 order volume as the 'new balance' feed) to the `customer`
+    dimension, emitting versioned rows with validity intervals — changed
+    keys get their old row closed (`valid_to` set, `is_current` false) plus
+    a new current row; unchanged keys pass through.
+
+    The reference has no history-keeping analog (every `updateOne` at e.g.
+    index.js:486-491 overwrites in place); SCD2 is what the same update
+    stream looks like when the warehouse must answer "as of when".
+
+    Single-pass MERGE shape: dimension LEFT JOIN change-feed, then each row
+    expands to an ARRAY of 1-2 version structs that `explode` flattens —
+    the dimension is scanned ONCE (the naive UNION of changed/unchanged
+    branches scans it per branch). At 100 TB this is exactly the
+    Delta/Iceberg MERGE plan: one shuffle on the join key (or none if the
+    dimension is bucketed by key), map-side version expansion, no
+    wide-table rescan."""
+    t = load_tables(spark, sf_dir)
+    upd = (
+        t["orders"]
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01"))
+        )
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice") / 1000, 2).alias("new_bal"))
+    )
+    j = (
+        t["customer"]
+        .select("c_custkey", F.round("c_acctbal", 2).alias("old_bal"))
+        .join(upd, F.col("c_custkey") == F.col("o_custkey"), "left")
+    )
+    changed = F.col("new_bal").isNotNull() & (F.col("new_bal") != F.col("old_bal"))
+    d_open = F.lit("1990-01-01").cast("date")
+    d_cut = F.lit("1995-01-01").cast("date")
+    d_null = F.lit(None).cast("date")
+    closed_or_current = F.struct(
+        F.lit(1).alias("version"),
+        F.col("old_bal").alias("acctbal"),
+        (~changed).alias("is_current"),
+        d_open.alias("valid_from"),
+        F.when(changed, d_cut).otherwise(d_null).alias("valid_to"),
+    )
+    new_current = F.struct(
+        F.lit(2).alias("version"),
+        F.col("new_bal").alias("acctbal"),
+        F.lit(True).alias("is_current"),
+        d_cut.alias("valid_from"),
+        d_null.alias("valid_to"),
+    )
+    return (
+        j.select(
+            "c_custkey",
+            F.explode(
+                F.when(changed, F.array(closed_or_current, new_current)).otherwise(
+                    F.array(closed_or_current)
+                )
+            ).alias("ver"),
+        )
+        .select("c_custkey", "ver.*")
+        .orderBy("c_custkey", "version")
+    )

@@ -85,3 +85,27 @@ def test_sum_empty_input_coalesce_default(spark, rows):
         out = df.agg(F.coalesce(F.sum("v"), F.lit(0)).alias("s")).collect()[0].s
         expected = sum(v for _, v in data if v is not None)
         assert out == expected
+
+
+def test_scd2_versioning_invariants(spark):
+    """SCD2 output invariants on the fixture: every dimension key has
+    exactly one current row; closed rows carry a valid_to equal to the new
+    version's valid_from (contiguous history); version numbers are dense
+    from 1."""
+    from mini_hive_server_spark.operators.mutations import mutation_scd2_merge
+
+    from .conftest import SF_ORACLE
+
+    out = mutation_scd2_merge(spark, SF_ORACLE).collect()
+    by_key: dict[int, list] = {}
+    for r in out:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    assert by_key, "empty SCD2 output"
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1)), key
+        assert sum(r.is_current for r in rows) == 1, key
+        assert rows[-1].is_current and rows[-1].valid_to is None, key
+        for closed, nxt in zip(rows, rows[1:]):
+            assert not closed.is_current, key
+            assert closed.valid_to == nxt.valid_from, key
