@@ -196,3 +196,45 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT event_type, count(*) AS n_unique
+FROM (
+  SELECT DISTINCT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "streaming_dedup_watermark",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    `dropDuplicatesWithinWatermark` keeps one row per (user_id, event_type,
+    ts) key and — unlike plain `dropDuplicates` on a stream, whose state
+    grows forever — evicts key state once the watermark passes it. This is
+    the ingest-time dedup stage of a training-data pipeline: at 100 TB/day
+    the state store only ever holds one watermark-interval of keys per
+    partition, and the dedup shuffle is the same hash-partition-by-key
+    exchange the batch tier uses.
+
+    Oracle-paired: over the static fixture every row lands in one
+    micro-batch, so the appended output is exactly the batch DISTINCT —
+    checked per event_type after running the stream to completion."""
+    stream = read_events_stream(spark, sf_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["user_id", "event_type", "ts"]
+    )
+    run_to_memory(deduped, "mhs_stream_dedup", "append")
+    out = spark.table("mhs_stream_dedup")
+    return (
+        out.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("event_type")
+    )

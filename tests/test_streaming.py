@@ -60,3 +60,32 @@ def test_user_running_stats_matches_batch(spark):
         .collect()
     }
     assert streamed == batch
+
+
+def test_streaming_dedup_matches_batch_distinct(spark):
+    """dropDuplicatesWithinWatermark over the static fixture must emit
+    exactly the batch DISTINCT on the dedup key."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.streaming.events_stream import (
+        streaming_dedup_watermark,
+    )
+
+    streamed = {
+        (r.event_type, r.n_unique)
+        for r in streaming_dedup_watermark(spark, SF_SMOKE).collect()
+    }
+    batch = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        )
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert streamed == batch
