@@ -260,7 +260,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sig.select(
         "doc_id",
-        F.explode(
+        # explode_outer: 16-element band array is never empty; avoid the
+        # implicit pushable filter re-evaluating the band hashes
+        F.explode_outer(
             F.array(
                 *[
                     F.struct(

@@ -243,7 +243,9 @@ def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         j.select(
             "c_custkey",
-            F.explode(
+            # explode_outer: the version array is always 1-2 elements;
+            # plain explode's implicit filter re-evaluates it pre-project
+            F.explode_outer(
                 F.when(changed, F.array(closed_or_current, new_current)).otherwise(
                     F.array(closed_or_current)
                 )

@@ -155,7 +155,9 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus side: one (table, bucket) row per table
     corpus = emb.select(
-        "vec_id", "v", F.posexplode("bkts").alias("tbl", "bucket")
+        # posexplode_outer: bkts is a fixed-length pandas_udf result; plain
+        # posexplode's implicit size>0 filter can duplicate the UDF eval
+        "vec_id", "v", F.posexplode_outer("bkts").alias("tbl", "bucket")
     )
     # query side: own bucket + 1-bit-flip probes per table
     q = emb.filter(F.col("vec_id") < 5)
@@ -173,7 +175,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = q.select(
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
-        F.explode(F.array(*probes)).alias("tb"),
+        F.explode_outer(F.array(*probes)).alias("tb"),
     ).select("qid", "qv", "tb.tbl", "tb.bucket")
     candidates = (
         corpus.join(
@@ -316,7 +318,8 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("vec_id").alias("qid"),
             F.col("v").alias("qv"),
-            F.explode(probe_cells("v")).alias("cell"),
+            # explode_outer: avoid duplicating the pandas_udf via implicit filter
+            F.explode_outer(probe_cells("v")).alias("cell"),
         )
     )
     candidates = (
