@@ -358,3 +358,93 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 4)
         .orderBy("d1", "d2")
     )
+
+
+# ------------------------------------------- near-dup cluster assignment
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+),
+edges AS (SELECT d1 AS a, d2 AS b FROM pairs
+          UNION ALL SELECT d2, d1 FROM pairs),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+)
+SELECT n AS doc_id, min(m) AS cluster_id
+FROM reach
+GROUP BY n
+ORDER BY doc_id
+"""
+
+
+@register("dedup_lsh_clusters", oracle=_CLUSTERS_ORACLE, tags=("llm", "dedup"))
+def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    verified LSH pair graph, every member labeled with the component's
+    minimum doc_id — the grouping a dedup pipeline needs to keep one
+    canonical doc per duplicate family (pairs alone can't: {A,B}, {B,C}
+    must collapse to one cluster {A,B,C}).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; fixpoint when no label
+    changes. Near-dup components are small (duplicate families, not a web
+    graph), so the loop converges in O(component diameter) ≈ 2-4 rounds.
+    Each round is one shuffle join + groupBy; `localCheckpoint` cuts the
+    growing lineage so round N doesn't replay rounds 1..N-1 (at cluster
+    scale: reliable checkpoint dir instead, same call shape). The oracle
+    is a DuckDB recursive CTE computing the same transitive closure.
+
+    The driver-side loop touches only a per-round convergence COUNT —
+    data never leaves the executors."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("d1", "d2")
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("d1").alias("n"))
+        .distinct()
+        .withColumn("lbl", F.col("n"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges["d2"] == labels["n"])
+            .groupBy("d1")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["n"] == nbr["d1"], "left")
+            .select(
+                "n",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("new")
+            .join(labels.alias("old"), "n")
+            .filter(F.col("new.lbl") != F.col("old.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
+    ).orderBy("doc_id")

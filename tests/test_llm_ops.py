@@ -85,3 +85,26 @@ def test_embedding_cosine_symmetric_threshold(spark):
     for r in rows:
         assert r.d1 < r.d2
         assert r.cosine >= 0.45
+
+
+def test_lsh_clusters_consistent_with_pairs(spark):
+    """Every verified near-dup pair must land in one cluster, and each
+    cluster's id must be its minimum member."""
+    from mini_hive_server_spark.operators.dedup import (
+        dedup_lsh_clusters,
+        dedup_minhash_lsh,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    label = {
+        r.doc_id: r.cluster_id for r in dedup_lsh_clusters(spark, sf).collect()
+    }
+    pairs = [(r.d1, r.d2) for r in dedup_minhash_lsh(spark, sf).collect()]
+    assert pairs, "fixture should contain near-dup pairs"
+    for d1, d2 in pairs:
+        assert label[d1] == label[d2], (d1, d2)
+    members: dict[int, list[int]] = {}
+    for doc, cl in label.items():
+        members.setdefault(cl, []).append(doc)
+    for cl, docs in members.items():
+        assert cl == min(docs), (cl, docs)
