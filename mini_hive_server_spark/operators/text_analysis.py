@@ -287,3 +287,52 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d.doc_id, t.pos
         """
     )
+
+
+_HASH_SPLIT_ORACLE = """
+WITH h AS (
+  SELECT n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM h
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@register("text_hash_split", oracle=_HASH_SPLIT_ORACLE, tags=("llm", "text"))
+def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (90/5/5) by content-stable
+    hash of the document id — the split every training pipeline needs to
+    be REPRODUCIBLE and leak-free: a doc's split never depends on corpus
+    order, partitioning, or engine, so re-runs and incremental ingests
+    agree. md5 is used (not xxhash64) because both engines compute the
+    identical digest, making the split itself oracle-checkable.
+
+    Map-only + one agg shuffle; at 100 TB the same expression is the
+    partition predicate for writing split-partitioned output
+    (`partitionBy("split")`), still with no extra shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        )
+        .orderBy("split")
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..catalog import load_tables
 from ..registry import register
 
 # Explicit schema — a streaming source never infers (each micro-batch must
@@ -238,3 +239,43 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique"))
         .orderBy("event_type")
     )
+
+
+_STREAM_ENRICH_ORACLE = """
+SELECT c_mktsegment, event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@register(
+    "streaming_static_enrich",
+    oracle=_STREAM_ENRICH_ORACLE,
+    tags=("streaming", "join"),
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with the customer
+    dimension (broadcast — the static side is re-read per micro-batch, so
+    a broadcast hash join keeps it off the shuffle path), then aggregate
+    per (segment, event_type). The standard streaming-ETL enrichment
+    shape: dimension lookups against a slowly-changing table while facts
+    stream through. Oracle-paired: over the static fixture the complete-
+    mode result equals the batch join + aggregate."""
+    stream = read_events_stream(spark, sf_dir)
+    cust = (
+        load_tables(spark, sf_dir)["customer"]
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    agg = (
+        stream.join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    run_to_memory(agg, "mhs_stream_enrich", "complete")
+    return spark.table("mhs_stream_enrich").orderBy("c_mktsegment", "event_type")
