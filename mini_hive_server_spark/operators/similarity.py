@@ -394,3 +394,38 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_CENTROID_ORACLE = """
+SELECT label, CAST(t.i - 1 AS INT) AS dim,
+       round(avg(CAST(embedding[t.i] AS DOUBLE)), 4) AS centroid
+FROM embeddings, range(1, 65) AS t(i)
+GROUP BY 1, 2
+ORDER BY label, dim
+"""
+
+
+@register("embedding_label_centroids", oracle=_CENTROID_ORACLE, tags=("llm", "similarity"))
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column, one output row per
+    (label, dimension) — the class-prototype computation behind centroid
+    classifiers, cluster drift monitoring, and IVF re-training.
+
+    Plan shape: `posexplode` each vector to (label, dim, val), then
+    groupBy(label, dim) with avg. The explode looks like a 64× row blowup,
+    but map-side partial aggregation collapses each partition to
+    (n_labels × 64) rows BEFORE the exchange — at 100 TB the shuffle
+    carries kilobytes. This beats any driver-side vector summation and
+    needs no UDF."""
+    emb = parallelize_scan(load_tables(spark, sf_dir)["embeddings"], "vec_id")
+    return (
+        emb.select(
+            "label",
+            F.posexplode_outer(F.col("embedding").cast("array<double>")).alias(
+                "dim", "val"
+            ),
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("val"), 4).alias("centroid"))
+        .orderBy("label", "dim")
+    )
