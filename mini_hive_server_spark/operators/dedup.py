@@ -216,7 +216,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the small-scale truth the LSH tier is verified against, not the
     100 TB path."""
     docs = load_tables(spark, sf_dir)["documents"]
-    return _exact_jaccard_pairs(docs, candidates=None)
+    # persist the shingle relation: the pair query is a diamond (both join
+    # sides + both size lookups), so an unpersisted sha is recomputed four
+    # times — and the join-inferred `isnotnull(n)` predicate alias-expands
+    # the whole shingle pipeline into the scan-side Filter (the same
+    # pushdown trap as explode; the cache boundary stops it)
+    sha = shingle_arrays(docs).persist()
+    return _exact_jaccard_pairs(docs, candidates=None, sha=sha)
 
 
 # ----------------------------------------------------------- MinHash + LSH

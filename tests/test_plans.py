@@ -61,3 +61,30 @@ def test_multimodal_features_map_only(spark):
     plan = _plan(spark, "multimodal_feature_extract")
     assert "Exchange hashpartitioning" not in plan, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_scd2_scans_dimension_once(spark):
+    """The single-pass MERGE shape must scan `customer` exactly once —
+    the union-of-branches formulation would scan it per branch."""
+    plan = _plan(spark, "mutation_scd2_merge")
+    assert plan.count("customer.parquet") == 1, plan
+    assert "Generate" in plan, plan
+
+
+def test_centroids_partial_agg_before_exchange(spark):
+    """The 64x posexplode must collapse map-side: partial_avg runs below
+    the single hash exchange, so the shuffle carries labels*dims rows."""
+    plan = _plan(spark, "embedding_label_centroids")
+    assert "partial_avg" in plan, plan
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_shingle_pipeline_not_duplicated_scan_side(spark):
+    """explode_outer regression guard: the shingle transform must appear
+    in projection nodes only — a scan-side Filter containing the
+    transform means the implicit explode filter got pushed down and the
+    whole pipeline re-runs at scan parallelism."""
+    plan = _plan(spark, "dedup_ngram_jaccard")
+    for section in plan.split("\n\n"):
+        if section.startswith("(") and ") Filter" in section.split("\n")[0]:
+            assert "array_distinct(transform(" not in section, section
