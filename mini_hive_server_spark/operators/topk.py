@@ -43,6 +43,41 @@ def order_desc_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SORT_MISSING_ORACLE = """
+SELECT o_orderkey,
+       strftime(CAST(NULL AS TIMESTAMP), '%Y-%m-%d') AS current_date,
+       o_totalprice
+FROM orders
+ORDER BY current_date DESC NULLS LAST, o_orderkey
+LIMIT 15
+"""
+
+
+@register("sort_missing_field", oracle=_SORT_MISSING_ORACLE, tags=("sort", "fidelity"))
+def sort_missing_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 fidelity quirk: the reference sorts withdrawal feeds on
+    `current_date` (index.js:1008), a field NO insert path ever writes —
+    every sort key is missing, and MongoDB degrades to a deterministic
+    all-equal ordering. The relational translation: an all-NULL sort key
+    under `desc_nulls_last`, where ordering is carried entirely by the
+    unique-key tiebreaker. This exercises the null-ordering semantics that
+    `order_desc_recent` (real timestamps) never reaches."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    return (
+        orders.select(
+            "o_orderkey",
+            # Rendered via date_format per the registry's "no raw
+            # timestamps" determinism rule (NULL in, NULL string out).
+            F.date_format(F.lit(None).cast("timestamp"), "yyyy-MM-dd").alias(
+                "current_date"
+            ),
+            "o_totalprice",
+        )
+        .orderBy(F.col("current_date").desc_nulls_last(), F.col("o_orderkey"))
+        .limit(15)
+    )
+
+
 _TOP_WORKERS_ORACLE = """
 SELECT c_name AS name, c_acctbal AS coins, c_mktsegment AS img
 FROM customer

@@ -132,6 +132,69 @@ def worker_home_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.crossJoin(stats)
 
 
+_DUAL_SHAPE_ORACLE = """
+SELECT o_orderkey,
+       round(COALESCE(payment_amount, price), 2) AS amount,
+       COALESCE(payment_method, 'unknown') AS method,
+       lower(status) AS status_norm
+FROM (
+  SELECT o_orderkey,
+         round(o_totalprice, 2) AS payment_amount,
+         'stripe' AS payment_method,
+         CAST(NULL AS DOUBLE) AS price,
+         'Pending' AS status
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey,
+         CAST(NULL AS DOUBLE),
+         CAST(NULL AS VARCHAR),
+         round(o_totalprice, 2),
+         'pending'
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+WHERE status IN ('pending', 'Pending')
+ORDER BY o_orderkey
+LIMIT 200
+"""
+
+
+@register("payment_dual_shape", oracle=_DUAL_SHAPE_ORACLE, tags=("composite", "fidelity", "setop"))
+def payment_dual_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 fidelity quirks 3-4: the reference persists payments in two
+    shapes — the Stripe webhook writes `payment_amount`/`payment_method`
+    (index.js:301) while the manual path writes a bare `price`
+    (index.js:759) — and stores submission status under two spellings,
+    queried with `$in: ['pending','Pending']` (index.js:614). Schema drift
+    in a schemaless store becomes, relationally: two typed projections,
+    `unionByName(allowMissingColumns=True)` (absent columns → NULL),
+    `isin` across both spellings, then COALESCE/lower normalization. At
+    scale this is a map-only union — no shuffle until a downstream agg."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    webhook = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("payment_amount"),
+        F.lit("stripe").alias("payment_method"),
+        F.lit("Pending").alias("status"),
+    )
+    manual = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lit("pending").alias("status"),
+    )
+    return (
+        webhook.unionByName(manual, allowMissingColumns=True)
+        .filter(F.col("status").isin("pending", "Pending"))
+        .select(
+            "o_orderkey",
+            F.round(F.coalesce("payment_amount", "price"), 2).alias("amount"),
+            F.coalesce("payment_method", F.lit("unknown")).alias("method"),
+            F.lower("status").alias("status_norm"),
+        )
+        .orderBy("o_orderkey")
+        .limit(200)
+    )
+
+
 _APPROVE_ORACLE = """
 SELECT o.o_orderkey,
        count(*) FILTER (WHERE l.l_returnflag = 'A') AS n_approved,
