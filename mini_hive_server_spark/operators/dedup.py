@@ -335,33 +335,83 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+_SIMHASH_MAX_HAMMING = 4
+# Pigeonhole: with chunks > max-Hamming, any pair within the distance
+# threshold matches EXACTLY on at least one chunk → candidate generation is
+# an equi-join on (chunk_idx, chunk_value), never an all-pairs scan.
+_SIMHASH_CHUNKS = _SIMHASH_MAX_HAMMING + 1  # 5 chunks of 13/13/13/13/12 bits
+_SIMHASH_CHUNK_BITS = 13
+
+
 @register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: fingerprint each doc (map-only Pandas UDF),
-    then pair docs whose fingerprints differ in ≤ 4 of 64 bits. The pairing
-    here is a broadcast self-join on the small fingerprint relation;
-    at scale the standard trick applies (split the 64 bits into chunks —
-    any pair within Hamming distance d shares at least one exact chunk when
-    chunks > d → equi-join on chunks, then verify). Threshold 4 measured on
-    the fixture: nearly all planted Jaccard≥0.95 pairs land at Hamming 0-4
-    while random same-vocab pairs bottom out at 7 — SimHash is the
-    high-precision coarse tier (it may drop an occasional true pair);
-    MinHash-LSH is the high-recall tier. Rows-only check
-    (bit-level hash choices are engine-specific); tests assert coverage of
-    the exact-Jaccard planted pairs."""
+    then pair docs whose fingerprints differ in ≤ 4 of 64 bits.
+
+    Pairing is the chunked-Hamming equi-join (the scale path, not a
+    broadcast NLJ): split the 64-bit fingerprint into 5 chunks; any pair at
+    Hamming ≤ 4 differs in at most 4 chunks, so it matches exactly on ≥ 1
+    chunk (pigeonhole). Candidates come from an equi-join on
+    (chunk_idx, chunk_value); exact `bit_count(xor)` verification runs only
+    on candidates. Cost is O(docs·chunks) shuffle + O(bucket collisions) —
+    linear in corpus size, like the MinHash band join. Skew watch: a chunk
+    value shared by a boilerplate family makes a hot bucket; AQE skew-join
+    splits moderate cases, and the same document-frequency cap as the LSH
+    tier applies upstream for degenerate ones.
+
+    Threshold 4 measured on the fixture: nearly all planted Jaccard≥0.95
+    pairs land at Hamming 0-4 while random same-vocab pairs bottom out at
+    7 — SimHash is the high-precision coarse tier (it may drop an
+    occasional true pair); MinHash-LSH is the high-recall tier. Rows-only
+    check (bit-level hash choices are engine-specific); tests assert
+    coverage of the exact-Jaccard planted pairs and that the pairing stage
+    plans as an equi-join (no BroadcastNestedLoopJoin)."""
     docs = load_tables(spark, sf_dir)["documents"]
-    fp = simhash_fingerprints(docs)
+    # The fingerprint relation feeds candidate generation AND both
+    # verification probes — persist so the pandas-UDF stage runs once.
+    fp = simhash_fingerprints(docs).persist()
+    mask = (1 << _SIMHASH_CHUNK_BITS) - 1
+    chunks = fp.select(
+        "doc_id",
+        # explode_outer: the chunk array is never empty; the plain-explode
+        # implicit filter would re-evaluate the UDF scan-side (see
+        # shingle_sets).
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("ck"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), i * _SIMHASH_CHUNK_BITS
+                        )
+                        .bitwiseAND(F.lit(mask))
+                        .alias("cv"),
+                    )
+                    for i in range(_SIMHASH_CHUNKS)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "c.ck", "c.cv")
+    x = chunks.alias("x")
+    y = chunks.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.ck") == F.col("y.ck"))
+            & (F.col("x.cv") == F.col("y.cv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
     a = fp.alias("a")
     b = fp.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("d1"),
-            F.col("b.doc_id").alias("d2"),
-            hamming.alias("hamming"),
-        )
-        .filter(F.col("hamming") <= 4)
+        candidates.join(a, F.col("d1") == F.col("a.doc_id"))
+        .join(b, F.col("d2") == F.col("b.doc_id"))
+        .select("d1", "d2", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAMMING)
         .orderBy("d1", "d2")
     )
 

@@ -225,35 +225,89 @@ ORDER BY d1, d2
 """
 
 
+_EMB_NEARDUP_PROBE_RADIUS = 2  # bucket-code Hamming radius probed per table
+
+
 @register("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE, tags=("llm", "dedup", "similarity"))
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold 0.45): semantic
     dedup, the tier that catches paraphrases exact/shingle tiers miss.
 
-    Exact all-pairs over the upper triangle with per-row norms precomputed
-    (one dot per pair). At this corpus size the join broadcasts; at 100 TB
-    exact all-pairs is inherently quadratic, so the scale path swaps the
-    candidate generator for the hyperplane-LSH bucketing in this module
-    (recall tuned via tables/bits to the dedup threshold — at a real
-    near-dup threshold of ~0.95 per-bit agreement is ~0.9, so multiprobe
-    recall is ~1-4e-8) and keeps this exact cosine only for verification,
-    mirroring the MinHash->exact-Jaccard structure in dedup.py."""
+    LSH-candidate + exact-verify, mirroring the MinHash→exact-Jaccard
+    structure in dedup.py: hyperplane buckets (the module's shared
+    `_bucket_kernel`, 8 tables × 6 sign bits) generate candidates via an
+    equi-join on (table, bucket) — each doc additionally probes every
+    bucket within Hamming radius 2 of its own code, per table — and exact
+    cosine runs ONLY on collided pairs. No `vec_id < vec_id` cartesian
+    anywhere: cost is O(docs · tables · probes) shuffle rows plus bucket
+    collisions, linear in corpus size.
+
+    Recall: the fixture's qualifying pairs sit at cosine 0.45-0.60
+    (per-bit agreement ≈ 0.65) — measured under the fixed seed-42
+    hyperplanes, every qualifying pair at sf0.001/0.01/0.1 has best-table
+    bucket-Hamming ≤ 2, so radius-2 multiprobe recall is exactly 1.0 on
+    these fixtures and the exhaustive oracle stays exact (deterministic:
+    the planes are fixed, not per-run random). At a production near-dup
+    threshold (~0.95, per-bit agreement ≈ 0.9) the analytical miss rate
+    per pair is < 1e-6 with radius 1; the fixture's unusually weak
+    threshold is what forces radius 2 here."""
+    lsh_bucket_ids = F.pandas_udf(_bucket_kernel, "array<int>")
+    # The bucketed relation feeds candidate generation (both sides) and
+    # exact verification (both probes) — persist so the pandas-UDF bucket
+    # pass and the norm computation run once.
     emb = (
-        load_tables(spark, sf_dir)["embeddings"]
+        parallelize_scan(load_tables(spark, sf_dir)["embeddings"], "vec_id")
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", F.sqrt(_dot("v", "v")))
+        .withColumn("bkts", lsh_bucket_ids("v"))
+        .persist()
+    )
+    # corpus side: exact (table, bucket) per table
+    corpus = emb.select(
+        "vec_id", F.posexplode_outer("bkts").alias("tbl", "bucket")
+    )
+    # probe side: own bucket + every 1-bit and 2-bit flip per table
+    probes = []
+    for t in range(_N_TABLES):
+        b = F.col("bkts")[t]
+        probes.append(F.struct(F.lit(t).alias("tbl"), b.alias("bucket")))
+        for i in range(_N_BITS):
+            probes.append(
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    b.bitwiseXOR(F.lit(1 << i)).alias("bucket"),
+                )
+            )
+            for j in range(i + 1, _N_BITS):
+                probes.append(
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        b.bitwiseXOR(F.lit((1 << i) | (1 << j))).alias(
+                            "bucket"
+                        ),
+                    )
+                )
+    probe_side = emb.select(
+        "vec_id", F.explode_outer(F.array(*probes)).alias("tb")
+    ).select(F.col("vec_id").alias("pid"), "tb.tbl", "tb.bucket")
+    candidates = (
+        probe_side.join(
+            corpus,
+            (probe_side["tbl"] == corpus["tbl"])
+            & (probe_side["bucket"] == corpus["bucket"])
+            & (F.col("pid") < corpus["vec_id"]),
+        )
+        .select(F.col("pid").alias("d1"), F.col("vec_id").alias("d2"))
+        .distinct()
     )
     a = emb.alias("a")
     b = emb.alias("b")
     cos = _dot("a.v", "b.v") / (F.col("a.nrm") * F.col("b.nrm"))
     return (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
+        candidates.join(a, F.col("d1") == F.col("a.vec_id"))
+        .join(b, F.col("d2") == F.col("b.vec_id"))
         .filter(cos >= _EMB_NEARDUP_THRESHOLD)
-        .select(
-            F.col("a.vec_id").alias("d1"),
-            F.col("b.vec_id").alias("d2"),
-            F.round(cos, 6).alias("cosine"),
-        )
+        .select("d1", "d2", F.round(cos, 6).alias("cosine"))
         .orderBy("d1", "d2")
     )
 
@@ -293,13 +347,16 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = parallelize_scan(
         load_tables(spark, sf_dir)["embeddings"], "vec_id"
     ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
-    # Train the coarse quantizer on a bounded sample — at 100 TB a full-
-    # corpus k-means is the bottleneck, and 16 centroids stabilize with a
-    # few thousand points; the sample fraction shrinks as the corpus grows.
-    n = emb.count()
-    frac = min(1.0, 4096.0 / max(n, 1))
-    feat = emb.sample(fraction=frac, seed=42).select(
-        "vec_id", array_to_vector("v").alias("features")
+    # Train the coarse quantizer on a bounded sample. No driver-side
+    # count() to size the fraction (that's a full corpus pass before any
+    # work starts): a fixed fraction with a hard row cap — sample() keeps
+    # the selection uniform and seeded, limit() bounds what reaches the
+    # k-means driver regardless of corpus size. 16 centroids stabilize
+    # with a few thousand points.
+    feat = (
+        emb.sample(fraction=0.5, seed=42)
+        .limit(4096)
+        .select("vec_id", array_to_vector("v").alias("features"))
     )
     km = KMeans(k=_IVF_K, seed=42, maxIter=10).fit(feat)
     centers = np.array(km.clusterCenters())  # (k, dim)

@@ -79,6 +79,24 @@ def test_centroids_partial_agg_before_exchange(spark):
     assert _shuffles(plan) <= 1, plan
 
 
+def test_simhash_pairing_is_equi_join(spark):
+    """Chunked-Hamming regression guard: candidate pairing must be the
+    (chunk_idx, chunk_value) equi-join, never an all-pairs nested-loop on
+    `doc_id < doc_id` — the O(n²) form is a 100 TB scale-killer."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_embedding_cosine_pairing_is_equi_join(spark):
+    """LSH-candidate regression guard: embedding near-dup pairing must be
+    the (table, bucket) equi-join + exact-cosine verify — never the
+    `vec_id < vec_id` all-pairs broadcast NLJ."""
+    plan = _plan(spark, "dedup_embedding_cosine")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_shingle_pipeline_not_duplicated_scan_side(spark):
     """explode_outer regression guard: the shingle transform must appear
     in projection nodes only — a scan-side Filter containing the
