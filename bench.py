@@ -67,6 +67,11 @@ def main() -> None:
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
+            # Queries that persist() intermediates (the dedup/similarity
+            # tiers) build a NEW DataFrame per invocation, so earlier
+            # blocks are dead weight — drop them so repeated invocations
+            # in this long-lived session don't accumulate cached blocks.
+            spark.catalog.clearCache()
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)

@@ -8,11 +8,16 @@ relational tables. Two modes:
   Parquet fixtures and expose them as temp views for DataFrame/SQL queries.
   This is what the driver-facing queries use: no metastore daemon needed.
 * **Managed tables** (`create_managed_tables`) — ``saveAsTable`` into
-  ``spark.sql.warehouse.dir`` through the session catalog, the
-  Hive-metastore-compatible path (BASELINE.json ``spark_approach``). On a real
-  cluster this is where you'd also ``ANALYZE TABLE`` for CBO stats and bucket
-  the big fact tables (`bucketBy(n, "l_orderkey")`) so repeated joins on the
-  key shuffle zero bytes.
+  ``spark.sql.warehouse.dir``. Under the default session this is the
+  in-memory catalog; under ``session.get_hive_spark()`` the SAME calls go
+  through a real Hive metastore (embedded Derby locally, the shared
+  metastore service on a cluster), where DDL persists across JVMs —
+  ``tests/test_hive_catalog.py`` proves create-in-one-JVM /
+  read-in-another, bucketed DDL included (BASELINE.json
+  ``spark_approach``). On a real cluster this is where you'd also
+  ``ANALYZE TABLE`` for CBO stats and bucket the big fact tables
+  (`bucketBy(n, "l_orderkey")`) so repeated joins on the key shuffle zero
+  bytes.
 
 Scale note (100 TB): fixtures are single Parquet files; production tables
 would be date-partitioned directories (`partitionBy("o_orderdate")`) so

@@ -200,9 +200,14 @@ def _exact_jaccard_pairs(
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jac = F.col("c") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
+    # No broadcast hint on the size lookups: `sizes` is one row per corpus
+    # document, so forcing a broadcast would OOM at the scale the LSH tier
+    # targets. Locally AQE broadcasts it anyway (it sees the small runtime
+    # size); at 100 TB these become shuffle joins on doc_id — correct both
+    # ways without a hint.
     return (
-        inter.join(F.broadcast(s1), F.col("d1") == F.col("s1.doc_id"))
-        .join(F.broadcast(s2), F.col("d2") == F.col("s2.doc_id"))
+        inter.join(s1, F.col("d1") == F.col("s1.doc_id"))
+        .join(s2, F.col("d2") == F.col("s2.doc_id"))
         .filter(jac >= _JACCARD_THRESHOLD)
         .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
         .orderBy("d1", "d2")

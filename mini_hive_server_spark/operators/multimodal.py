@@ -104,8 +104,14 @@ _FEATURES_ORACLE = """
 SELECT doc_id,
        CAST(octet_length(encode(text)) AS INTEGER)          AS n_bytes,
        md5(text)                                            AS payload_md5,
-       CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER)  AS width,
-       CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER)  AS height
+       -- degenerate-input guards mirror the kernel: width/height are 0 for
+       -- empty / single-char payloads (ascii('') would otherwise yield 1)
+       CASE WHEN length(text) >= 1
+            THEN CAST(ascii(substr(text, 1, 1)) % 64 + 1 AS INTEGER)
+            ELSE 0 END                                      AS width,
+       CASE WHEN length(text) > 1
+            THEN CAST(ascii(substr(text, 2, 1)) % 64 + 1 AS INTEGER)
+            ELSE 0 END                                      AS height
 FROM documents
 ORDER BY doc_id
 """

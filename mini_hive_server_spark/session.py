@@ -29,6 +29,60 @@ def local_cpu_count() -> int:
         return os.cpu_count() or 4
 
 
+def get_hive_spark(
+    app_name: str = DEFAULT_APP_NAME + "-hive",
+    warehouse_dir: str = "/tmp/mhs_hive_warehouse",
+    metastore_dir: str = "/tmp/mhs_hive_metastore",
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """SparkSession backed by a REAL Hive metastore (embedded Derby) —
+    the BASELINE "Spark SQL + Hive metastore integration" path: DDL issued
+    here persists in the metastore and is visible to later sessions
+    pointed at the same ``metastore_dir``, unlike the in-memory session
+    catalog.
+
+    ``spark.sql.catalogImplementation`` is a STATIC conf fixed when the
+    JVM's first session is built, so this must be the first session in the
+    process; we raise rather than silently hand back an in-memory-catalog
+    session (``getOrCreate`` would). Tests therefore exercise this in
+    subprocesses — one JVM to write DDL, a second to prove the catalog
+    survived. On a cluster the same call shape points at the shared
+    metastore service instead of Derby.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        impl = active.conf.get("spark.sql.catalogImplementation", "in-memory")
+        if impl != "hive":
+            raise RuntimeError(
+                "get_hive_spark must create the JVM's first session: an "
+                f"active session with catalogImplementation={impl!r} exists"
+            )
+        return active
+    cpus = local_cpu_count()
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        .config(
+            "javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir};create=true",
+        )
+        .enableHiveSupport()
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    impl = spark.conf.get("spark.sql.catalogImplementation")
+    if impl != "hive":
+        raise RuntimeError(f"Hive support requested but got catalog {impl!r}")
+    return spark
+
+
 def get_spark(
     app_name: str = DEFAULT_APP_NAME,
     master: str | None = None,

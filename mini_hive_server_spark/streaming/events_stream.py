@@ -183,18 +183,22 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns the final per-user state. Rows-only check (streaming emit
     timing is not SQL-expressible); the test gate proves the final state
     equals the batch groupBy over the same data."""
+    from pyspark.sql import Window
+
     stream = read_events_stream(spark, sf_dir)
     run_to_memory(user_running_stats(stream), "mhs_stream_user_stats", "update")
     out = spark.table("mhs_stream_user_stats")
-    # update-mode emits accumulate; the final state per user is the row
-    # with the highest running count
+    # update-mode emits accumulate one row per (user, micro-batch); the
+    # final state is the LAST emission per user — the row with the highest
+    # running n_events (strictly increasing across a user's emissions).
+    # Selecting that whole row keeps the columns consistent; independent
+    # per-column max() would fabricate a state no batch ever emitted once
+    # values can decrease (e.g. negative amounts) across multiple batches.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
     return (
-        out.groupBy("user_id")
-        .agg(
-            F.max("n_events").alias("n_events"),
-            F.max("total_value").alias("total_value"),
-            F.max("max_value").alias("max_value"),
-        )
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value", "max_value")
         .orderBy("user_id")
     )
 
