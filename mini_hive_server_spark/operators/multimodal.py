@@ -132,12 +132,24 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return features.orderBy("doc_id")
 
 
-@register("multimodal_metadata_stats", oracle=None, tags=("llm", "multimodal"))
+_META_STATS_ORACLE = """
+SELECT 'text/plain' AS mime_type,
+       source AS origin,
+       count(*) AS n_items,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes
+FROM documents
+GROUP BY origin
+ORDER BY mime_type, origin
+"""
+
+
+@register("multimodal_metadata_stats", oracle=_META_STATS_ORACLE, tags=("llm", "multimodal"))
 def multimodal_metadata_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only aggregation over multimodal records: the payload column
     is pruned at the scan (verify via ReadSchema) — the query never touches
-    the heavy bytes. Rows-only registration because struct-typed outputs
-    are compared engine-specifically; values are asserted in unit tests."""
+    the heavy bytes. The flattened output (mime_type, origin, counts,
+    bytes) is plain relational, so it oracle-pairs directly; the payload
+    -pruning claim is asserted separately in tests/test_plans.py."""
     docs = load_tables(spark, sf_dir)["documents"]
     records = attach_payload(docs)
     return (

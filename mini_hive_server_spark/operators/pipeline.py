@@ -1,0 +1,430 @@
+"""Training-data pipeline compositions over `documents` / `embeddings` —
+the end-to-end curation operations a 100 TB corpus build runs on top of the
+per-document primitives in text_analysis.py / dedup.py.
+
+Everything here is built-in expression + window/aggregate work (no Python
+in the hot path): curation filtering, exact-dedup survivor selection,
+deterministic splitting, sequence packing, TF-IDF term extraction, n-gram
+statistics, stratified sampling, and int8 embedding quantization. Each is
+oracle-paired — the determinism rules from registry.py (identical rounding,
+md5-based hashing, total ordering) make even the float-heavy ops
+(TF-IDF, quantization) exactly comparable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables, parallelize_scan
+from ..registry import register
+
+_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# ------------------------------------------------- corpus curation pipeline
+
+_CURATION_ORACLE = f"""
+WITH metrics AS (
+  SELECT doc_id, n_chars,
+         len({_WORDS_DUCK}) AS n_words,
+         len(list_distinct({_WORDS_DUCK})) * 1.0
+           / len({_WORDS_DUCK}) AS distinct_ratio,
+         md5(lower(trim(text))) AS fp,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 100 AS bucket
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM metrics WHERE n_words >= 20 AND distinct_ratio >= 0.30
+),
+survivors AS (
+  SELECT * FROM filtered
+  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY fp)
+)
+SELECT CASE WHEN bucket < 90 THEN 'train'
+            WHEN bucket < 95 THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_tokens,
+       round(avg(distinct_ratio), 4) AS avg_distinct_ratio
+FROM survivors
+GROUP BY 1
+ORDER BY split
+"""
+
+
+@register("corpus_curation_pipeline", oracle=_CURATION_ORACLE, tags=("llm", "pipeline", "headline"))
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation DAG as ONE Catalyst plan: quality filter
+    (length + type-token ratio) → exact-dedup survivor selection (min
+    doc_id per content fingerprint) → deterministic md5 train/val/test
+    split → per-split corpus statistics.
+
+    Scale shape: the metrics pass is map-only; the survivor selection is
+    one hash shuffle on the fingerprint (window min over fp, same exchange
+    an aggregation would use); the final stats agg is partial-pushed. At
+    100 TB: ~2 shuffles total, and the quality filter runs BEFORE the
+    dedup shuffle so boilerplate junk never pays shuffle I/O — filter
+    placement is the point of composing curation as one plan instead of
+    materializing each stage."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select(
+            "doc_id", "text", "n_chars"
+        ),
+        "doc_id",
+    )
+    w_col = F.expr(_WORDS_SPARK)
+    metrics = docs.select(
+        "doc_id",
+        F.size(w_col).alias("n_words"),
+        (F.size(F.array_distinct(w_col)) * F.lit(1.0) / F.size(w_col)).alias(
+            "distinct_ratio"
+        ),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % 100
+        ).alias("bucket"),
+    )
+    filtered = metrics.filter(
+        (F.col("n_words") >= 20) & (F.col("distinct_ratio") >= 0.30)
+    )
+    surv_w = Window.partitionBy("fp")
+    survivors = filtered.withColumn(
+        "keep_id", F.min("doc_id").over(surv_w)
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    split = (
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+    )
+    return (
+        survivors.select(split.alias("split"), "n_words", "distinct_ratio")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.round(F.avg("distinct_ratio"), 4).alias("avg_distinct_ratio"),
+        )
+        .orderBy("split")
+    )
+
+
+# ------------------------------------------------------- sequence packing
+
+_PACK_BUDGET = 1024  # tokens per packed training sequence
+
+_SEQ_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_WORDS_DUCK}) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT lang, n_tokens,
+         CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens)
+                    / {_PACK_BUDGET}) AS BIGINT) AS bin
+  FROM t
+)
+SELECT lang, bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed
+GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
+
+@register("seq_packing_bins", oracle=_SEQ_PACK_ORACLE, tags=("llm", "pipeline"))
+def seq_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed-token-budget training
+    sequences by running token count — the packing step that turns a
+    filtered corpus into dense, fixed-length training batches. Bin id is
+    `floor(exclusive_cumsum(tokens) / budget)` within a pack group.
+
+    Scale shape: packing is per-GROUP (here `lang`; in production the
+    shard/split key), so the cumulative-sum window hash-partitions by the
+    group key and sorts within partitions — no global order, no single
+    -partition window. A corpus-wide global packing order would serialize
+    at any scale; grouped packing is how real pipelines shard the
+    problem."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "lang", "text"),
+        "doc_id",
+    )
+    t = docs.select(
+        "doc_id", "lang", F.expr(f"size({_WORDS_SPARK})").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = t.select(
+        "lang",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_BUDGET
+        ).alias("bin"),
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+# ---------------------------------------------------------- TF-IDF terms
+
+_TFIDF_ORACLE = f"""
+WITH words AS (
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM words GROUP BY doc_id, term
+),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM words GROUP BY term
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 25
+)
+SELECT doc_id, term, tfidf, rank FROM (
+  SELECT doc_id, term, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""
+
+
+@register("text_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("llm", "text", "pipeline"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (for a 25-doc slice, with document
+    frequency computed over the FULL corpus) — keyword extraction /
+    document signature, the classic two-aggregation text pipeline.
+
+    Scale shape: one explode + two hash aggregations (tf by (doc, term),
+    df by term) + an equi-join on term; the corpus-size scalar rides a
+    1-row broadcast. The df relation is vocabulary-sized (≪ corpus);
+    Zipf-skewed hot terms in the tf→df join are exactly what AQE
+    skew-join splits. Ranking is a per-doc window after the join, so no
+    global sort anywhere."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "text"),
+        "doc_id",
+    )
+    words = docs.select(
+        "doc_id", F.explode_outer(F.expr(_WORDS_SPARK)).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.filter(F.col("doc_id") < 25)
+        .join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+# --------------------------------------------------------- bigram counts
+
+_BIGRAM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_DUCK} AS arr FROM documents
+),
+bigrams AS (
+  SELECT arr[i] || ' ' || arr[i + 1] AS bigram
+  FROM w, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+)
+SELECT bigram, count(*) AS n
+FROM bigrams
+GROUP BY bigram
+ORDER BY n DESC, bigram
+LIMIT 20
+"""
+
+
+@register("ngram_bigram_top", oracle=_BIGRAM_ORACLE, tags=("llm", "text", "pipeline"))
+def ngram_bigram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigrams — the n-gram statistics pass behind
+    language-model data analysis (boilerplate detection, contamination
+    screens, vocabulary building). Map-only bigram generation from the
+    words array (no self-join), one count shuffle with map-side partial
+    aggregation, TakeOrderedAndProject for the top-k — the count agg
+    collapses the shuffle to distinct-bigram cardinality per partition."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("text"),
+    )
+    w = docs.select(F.expr(_WORDS_SPARK).alias("arr")).filter(
+        F.size("arr") >= 2
+    )
+    bigrams = w.select(
+        F.explode_outer(
+            F.expr(
+                "transform(sequence(0, size(arr) - 2),"
+                " i -> concat(arr[i], ' ', arr[i+1]))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------- stratified sampling
+
+# per-language sampling rates (percent) — the "data mixing" knob: english
+# kept at a higher rate than the rest, deterministic via content-stable md5
+_STRATA_RATES = {"en": 50, "es": 25, "de": 25, "fr": 10}
+
+
+def _rate_case_duck() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    )
+    return f"CASE {whens} ELSE 0 END"
+
+
+_STRATIFIED_ORACLE = f"""
+WITH h AS (
+  SELECT lang,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS UBIGINT)
+           % 100 AS bucket
+  FROM documents
+)
+SELECT lang,
+       count(*) AS n_total,
+       count(*) FILTER (WHERE bucket < {_rate_case_duck()}) AS n_sampled,
+       round(count(*) FILTER (WHERE bucket < {_rate_case_duck()}) * 1.0
+             / count(*), 4) AS sampled_frac
+FROM h
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("stratified_sample_by_lang", oracle=_STRATIFIED_ORACLE, tags=("llm", "pipeline"))
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling with per-language rates (the data
+    -mixing step: upsample scarce/high-value strata, downsample the rest).
+    Membership is a pure function of doc_id (md5 bucket, offset 8 chars so
+    it is independent of the train/val/test split hash) — reproducible
+    across runs, engines, and corpus growth, unlike `sample()` whose
+    output depends on partitioning. Map-only + one agg shuffle; as a
+    filter it pushes straight into a scan at 100 TB."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 9, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    rate = F.lit(0)
+    for k, v in _STRATA_RATES.items():
+        rate = F.when(F.col("lang") == k, v).otherwise(rate)
+    sampled = F.when(bucket < rate, 1).otherwise(0)
+    return (
+        docs.select("lang", sampled.alias("s"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("s").alias("n_sampled"),
+            F.round(F.sum("s") * F.lit(1.0) / F.count(F.lit(1)), 4).alias(
+                "sampled_frac"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ----------------------------------------------- int8 embedding quantize
+
+_QUANTIZE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  WHERE vec_id < 200
+),
+scaled AS (
+  SELECT vec_id,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale,
+         v
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+  FROM scaled
+)
+SELECT vec_id,
+       round(scale, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q
+ORDER BY vec_id
+"""
+
+
+@register("embedding_int8_quantize", oracle=_QUANTIZE_ORACLE, tags=("llm", "similarity", "pipeline"))
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (per-vector
+    max-abs scale, values in [-127, 127]) — the compression step before
+    shipping an ANN index; 4x smaller than float32, 8x than float64.
+    Output is the per-vector scale plus quantized-array checksums (sum/
+    min/max), keeping the oracle compact while pinning every quantized
+    value through the sum.
+
+    All JVM higher-order array expressions, map-only, no shuffle but the
+    presentation sort. Exact cross-engine comparison works because round
+    -half-away semantics agree between Spark's ROUND and DuckDB's round()
+    for these scales (no representable exact-.5 quotients in the
+    fixture)."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 200)
+    scaled = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+    ).withColumn(
+        "scale",
+        F.expr("array_max(transform(v, x -> abs(x)))") / F.lit(127.0),
+    )
+    q = scaled.withColumn(
+        "qv", F.expr("transform(v, x -> CAST(round(x / scale) AS BIGINT))")
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.expr("aggregate(qv, 0L, (acc, x) -> acc + x)").alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    ).orderBy("vec_id")

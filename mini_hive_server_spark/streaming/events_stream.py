@@ -133,11 +133,13 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         state.update((n, total, mx))
         import pandas as pd
 
+        # raw running total — presentation rounding happens JVM-side in the
+        # wrapper (Python round() is banker's; F.round matches the oracle)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_value": [round(total, 2)],
+                "total_value": [total],
                 "max_value": [mx],
             }
         )
@@ -176,13 +178,31 @@ def run_to_memory(
         q.stop()
 
 
-@register("streaming_user_running_stats", oracle=None, tags=("streaming",))
+_USER_STATS_ORACLE = """
+SELECT user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       max(value) AS max_value
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "streaming_user_running_stats",
+    oracle=_USER_STATS_ORACLE,
+    tags=("streaming",),
+)
 def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-facing wrapper for the custom stateful operator: runs the
     events file-stream through `user_running_stats` to a memory sink and
-    returns the final per-user state. Rows-only check (streaming emit
-    timing is not SQL-expressible); the test gate proves the final state
-    equals the batch groupBy over the same data."""
+    returns the final per-user state. Oracle-paired: after the stream
+    drains the static fixture, the last emission per user must equal the
+    batch groupBy over the same rows — count, sum (rounded at
+    presentation), max. Intermediate emit timing stays unchecked (not
+    SQL-expressible); the per-micro-batch path is exercised by the pytest
+    gate."""
     from pyspark.sql import Window
 
     stream = read_events_stream(spark, sf_dir)
@@ -198,7 +218,12 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         out.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_events", "total_value", "max_value")
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "max_value",
+        )
         .orderBy("user_id")
     )
 

@@ -23,7 +23,18 @@ def _plan(spark, name: str) -> str:
 
 
 def _shuffles(plan: str) -> int:
-    return len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    """Count hash-partition exchanges (the data shuffles) in a FORMATTED
+    plan, where the node renders as 'Exchange (n)' with an
+    'Arguments: hashpartitioning(...)' detail line — the inline
+    'Exchange hashpartitioning' form only appears in simple mode, so
+    matching it here silently counted zero. Excluded on purpose:
+    presentation range-sorts, and the explicit REPARTITION_BY_NUM/COL
+    exchanges `parallelize_scan` inserts only on under-split fixture
+    layouts (a no-op at scale) — ENSURE_REQUIREMENTS exchanges are the
+    shuffles the plan inherently needs."""
+    return len(
+        re.findall(r"Arguments: hashpartitioning.*ENSURE_REQUIREMENTS", plan)
+    )
 
 
 def test_q1_pushdown_and_pruning(spark):
@@ -59,7 +70,7 @@ def test_multimodal_features_map_only(spark):
     """The mapInPandas feature pass must not shuffle the payload — only
     the final presentation sort may exchange."""
     plan = _plan(spark, "multimodal_feature_extract")
-    assert "Exchange hashpartitioning" not in plan, plan
+    assert _shuffles(plan) == 0, plan
     assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
 
 
@@ -77,6 +88,22 @@ def test_centroids_partial_agg_before_exchange(spark):
     plan = _plan(spark, "embedding_label_centroids")
     assert "partial_avg" in plan, plan
     assert _shuffles(plan) <= 1, plan
+
+
+def test_bigram_topk_no_global_sort(spark):
+    """Corpus top-k must be TakeOrderedAndProject over the count agg —
+    one required shuffle, no range exchange for a global sort."""
+    plan = _plan(spark, "ngram_bigram_top")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_curation_pipeline_shuffle_budget(spark):
+    """The composed curation DAG (filter → dedup-survivor window → split →
+    stats) must stay within two required shuffles: the fingerprint window
+    and the final stats aggregation."""
+    plan = _plan(spark, "corpus_curation_pipeline")
+    assert _shuffles(plan) <= 2, plan
 
 
 def test_simhash_pairing_is_equi_join(spark):
