@@ -270,6 +270,82 @@ def streaming_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SS_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       count(*) AS n_pairs,
+       round(sum(p.value), 2) AS purchase_value
+FROM c JOIN p
+  ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=_STREAM_SS_JOIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (click → purchase attribution): two live
+    streams joined on user with an event-time range constraint
+    (purchase within one hour after the click). Watermarks on BOTH sides
+    plus the time-range predicate are what let Spark bound the join state:
+    a buffered click can be evicted once the purchase-side watermark
+    passes click_ts + 1h — without them, stream-stream join state grows
+    forever. This is the attribution/funnel workhorse shape; at 100 TB/day
+    state per key stays one constraint-window wide and the join is the
+    same user_id hash exchange as the batch twin.
+
+    Oracle-paired: over the static fixture (one micro-batch drained to
+    completion) the appended pairs equal the batch time-range join; both
+    engines compare at microsecond precision (the stream truncates the
+    fixture's nanosecond timestamps; the oracle CASTs to DuckDB's µs
+    TIMESTAMP)."""
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    run_to_memory(pairs, "mhs_stream_ss_join", "append")
+    out = spark.table("mhs_stream_ss_join")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("value"), 2).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _STREAM_ENRICH_ORACLE = """
 SELECT c_mktsegment, event_type,
        count(*) AS n,
