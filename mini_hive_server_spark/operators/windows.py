@@ -206,6 +206,76 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UNPIVOT_ORACLE = """
+SELECT user_id, event_type, count(*) AS n
+FROM events
+WHERE user_id < 20
+GROUP BY user_id, event_type
+ORDER BY user_id, event_type
+"""
+
+
+@register("events_type_unpivot", oracle=_UNPIVOT_ORACLE, tags=("event-time", "pivot"))
+def events_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide → long): melt the pivoted per-type count columns back
+    to (user_id, event_type, n) rows — the inverse of `events_type_pivot`,
+    proving the round trip. `unpivot` is a map-only Expand (each input row
+    fans out to one row per value column, no shuffle); dropping the
+    zero-count fill recovers exactly the long-form groupBy."""
+    events = load_tables(spark, sf_dir)["events"]
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        events.filter(F.col("user_id") < 20)
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0)
+    )
+    return (
+        wide.unpivot("user_id", types, "event_type", "n")
+        .filter(F.col("n") > 0)
+        .orderBy("user_id", "event_type")
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.50), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_value_percentiles", oracle=_PERCENTILES_ORACLE, tags=("event-time", "agg"))
+def events_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (`percentile`, linear interpolation at
+    rank p·(n-1) — the same definition as DuckDB's quantile_cont, so the
+    two engines agree to rounding). The exact aggregate buffers each
+    group's values, which is the honest truth tier next to
+    `sketch_approx_quantiles` (approx_percentile / t-digest): at 100 TB
+    use the sketch for dashboards and reserve exact percentiles for
+    bounded groups — per-group state here is the group's value list, and
+    the final per-group sort happens once in the merge."""
+    events = load_tables(spark, sf_dir)["events"]
+    pct = F.expr("percentile(value, array(0.25D, 0.50D, 0.75D, 0.95D))")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(pct[0], 4).alias("p25"),
+            F.round(pct[1], 4).alias("p50"),
+            F.round(pct[2], 4).alias("p75"),
+            F.round(pct[3], 4).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _LAG_DELTA_ORACLE = f"""
 WITH o AS (
   SELECT user_id,
