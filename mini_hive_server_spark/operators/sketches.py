@@ -73,6 +73,38 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("sketch_hll_mergeable", oracle=None, tags=("agg", "sketch"))
+def sketch_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+): build one
+    binary sketch per source shard with `hll_sketch_agg`, then merge the
+    shard sketches with `hll_union_agg` into the corpus-wide distinct-user
+    estimate — the two-level pattern that makes distinct counting
+    incremental at 100 TB: per-shard sketches are computed once, persisted
+    (KBs each), and re-merged on every corpus update instead of rescanning
+    history. Rows-only (DuckDB's HLL is a different algorithm); pytest
+    bounds the estimate against the exact count.
+
+    Scale shape: stage 1 is a per-shard partial agg (map-side combine on
+    the shard key); stage 2 shuffles only `n_shards` sketch blobs — the
+    merge cost is independent of corpus cardinality."""
+    events = load_tables(spark, sf_dir)["events"]
+    shard = events.withColumn("shard", (F.col("event_id") % 16).cast("int"))
+    per_shard = shard.groupBy("shard").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("shard_exact"),
+    )
+    return per_shard.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+            "approx_users"
+        ),
+        F.count(F.lit(1)).alias("n_shards"),
+    ).crossJoin(
+        F.broadcast(
+            events.agg(F.countDistinct("user_id").alias("exact_users"))
+        )
+    )
+
+
 _N_SALT = 8
 
 _SALTED_AGG_ORACLE = """

@@ -56,6 +56,7 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.similarity",
     "mini_hive_server_spark.operators.text_analysis",
     "mini_hive_server_spark.operators.pipeline",
+    "mini_hive_server_spark.operators.contamination",
     "mini_hive_server_spark.operators.multimodal",
     "mini_hive_server_spark.operators.sketches",
     "mini_hive_server_spark.sources.connectors",

@@ -21,6 +21,15 @@ def test_approx_distinct_within_hll_error(spark):
         assert rel <= 0.05, f"{r.event_type}: approx {r.approx_users} vs exact {r.exact_users}"
 
 
+def test_hll_mergeable_union_within_error(spark):
+    """The union of per-shard DataSketches HLL sketches (lgK=12 → ~1.6%
+    standard error) must estimate the global distinct count within 5%."""
+    row = QS["sketch_hll_mergeable"](spark, SF_SMOKE).collect()[0]
+    rel = abs(row.approx_users - row.exact_users) / max(row.exact_users, 1)
+    assert rel <= 0.05, row
+    assert row.n_shards == 16
+
+
 def test_approx_quantiles_bounded_by_exact_extremes(spark):
     """Each approximate quantile must lie within the group's exact value
     range and be monotone p50 <= p95 <= p99."""
