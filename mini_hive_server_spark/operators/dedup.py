@@ -165,6 +165,36 @@ def _exact_jaccard_pairs(
     lineage per branch otherwise)."""
     if sha is None:
         sha = shingle_arrays(docs)
+    if candidates is not None:
+        # candidate-driven: fetch BOTH docs' shingle arrays for each LSH
+        # -collided pair and intersect them array-side
+        # (`size(array_intersect)`, sets are distinct by construction) —
+        # no explode, no count aggregation, no shuffle: two joins where
+        # the corpus-sized shingle relation streams past the broadcast
+        # candidate list, then a map-only intersection over
+        # candidate-count rows. (The previous formulation joined the
+        # FULL exploded shingle relation on (doc_id, sh) — a corpus-wide
+        # shuffle just to count intersections for a few hundred pairs;
+        # measured 4.6s → 2.6s at sf0.1.) At 100 TB the candidate list
+        # can outgrow a broadcast; dropping the hints degrades both to
+        # doc_id equi-joins — still linear, never quadratic.
+        j1 = sha.join(F.broadcast(candidates), F.col("doc_id") == F.col("d1")).select(
+            "d1", "d2", F.col("sh_arr").alias("arr1")
+        )
+        pairs = sha.join(F.broadcast(j1), F.col("doc_id") == F.col("d2")).select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("arr1", "sh_arr")).alias("c"),
+            F.size("arr1").alias("n1"),
+            F.size("sh_arr").alias("n2"),
+        )
+        jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
+        return (
+            pairs.filter(jac >= _JACCARD_THRESHOLD)
+            .select("d1", "d2", F.round(jac, 4).alias("jaccard"))
+            .orderBy("d1", "d2")
+        )
+    # exhaustive: every shingle-sharing pair via the exploded relation.
     # set sizes are free from the array — no groupBy shuffle
     sizes = sha.select("doc_id", F.size("sh_arr").alias("n"))
     # explode_outer: see shingle_sets — plain explode's implicit filter
@@ -172,31 +202,15 @@ def _exact_jaccard_pairs(
     sh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
     a = sh.alias("a")
     b = sh.alias("b")
-    if candidates is None:
-        # exhaustive: every shingle-sharing pair
-        inter = (
-            a.join(
-                b,
-                (F.col("a.sh") == F.col("b.sh"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-            .agg(F.count(F.lit(1)).alias("c"))
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-    else:
-        # candidate-driven: intersect shingle sets ONLY for LSH-collided
-        # pairs — this is what makes the LSH tier linear; a post-hoc semi
-        # join would still execute the quadratic self-join
-        inter = (
-            F.broadcast(candidates)
-            .join(a, F.col("a.doc_id") == F.col("d1"))
-            .join(
-                b,
-                (F.col("b.doc_id") == F.col("d2")) & (F.col("a.sh") == F.col("b.sh")),
-            )
-            .groupBy("d1", "d2")
-            .agg(F.count(F.lit(1)).alias("c"))
-        )
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     s1 = sizes.alias("s1")
     s2 = sizes.alias("s2")
     jac = F.col("c") * 1.0 / (F.col("s1.n") + F.col("s2.n") - F.col("c"))
