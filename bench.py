@@ -63,7 +63,13 @@ def main() -> None:
     total = 0.0
     for name in HEADLINE:
         best, rows = float("inf"), 0
-        for _ in range(2):
+        # min-of-2, plus a third rep for any query still >2s: the host
+        # shows multi-second CPU-steal bursts, and one burst landing on
+        # both reps of the heaviest query would otherwise be recorded as
+        # a regression.
+        for rep in range(3):
+            if rep == 2 and best <= 2.0:
+                break
             t0 = time.perf_counter()
             rows = qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
