@@ -124,6 +124,33 @@ def test_embedding_cosine_pairing_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_minhash_verification_no_exploded_rejoin(spark):
+    """Array-side verification guard: exact Jaccard over LSH candidates
+    must come from `array_intersect` on the shingle arrays, never a
+    re-join of the corpus-wide exploded (doc_id, shingle) relation — the
+    exploded re-join shuffles the whole corpus to score a few hundred
+    pairs."""
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "array_intersect" in plan, plan
+
+
+def test_decontaminate_probe_is_broadcast(spark):
+    """The contamination probe must stream the training grams past a
+    broadcast of the (benchmark-sized) eval gram set — a shuffle join
+    here would shuffle the full corpus's grams at 100 TB."""
+    plan = _plan(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pii_scrub_map_only(spark):
+    """PII scrubbing is a pure map pass: no hash exchanges at all (the
+    orderBy presentation sort is a range exchange, excluded by
+    _shuffles)."""
+    plan = _plan(spark, "text_pii_scrub")
+    assert _shuffles(plan) == 0, plan
+
+
 def test_shingle_pipeline_not_duplicated_scan_side(spark):
     """explode_outer regression guard: the shingle transform must appear
     in projection nodes only — a scan-side Filter containing the

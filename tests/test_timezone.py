@@ -1,0 +1,40 @@
+"""Driver-environment robustness: the external driver builds its OWN
+vanilla SparkSession, which inherits the host timezone — not necessarily
+UTC. `catalog.load_tables` pins `spark.sql.session.timeZone=UTC` at query
+time precisely so every date_format/window result is stable no matter what
+session the engine is handed; these tests prove that defense by running
+the timestamp-heavy oracles under a deliberately hostile session tz."""
+
+from __future__ import annotations
+
+import pytest
+
+from mini_hive_server_spark import registry
+
+from .conftest import SF_ORACLE
+from .oracle_harness import compare
+
+SPECS = registry.all_specs()
+
+# the queries whose output shifts if timestamp rendering follows a
+# non-UTC session timezone: event-time windows, date parts, and
+# timestamp-to-string presentation
+_TZ_SENSITIVE = (
+    "events_tumbling_hourly",
+    "events_date_parts",
+    "events_sessionize",
+    "order_desc_recent",
+)
+
+
+@pytest.mark.parametrize("name", _TZ_SENSITIVE)
+def test_oracle_parity_under_non_utc_session(spark, name):
+    before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        spec = SPECS[name]
+        df = spec.fn(spark, SF_ORACLE)
+        problems = compare(name, df, spec.oracle, SF_ORACLE)
+        assert not problems, "\n".join(problems)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
