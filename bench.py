@@ -12,6 +12,12 @@ sessionization, dedup (exact hash + MinHash-LSH — the 100 TB path, not the
 exhaustive pair scan), vector similarity, text feature extraction, and the
 composite dashboard. Each query is materialized with a count() action after
 a warm-up of the input footers.
+
+Fault isolation: every per-query step is wrapped so one broken query can
+never zero the whole round's performance signal (round-2 postmortem: a
+single AnalysisException in warm-up crashed the run before the JSON line).
+Failures are reported in the JSON under "failed" and excluded from the
+total; the line is ALWAYS emitted.
 """
 
 from __future__ import annotations
@@ -21,6 +27,7 @@ import os
 import re
 import sys
 import time
+import traceback
 
 from mini_hive_server_spark import registry
 from mini_hive_server_spark.session import get_spark
@@ -47,14 +54,22 @@ def main() -> None:
 
     qs = registry.queries()
     timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
     # warm-up: list files + read footers once (a metadata count per table)
     # so per-query timings measure execution, not first-touch file listing
     from mini_hive_server_spark.catalog import load_tables
 
-    for df in load_tables(spark, sf_dir).values():
-        df.count()
+    try:
+        for df in load_tables(spark, sf_dir).values():
+            df.count()
+    except Exception:
+        print(f"# warm-up load_tables failed:\n{traceback.format_exc()}", file=sys.stderr)
     for name in HEADLINE:
-        qs[name](spark, sf_dir)
+        try:
+            qs[name](spark, sf_dir)
+        except Exception as e:
+            failed[name] = f"warmup: {type(e).__name__}: {e}"
+            print(f"# WARMUP FAIL {name}: {traceback.format_exc()}", file=sys.stderr)
 
     # Two timed repetitions per query, report the per-query MIN: the first
     # execution pays one-time janino codegen compilation (~1-2s/query
@@ -62,37 +77,47 @@ def main() -> None:
     # engine's steady-state cost instead of whichever noise source fired.
     total = 0.0
     for name in HEADLINE:
+        if name in failed:
+            continue
         best, rows = float("inf"), 0
         # min-of-2, plus a third rep for any query still >2s: the host
         # shows multi-second CPU-steal bursts, and one burst landing on
         # both reps of the heaviest query would otherwise be recorded as
         # a regression.
-        for rep in range(3):
-            if rep == 2 and best <= 2.0:
-                break
-            t0 = time.perf_counter()
-            rows = qs[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-            # Queries that persist() intermediates (the dedup/similarity
-            # tiers) build a NEW DataFrame per invocation, so earlier
-            # blocks are dead weight — drop them so repeated invocations
-            # in this long-lived session don't accumulate cached blocks.
-            spark.catalog.clearCache()
+        try:
+            for rep in range(3):
+                if rep == 2 and best <= 2.0:
+                    break
+                t0 = time.perf_counter()
+                rows = qs[name](spark, sf_dir).count()
+                best = min(best, time.perf_counter() - t0)
+                # Queries that persist() intermediates (the dedup/similarity
+                # tiers) build a NEW DataFrame per invocation, so earlier
+                # blocks are dead weight — drop them so repeated invocations
+                # in this long-lived session don't accumulate cached blocks.
+                spark.catalog.clearCache()
+        except Exception as e:
+            failed[name] = f"timed: {type(e).__name__}: {e}"
+            print(f"# TIMED FAIL {name}: {traceback.format_exc()}", file=sys.stderr)
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

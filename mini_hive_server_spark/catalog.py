@@ -59,21 +59,60 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is Parquet TIMESTAMP(NANOS); Spark's timestamp is µs-only.
+def events_ts_encoding(sf_dir: str) -> str:
+    """Probe the physical encoding of events.ts from the parquet footer.
 
-    Read ns as long (legacy conf, set at runtime so it also applies when the
-    caller hands us a foreign SparkSession, e.g. the driver's) and truncate to
-    a µs timestamp with integer division — `ts div 1000` stays in int64; a
-    float path would lose precision above 2^53 ns.
+    The driver's fixture generator has shipped the column as TIMESTAMP(NANOS)
+    (round 1-2) and as timestamp[us] (round 3+); a future run could emit
+    tz-adjusted micros. The footer read is pure pyarrow — no JVM round-trip —
+    and is the single source of truth for BOTH the batch reader below and the
+    streaming source schema (streaming/events_stream.py), so every consumer
+    normalizes identically. Returns one of: "ns" (int64 nanos under the
+    legacy conf), "ntz_us" (timestamp[us], no tz → Spark TIMESTAMP_NTZ),
+    "ltz" (tz-adjusted → Spark TIMESTAMP), "timestamp" (unknown-but-castable
+    fallback).
     """
     try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(table_path(sf_dir, "events")).field("ts").type
+        s = str(t)
+        if s.startswith("timestamp[ns") or s in ("int64", "long"):
+            return "ns"
+        if s.startswith("timestamp") and getattr(t, "tz", None):
+            return "ltz"
+        if s.startswith("timestamp"):
+            return "ntz_us"
     except Exception:
-        pass  # non-settable on some builds; the session.py default covers ours
+        pass
+    return "timestamp"
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events with ts normalized to Spark TIMESTAMP (µs, UTC session).
+
+    Three fixture encodings are handled (see events_ts_encoding):
+    * int64 / TIMESTAMP(NANOS): read ns as long (legacy conf, set at runtime
+      so it also applies to a foreign SparkSession, e.g. the driver's) and
+      truncate with integer division — `ts div 1000` stays in int64; a float
+      path would lose precision above 2^53 ns.
+    * timestamp[us] no-tz (current fixtures): arrives as TIMESTAMP_NTZ;
+      cast to TIMESTAMP. The session tz is pinned UTC (load_tables), so
+      NTZ→LTZ is value-preserving.
+    * tz-adjusted timestamp: already Spark TIMESTAMP — passthrough.
+    """
+    kind = events_ts_encoding(sf_dir)
+    if kind == "ns":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # non-settable on some builds; session.py default covers ours
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif dtype == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

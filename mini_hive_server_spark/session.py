@@ -65,7 +65,6 @@ def get_hive_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.warehouse.dir", warehouse_dir)
@@ -103,9 +102,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # the events fixture stores TIMESTAMP(NANOS) which Spark has no native
-        # type for; read as long ns and convert in catalog.load_tables
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # events.ts encoding varies by fixture vintage (ns-as-long vs
+        # timestamp[us]); catalog.events_ts_encoding probes the footer and
+        # catalog._read_events / streaming.read_events_stream normalize —
+        # the legacy nanosAsLong conf is set there at runtime only when the
+        # footer actually says ns, keeping the concern in one place.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")

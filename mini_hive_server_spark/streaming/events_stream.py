@@ -20,38 +20,57 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..catalog import load_tables
+from ..catalog import events_ts_encoding, load_tables
 from ..registry import register
 
-# Explicit schema — a streaming source never infers (each micro-batch must
-# agree). ts arrives as int64 nanoseconds (see catalog._read_events).
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+
+def _events_schema(ts_type: T.DataType) -> T.StructType:
+    # Explicit schema — a streaming source never infers (each micro-batch
+    # must agree). The ts field's physical type varies by fixture vintage;
+    # events_ts_encoding probes the footer so the declared schema always
+    # matches the files (a mismatched LongType vs timestamp[us] silently
+    # mis-decodes — round-2 postmortem, VERDICT.md "What's wrong" #2).
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-stream source over the events parquet, ts normalized to µs."""
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
+    """File-stream source over the events parquet, ts normalized to a Spark
+    TIMESTAMP (µs, UTC session) — same three-encoding contract as the batch
+    reader (catalog._read_events); the footer probe is shared so batch and
+    streaming can never diverge on decode."""
+    kind = events_ts_encoding(sf_dir)
+    if kind == "ns":
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
+        ts_type: T.DataType = T.LongType()
+    elif kind == "ntz_us":
+        ts_type = T.TimestampNTZType()
+    else:
+        ts_type = T.TimestampType()
     # the file-stream source requires a directory: stream the fixture dir
     # with a glob pinned to the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(ts_type))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if kind == "ns":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if kind == "ntz_us":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_windowed_counts(events: DataFrame) -> DataFrame:

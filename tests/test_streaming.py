@@ -75,14 +75,12 @@ def test_streaming_dedup_matches_batch_distinct(spark):
         (r.event_type, r.n_unique)
         for r in streaming_dedup_watermark(spark, SF_SMOKE).collect()
     }
+    from mini_hive_server_spark.catalog import load_tables
+
     batch = {
         (r.event_type, r.n)
-        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet")
-        .select(
-            "user_id",
-            "event_type",
-            F.expr("timestamp_micros(ts div 1000)").alias("ts"),
-        )
+        for r in load_tables(spark, SF_SMOKE)["events"]
+        .select("user_id", "event_type", "ts")
         .distinct()
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"))
