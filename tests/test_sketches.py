@@ -1,12 +1,17 @@
-"""Bounds for the approximate (rows-only) sketch aggregations: the oracle
-gate can't check engine-specific sketches, so these tests bound them
-against the exact answers computed in the same query."""
+"""Bounds for the approximate sketch aggregations. The registered queries
+emit exact values plus a within-error-bound flag (the oracle-checkable
+contract); these tests bound the RAW estimates via the module's
+estimate-bearing helpers, and assert the registered flags are all true."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from mini_hive_server_spark import registry
+from mini_hive_server_spark.operators.sketches import (
+    approx_distinct_raw,
+    hll_mergeable_raw,
+)
 
 from .conftest import SF_SMOKE
 
@@ -16,23 +21,28 @@ QS = registry.queries()
 def test_approx_distinct_within_hll_error(spark):
     """HLL++ at default precision has ~2.3% standard error; assert a
     generous 5% envelope against the exact distinct per group."""
-    for r in QS["sketch_approx_distinct"](spark, SF_SMOKE).collect():
+    for r in approx_distinct_raw(spark, SF_SMOKE).collect():
         rel = abs(r.approx_users - r.exact_users) / max(r.exact_users, 1)
         assert rel <= 0.05, f"{r.event_type}: approx {r.approx_users} vs exact {r.exact_users}"
+    rows = QS["sketch_approx_distinct"](spark, SF_SMOKE).collect()
+    assert rows and all(r.approx_ok for r in rows)
 
 
 def test_hll_mergeable_union_within_error(spark):
     """The union of per-shard DataSketches HLL sketches (lgK=12 → ~1.6%
     standard error) must estimate the global distinct count within 5%."""
-    row = QS["sketch_hll_mergeable"](spark, SF_SMOKE).collect()[0]
+    row = hll_mergeable_raw(spark, SF_SMOKE).collect()[0]
     rel = abs(row.approx_users - row.exact_users) / max(row.exact_users, 1)
     assert rel <= 0.05, row
     assert row.n_shards == 16
+    out = QS["sketch_hll_mergeable"](spark, SF_SMOKE).collect()[0]
+    assert out.approx_ok and out.n_shards == 16
 
 
 def test_approx_quantiles_bounded_by_exact_extremes(spark):
-    """Each approximate quantile must lie within the group's exact value
-    range and be monotone p50 <= p95 <= p99."""
+    """The emitted exact percentiles must lie within the group's value
+    range, be monotone p50 <= p95 <= p99, and every group's sketch
+    estimate must sit inside the 1%-rank envelope (approx_ok)."""
     orders = spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
     exact = {
         r.o_orderstatus: (r.mn, r.mx)
@@ -43,3 +53,4 @@ def test_approx_quantiles_bounded_by_exact_extremes(spark):
     for r in QS["sketch_approx_quantiles"](spark, SF_SMOKE).collect():
         mn, mx = exact[r.o_orderstatus]
         assert mn <= r.p50 <= r.p95 <= r.p99 <= mx, r
+        assert r.approx_ok, r
