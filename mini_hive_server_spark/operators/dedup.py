@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, parallelize_scan
+from ..persistence import tracked_persist
 from ..registry import register
 
 # ---------------------------------------------------------------- shingles
@@ -240,7 +241,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # times — and the join-inferred `isnotnull(n)` predicate alias-expands
     # the whole shingle pipeline into the scan-side Filter (the same
     # pushdown trap as explode; the cache boundary stops it)
-    sha = shingle_arrays(docs).persist()
+    sha = tracked_persist(shingle_arrays(docs))
     return _exact_jaccard_pairs(docs, candidates=None, sha=sha)
 
 
@@ -266,7 +267,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist the shingle-array relation: it feeds the signature pipeline AND
     # both sides of the verification join — without it Spark recomputes the
     # tokenize+shingle work once per branch of the diamond
-    sha = shingle_arrays(docs).persist()
+    sha = tracked_persist(shingle_arrays(docs))
     rows_per_band = _N_PERM // _N_BANDS
     # hash each shingle string ONCE to a long, then derive the 64
     # permutations by rehashing the long — xxhash64 over a fixed-width long
@@ -425,7 +426,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     # The fingerprint relation feeds candidate generation AND both
     # verification probes — persist so the pandas-UDF stage runs once.
-    fp = simhash_fingerprints(docs).persist()
+    fp = tracked_persist(simhash_fingerprints(docs))
     mask = (1 << _SIMHASH_CHUNK_BITS) - 1
     chunks = fp.select(
         "doc_id",

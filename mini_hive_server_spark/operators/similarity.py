@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, parallelize_scan
+from ..persistence import tracked_persist
 from ..registry import register
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
@@ -278,8 +279,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
         .withColumn("nrm", F.sqrt(_dot("v", "v")))
         .withColumn("bkts", lsh_bucket_ids("v"))
-        .persist()
     )
+    emb = tracked_persist(emb)
     # corpus side: exact (table, bucket) per table
     corpus = emb.select(
         "vec_id", F.posexplode_outer("bkts").alias("tbl", "bucket")

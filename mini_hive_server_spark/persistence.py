@@ -1,0 +1,44 @@
+"""Scoped persistence for query-internal cached intermediates.
+
+The dedup/similarity tiers persist() intermediates that feed multiple
+downstream joins (shingle arrays, fingerprints, bucketed embeddings). A
+query function returns a LAZY DataFrame — the caller (driver, tests,
+bench) materializes it later — so the query itself can never unpersist:
+the blocks must be live when the caller finally collects.
+
+What it CAN do is release the blocks of every PREVIOUS query invocation:
+the driver's correctness gate runs 50 queries sequentially in one session,
+and without this the persisted blocks accumulate for the whole run
+(bench.py clears cache between queries; the driver harness doesn't).
+`registry.register` wraps every query so invocation N releases invocation
+N-1's tracked blocks — the live cached set is bounded by one query's
+working set at any time, regardless of how many queries the session runs.
+
+At cluster scale the same discipline matters more, not less: executor
+storage memory competes with shuffle/execution memory under the unified
+memory manager, and dead cached blocks evict live ones or spill to disk.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+_LIVE: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() a query-internal intermediate, registering it for release
+    when the NEXT registered query starts (see module docstring)."""
+    p = df.persist()
+    _LIVE.append(p)
+    return p
+
+
+def release_tracked() -> None:
+    """Unpersist every tracked intermediate from prior query invocations.
+    Correctness-neutral: unpersisted plans simply recompute if re-executed."""
+    while _LIVE:
+        try:
+            _LIVE.pop().unpersist()
+        except Exception:
+            pass  # session already stopped — blocks died with it

@@ -153,8 +153,22 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+
+        def gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Release the previous query's tracked persist() blocks: the
+            # driver runs 50 queries in one session and never clears cache
+            # (see persistence.py). Queries composing other queries call
+            # the raw fn (module-level name), so internal persists survive
+            # until the NEXT top-level invocation.
+            from .persistence import release_tracked
+
+            release_tracked()
+            return fn(spark, sf_dir)
+
+        gated.__name__ = fn.__name__
+        gated.__doc__ = fn.__doc__
         _REGISTRY[name] = QuerySpec(
-            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+            name=name, fn=gated, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
         )
         return fn
 

@@ -1,0 +1,145 @@
+"""Serving surface: a listening SQL endpoint over the engine's catalog.
+
+The reference is a *server* (Express routes over MongoDB,
+``/root/reference/index.js:1-1417``); the Spark-native serving analog is
+the HiveServer2 Thrift/JDBC endpoint — the protocol every Hive/Spark BI
+client, `beeline`, and JDBC/ODBC driver already speaks. This module embeds
+Spark's `HiveThriftServer2` in the engine's JVM (`startWithContext`), so a
+network client can submit ANSI SQL against the metastore-backed catalog
+(catalog.create_managed_tables) without any Python in the loop.
+
+On a production cluster the same component is the long-running
+Spark Thrift Server (or Kyuubi) deployment; nothing in the query path
+changes — the endpoint hands SQL to the same SparkSession the engine's
+DataFrame queries use, so plans, broadcasts, and AQE behave identically.
+
+Environment note: the Spark Connect path (grpc) would be the 4.x-native
+alternative, but the runtime image ships no `grpcio`, so the Thrift
+surface — whose jars and `beeline` client ARE bundled with PySpark — is
+the one wired up and smoke-tested (tests/test_thrift_server.py boots the
+server and round-trips SQL through a real TCP socket via beeline's own
+JVM).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import time
+
+from pyspark.sql import SparkSession
+
+DEFAULT_THRIFT_PORT = 10815
+
+
+def get_thrift_spark(
+    port: int = DEFAULT_THRIFT_PORT,
+    warehouse_dir: str = "/tmp/mhs_thrift_warehouse",
+    metastore_dir: str = "/tmp/mhs_thrift_metastore",
+    shuffle_partitions: int = 8,
+) -> SparkSession:
+    """Hive-enabled session pre-configured to host the Thrift endpoint.
+
+    The port must be fixed at session build time: `hive.server2.thrift.port`
+    is read from the HiveConf snapshotted when the Hive session state
+    initializes, so a runtime `SET` after any metastore access is ignored
+    (verified empirically — the server then binds its default 10000).
+    Like `session.get_hive_spark`, this must create the JVM's FIRST session
+    (`spark.sql.catalogImplementation` is static), hence the subprocess
+    pattern in the smoke test."""
+    return (
+        SparkSession.builder.master(f"local[{shuffle_partitions}]")
+        .appName("mini-hive-server-spark-thrift")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        .config("spark.hive.server2.thrift.port", str(port))
+        .config(
+            "javax.jdo.option.ConnectionURL",
+            f"jdbc:derby:;databaseName={metastore_dir};create=true",
+        )
+        .enableHiveSupport()
+        .getOrCreate()
+    )
+
+
+def start_thrift_server(
+    spark: SparkSession, port: int = DEFAULT_THRIFT_PORT, timeout_s: int = 90
+) -> None:
+    """Start HiveThriftServer2 inside this session's JVM and block until
+    the TCP port accepts connections. The session must come from
+    `get_thrift_spark` (the port conf is build-time-only, see there)."""
+    jctx = spark._jsparkSession.sqlContext()
+    spark._jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
+        jctx
+    )
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        try:
+            socket.create_connection(("localhost", port), 1).close()
+            return
+        except OSError:
+            time.sleep(0.5)
+    raise TimeoutError(f"Thrift server did not open port {port} in {timeout_s}s")
+
+
+def _beeline_path() -> str:
+    import pyspark
+
+    return os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
+
+
+def beeline_sql(sql: str, port: int = DEFAULT_THRIFT_PORT) -> list[list[str]]:
+    """Run one SQL statement through the listening endpoint from a SEPARATE
+    JVM (beeline's own) over JDBC, returning rows as lists of strings
+    (csv2 output, header dropped). This is the genuine client path — no
+    shared SparkSession, no Py4J shortcut."""
+    proc = subprocess.run(
+        [
+            _beeline_path(),
+            "-u",
+            f"jdbc:hive2://localhost:{port}",
+            "-n",
+            "mhs",
+            "--outputformat=csv2",
+            "--showHeader=false",
+            "--silent=true",
+            "-e",
+            sql,
+        ],
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"beeline failed rc={proc.returncode}: {proc.stderr[-2000:]}"
+        )
+    # beeline prints its connection prompt glued to the first output line
+    # ("0: jdbc:hive2://localhost:PORT> <row>"): strip the known prompt
+    # prefix wherever it appears, then every non-empty line is a data row
+    # (header suppressed above).
+    prompt = f"0: jdbc:hive2://localhost:{port}> "
+    rows = []
+    for ln in proc.stdout.splitlines():
+        if ln.startswith(prompt):
+            ln = ln[len(prompt):]
+        if ln.strip():
+            rows.append(ln.split(","))
+    return rows
+
+
+def serve_fixtures(
+    sf_dir: str, port: int = DEFAULT_THRIFT_PORT, database: str = "mini_hive"
+) -> SparkSession:
+    """End-to-end convenience: build the hive session, materialize the
+    fixture tables as catalogued managed tables, and open the Thrift
+    endpoint. Returns the hosting session (caller owns shutdown)."""
+    from .catalog import create_managed_tables
+
+    spark = get_thrift_spark(port=port)
+    create_managed_tables(spark, sf_dir, database=database)
+    start_thrift_server(spark, port=port)
+    return spark
