@@ -59,6 +59,7 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.contamination",
     "mini_hive_server_spark.operators.multimodal",
     "mini_hive_server_spark.operators.sketches",
+    "mini_hive_server_spark.plans.reference_model",
     "mini_hive_server_spark.sources.connectors",
     "mini_hive_server_spark.streaming.events_stream",
     "mini_hive_server_spark.operators.joins",
@@ -127,21 +128,23 @@ _DRIVER_WINDOW = (
     "dedup_simhash",
     "similarity_lsh_ann",
     "similarity_ivf_ann",
+    # reference-shaped data model quirk queries (new this round — the
+    # §2.11 quirks on ACTUAL reference-shaped rows, fixtures.py)
+    "ref_worker_submission_page",
+    "ref_buyer_payment_history",
+    "ref_admin_platform_stats",
+    "ref_buyer_pending_review",
+    "ref_notifications_feed",
+    "ref_withdrawal_queue",
+    "ref_open_tasks_listing",
+    "ref_oversubscribed_tasks",
     # heaviest tiers re-confirmed (green r2; keep the costliest paths gated)
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_lsh_clusters",
     "dedup_embedding_cosine",
     "similarity_cosine_topk",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
     "events_tumbling_hourly",
-    "events_asof_last_click",
-    "text_quality_score",
-    "text_tokenize_udtf",
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
     "buyer_home_dashboard",
     "q12_late_lines",
 )
