@@ -1,0 +1,150 @@
+"""User-behavior analytics over the events stream — cohort retention and
+ordered funnels (extension; product-analytics workhorses the reference's
+event feed would grow into — its closest analog is the notifications/
+activity read path, index.js:226-238).
+
+Both are classic "needs the whole history per user" shapes, and both
+reduce to partial-agg'd groupBys + one user-keyed join — no windows over
+the raw stream, no per-user collect. At 100 TB the user_id hash exchange
+is the only data movement, and both sides of each join are already
+aggregates (rows = users, not events) by the time they shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_RETENTION_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_w
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS w
+  FROM events
+)
+SELECT strftime(f.cohort_w, '%Y-%m-%d') AS cohort_week,
+       date_diff('day', f.cohort_w, a.w) // 7 AS week_offset,
+       count(*) AS n_users
+FROM activity a JOIN first_seen f ON a.user_id = f.user_id
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register("events_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("events", "agg"))
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users bucketed by first-seen week,
+    counted in every subsequent week they were active — the
+    (cohort, week_offset, n_users) triangle behind every retention chart.
+
+    Plan: two partial-agg'd passes over events (per-user min, distinct
+    per-user-week activity), then ONE user-keyed join of two
+    user-cardinality relations and a final small groupBy. The raw event
+    table is never joined to itself; at 100 TB the join input is |users|
+    rows per side, not |events|."""
+    events = load_tables(spark, sf_dir)["events"]
+    first_seen = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_w")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .groupBy(
+            F.date_format("cohort_w", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(w, cohort_w) div 7").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, s.signup_ts, min(CAST(e.ts AS TIMESTAMP)) AS click_ts
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click'
+    AND CAST(e.ts AS TIMESTAMP) > s.signup_ts
+    AND CAST(e.ts AS TIMESTAMP) <= s.signup_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id, s.signup_ts
+),
+p AS (
+  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS purchase_ts
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase'
+    AND CAST(e.ts AS TIMESTAMP) > c.click_ts
+    AND CAST(e.ts AS TIMESTAMP) <= c.signup_ts + INTERVAL 7 DAY
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM s) AS n_signup,
+       (SELECT count(*) FROM c) AS n_click,
+       (SELECT count(*) FROM p) AS n_purchase,
+       round((SELECT count(*) FROM c) * 1.0 / (SELECT count(*) FROM s), 4) AS click_rate,
+       round((SELECT count(*) FROM p) * 1.0 / (SELECT count(*) FROM s), 4) AS purchase_rate
+"""
+
+
+@register("events_funnel_conversion", oracle=_FUNNEL_ORACLE, tags=("events", "agg", "join"))
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel signup → click → purchase with a 7-day conversion
+    window anchored at signup: each stage must occur STRICTLY AFTER the
+    previous stage's first occurrence (order matters — a purchase before
+    the first post-signup click does not convert).
+
+    Plan: one per-user aggregate per stage, each stage joining the
+    previous stage's user-cardinality aggregate (user-keyed hash joins;
+    the event table is filtered by type BEFORE each join, so stage inputs
+    shrink monotonically). Final counts are scalar 1-row aggregates
+    cross-joined as broadcasts."""
+    events = load_tables(spark, sf_dir)["events"]
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(
+            (F.col("ts") > F.col("signup_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("click_ts"))
+            & (F.col("ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAY"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
+    return (
+        ns.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_signup",
+            "n_click",
+            "n_purchase",
+            F.round(F.col("n_click") / F.col("n_signup"), 4).alias("click_rate"),
+            F.round(F.col("n_purchase") / F.col("n_signup"), 4).alias(
+                "purchase_rate"
+            ),
+        )
+    )

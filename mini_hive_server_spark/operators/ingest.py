@@ -1,0 +1,128 @@
+"""Incremental-ingest patterns — the daily-batch shapes of a production
+training-data pipeline (extension; the reference's closest analog is the
+append-only insert path, index.js:199-202).
+
+A 100 TB corpus is not rebuilt per day; a few TB arrive and must be
+deduplicated AGAINST the standing corpus and reweighted into the training
+mixture. These operators model that delta-processing shape on the
+documents fixture (deterministic split: doc_id % 10 == 0 is the incoming
+batch, the rest is the standing corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+_INC_DEDUP_ORACLE = """
+WITH existing AS (
+  SELECT DISTINCT md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 <> 0
+),
+incoming AS (
+  SELECT doc_id, md5(lower(trim(text))) AS fp
+  FROM documents WHERE doc_id % 10 = 0
+),
+batch_unique AS (
+  SELECT min(doc_id) AS doc_id, fp
+  FROM incoming GROUP BY fp
+)
+SELECT b.doc_id, b.fp AS fingerprint
+FROM batch_unique b
+LEFT JOIN existing e ON b.fp = e.fp
+WHERE e.fp IS NULL
+ORDER BY b.doc_id
+"""
+
+
+@register("ingest_incremental_dedup", oracle=_INC_DEDUP_ORACLE, tags=("llm", "dedup", "ingest"))
+def ingest_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup an incoming batch against the standing corpus: exact
+    content fingerprints (same normalization as `dedup_exact`), survivor =
+    first-seen within the batch AND unseen in the corpus.
+
+    Plan: intra-batch dedup is a hash groupBy on the batch only (the
+    small side — the day's delta, not history); the corpus probe is a
+    LEFT ANTI join against the DISTINCT fingerprint set. At 100 TB the
+    standing fingerprints live as a bucketed table keyed on fingerprint
+    (pay that shuffle once at corpus-build), so the daily anti-join
+    shuffles ONLY the delta — history is never re-shuffled per ingest.
+    Locally both sides read the same fixture with complementary
+    deterministic filters."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    existing = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(fp.alias("fingerprint"))
+        .distinct()
+    )
+    incoming = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id", fp.alias("fingerprint")
+    )
+    batch_unique = incoming.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        batch_unique.join(existing, "fingerprint", "left_anti")
+        .select("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    )
+
+
+_MIXTURE_ORACLE = """
+WITH per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t, count(*) AS n_sources FROM per_source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens * 1.0 / t, 6) AS actual_share,
+       round((1.0 / n_sources) / (n_tokens * 1.0 / t), 4) AS mix_weight
+FROM per_source, tot
+ORDER BY source
+"""
+
+
+@register("source_mixture_weights", oracle=_MIXTURE_ORACLE, tags=("llm", "ingest", "agg"))
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-source token counts and the
+    sampling weight that moves the corpus to a UNIFORM target mixture
+    (weight = target_share / actual_share — >1 upsample, <1 downsample).
+    This is the knob behind 'domain mixing ratios' in LLM data recipes;
+    a non-uniform target is the same query with a weights literal joined
+    in.
+
+    Plan: one partial-agg'd groupBy over the corpus (token counting is a
+    map-side length expression, no tokenizer UDF), then the totals — a
+    few rows per source — cross-join back as a 1-row broadcast. The
+    corpus is scanned once."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + F.lit(1)
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tokens).alias("n_tokens"),
+    )
+    tot = per_source.agg(
+        F.sum("n_tokens").alias("t"), F.count(F.lit(1)).alias("n_sources")
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("t"), 6).alias("actual_share"),
+            F.round(
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("n_tokens") / F.col("t")),
+                4,
+            ).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )

@@ -59,6 +59,8 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.contamination",
     "mini_hive_server_spark.operators.multimodal",
     "mini_hive_server_spark.operators.sketches",
+    "mini_hive_server_spark.operators.ingest",
+    "mini_hive_server_spark.operators.behavior",
     "mini_hive_server_spark.plans.reference_model",
     "mini_hive_server_spark.sources.connectors",
     "mini_hive_server_spark.streaming.events_stream",
