@@ -151,6 +151,35 @@ def test_pii_scrub_map_only(spark):
     assert _shuffles(plan) == 0, plan
 
 
+def test_incremental_dedup_is_anti_join_not_nlj(spark):
+    """Ingest dedup must probe the standing corpus with a fingerprint
+    (anti) equi-join: batch-side groupBy + one join exchange. An NLJ or
+    cartesian here re-scans history per batch row — a scale-killer at a
+    100 TB standing corpus."""
+    plan = _plan(spark, "ingest_incremental_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _shuffles(plan) <= 2, plan
+
+
+def test_retention_joins_aggregates_not_raw_events(spark):
+    """The cohort matrix joins two USER-cardinality aggregates — the raw
+    event relation must never self-join (no cartesian, bounded shuffle
+    budget: per-user min, distinct activity, join, final groupBy)."""
+    plan = _plan(spark, "events_retention_cohorts")
+    assert "CartesianProduct" not in plan, plan
+    assert _shuffles(plan) <= 4, plan
+
+
+def test_funnel_stage_filters_reach_the_scan(spark):
+    """Each funnel stage filters events by type BEFORE its join; the
+    event_type predicate must reach the parquet scan as a pushed filter
+    so every stage reads a shrinking slice, not the full event log."""
+    plan = _plan(spark, "events_funnel_conversion")
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"PushedFilters:.*event_type", plan), plan
+
+
 def test_shingle_pipeline_not_duplicated_scan_side(spark):
     """explode_outer regression guard: the shingle transform must appear
     in projection nodes only — a scan-side Filter containing the
