@@ -172,6 +172,40 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def run_to_parquet_sink(
+    stream: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Production sink path: drive the stream into a Parquet table via
+    `foreachBatch` with an explicit checkpoint. Exactly-once comes from
+    the pairing of (a) the checkpoint's write-ahead log recording which
+    source offsets each batch_id covers and (b) the idempotent per-batch
+    write — a batch replayed after a crash overwrites its own output
+    partition (`batch_id=N`) instead of appending duplicates. This is the
+    bronze-layer ingest shape; the memory sinks elsewhere in this module
+    exist only for deterministic in-test verification.
+
+    At scale the same code lands on object storage with a cluster-visible
+    checkpoint dir; nothing else changes."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                f"{out_dir}/batch_id={batch_id}"
+            )
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+
 def run_to_memory(
     agg: DataFrame, query_name: str, output_mode: str = "complete"
 ) -> None:

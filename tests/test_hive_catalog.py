@@ -36,6 +36,11 @@ orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
 (orders.write.mode("overwrite").format("parquet")
  .bucketBy(4, "o_custkey").sortBy("o_custkey")
  .saveAsTable("{DB}.orders_bucketed"))
+# gather CBO statistics into the metastore (table + column level) — on a
+# cluster this is the post-load step that feeds join reordering and
+# broadcast decisions; phase B asserts they survive the JVM restart
+spark.sql("ANALYZE TABLE {DB}.region COMPUTE STATISTICS")
+spark.sql("ANALYZE TABLE {DB}.region COMPUTE STATISTICS FOR COLUMNS r_regionkey, r_name")
 print("PHASE_A_ROWS", spark.sql("SELECT count(*) AS n FROM {DB}.region").first().n)
 spark.stop()
 """
@@ -57,6 +62,18 @@ agg = spark.sql(
     "SELECT o_custkey, count(*) AS n FROM {DB}.orders_bucketed "
     "GROUP BY o_custkey").limit(5).collect()
 assert len(agg) > 0
+# CBO statistics: phase A ran ANALYZE TABLE ... COMPUTE STATISTICS (table
+# + columns); the stats must be served from the metastore by THIS JVM and
+# carry exact rowCounts (the input the cost-based optimizer joins/orders
+# by on a cluster).
+stats = {{r.col_name: r.data_type
+         for r in spark.sql("DESCRIBE EXTENDED {DB}.region").collect()}}
+assert "5 rows" in stats.get("Statistics", ""), stats
+col_desc = spark.sql(
+    "DESCRIBE EXTENDED {DB}.region r_regionkey").collect()
+col_stats = {{r.info_name: r.info_value for r in col_desc}}
+assert col_stats.get("distinct_count") == "5", col_stats
+assert col_stats.get("max") == "4", col_stats
 print("PHASE_B_OK")
 spark.stop()
 """

@@ -62,6 +62,38 @@ def test_user_running_stats_matches_batch(spark):
     assert streamed == batch
 
 
+def test_foreach_batch_parquet_sink_exactly_once(spark, tmp_path):
+    """The foreachBatch parquet sink must (a) land exactly the source rows
+    and (b) be idempotent under replay: re-running the same stream over
+    the same checkpoint must write nothing new (offsets already
+    committed), which is the exactly-once property a crash-restart relies
+    on."""
+    import os
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.streaming.events_stream import (
+        run_to_parquet_sink,
+    )
+
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, SF_SMOKE)
+    run_to_parquet_sink(stream, out, ckpt)
+    landed = spark.read.parquet(out)
+    src = load_tables(spark, SF_SMOKE)["events"]
+    assert landed.count() == src.count()
+    # same rows, not just the same count (compare on the full key)
+    assert (
+        landed.select("event_id").exceptAll(src.select("event_id")).count() == 0
+    )
+    snapshot = sorted(os.listdir(out))
+    # replay against the SAME checkpoint: all offsets committed -> no-op
+    stream2 = read_events_stream(spark, SF_SMOKE)
+    run_to_parquet_sink(stream2, out, ckpt)
+    assert sorted(os.listdir(out)) == snapshot
+    assert spark.read.parquet(out).count() == src.count()
+
+
 def test_streaming_dedup_matches_batch_distinct(spark):
     """dropDuplicatesWithinWatermark over the static fixture must emit
     exactly the batch DISTINCT on the dedup key."""
