@@ -65,6 +65,47 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_REGRESSION_ORACLE = """
+SELECT event_type,
+       round(regr_slope(value, extract(hour from CAST(ts AS TIMESTAMP))), 6) AS slope,
+       round(regr_intercept(value, extract(hour from CAST(ts AS TIMESTAMP))), 6) AS intercept,
+       round(corr(value, extract(hour from CAST(ts AS TIMESTAMP))), 6) AS r,
+       round(regr_r2(value, extract(hour from CAST(ts AS TIMESTAMP))), 6) AS r2,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_value_regression", oracle=_REGRESSION_ORACLE, tags=("events", "agg", "stats"))
+def events_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary-least-squares trend: slope/intercept/correlation/
+    R² of event value against hour-of-day, via the BUILT-IN regression
+    aggregates (`regr_slope`/`regr_intercept`/`regr_r2`/`corr`,
+    Spark 3.4+). The diagnostic behind 'is this metric drifting by time
+    of day' — fitted entirely inside one partial-agg'd hash aggregate
+    (the regr_* family reduces to the same six moment sums map-side), no
+    ML library, no driver-side fit, no second pass. Verified bit-identical
+    to DuckDB's regr_* at 6 decimals."""
+    events = load_tables(spark, sf_dir)["events"]
+    x = F.hour("ts")
+    return (
+        events.select(
+            "event_type", x.alias("x"), F.col("value").alias("y")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("regr_slope(y, x)"), 6).alias("slope"),
+            F.round(F.expr("regr_intercept(y, x)"), 6).alias("intercept"),
+            F.round(F.corr("y", "x"), 6).alias("r"),
+            F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _FUNNEL_ORACLE = """
 WITH s AS (
   SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS signup_ts
