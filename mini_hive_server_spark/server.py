@@ -143,3 +143,56 @@ def serve_fixtures(
     create_managed_tables(spark, sf_dir, database=database)
     start_thrift_server(spark, port=port)
     return spark
+
+
+def main(argv: list[str] | None = None) -> None:
+    """`python -m mini_hive_server_spark.server` — stand up the engine as
+    an actual server: fixture tables (and optionally the reference-shaped
+    model) as catalogued tables behind a listening Thrift/JDBC endpoint.
+    Connect with any Hive client, e.g.:
+
+        beeline -u jdbc:hive2://localhost:10815 -e \\
+            'SELECT count(*) FROM mini_hive.lineitem'
+    """
+    import argparse
+    import time
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="fixture directory to serve (default: $SPARK_GRAFT_SF_DIR or sf0.1)",
+    )
+    ap.add_argument("--port", type=int, default=DEFAULT_THRIFT_PORT)
+    ap.add_argument("--database", default="mini_hive")
+    ap.add_argument(
+        "--with-reference-model",
+        action="store_true",
+        help="also serve the synthesized reference-shaped collections",
+    )
+    args = ap.parse_args(argv)
+
+    spark = serve_fixtures(args.sf_dir, port=args.port, database=args.database)
+    if args.with_reference_model:
+        from .fixtures import REF_TABLE_NAMES, reference_table
+
+        for t in REF_TABLE_NAMES:
+            reference_table(spark, t).write.mode("overwrite").format(
+                "parquet"
+            ).option(
+                "path", f"/tmp/mhs_spark_warehouse/ref/{args.database}/{t}"
+            ).saveAsTable(f"{args.database}.{t}")
+    print(
+        f"mini-hive-server-spark: serving {args.sf_dir} as database "
+        f"'{args.database}' on jdbc:hive2://localhost:{args.port} (Ctrl-C to stop)",
+        flush=True,
+    )
+    try:
+        while True:
+            time.sleep(60)
+    except KeyboardInterrupt:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -281,6 +281,54 @@ def streaming_user_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SESSION_ORACLE = """
+WITH ordered AS (
+  SELECT user_id,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+)
+SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+FROM ordered
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "streaming_sessionize",
+    oracle=_STREAM_SESSION_ORACLE,
+    tags=("streaming", "event-time"),
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native stateful sessionization on the STREAM: `session_window(ts,
+    '30 minutes')` merges events whose windows overlap, per user; the
+    driver-facing result rolls the sessions up per user (session count +
+    event count) after draining the fixture in complete mode.
+
+    Oracle nuance: `session_window` treats an event landing EXACTLY at
+    last_event + gap as a NEW session (windows are half-open
+    `[t, t+gap)`, and merge requires overlap), so the gaps-and-islands
+    oracle uses `>=` on the gap where the batch `events_sessionize`
+    twin (lag-based, Mongo-ish "strictly more than 30 minutes idle")
+    uses `>` — the two definitions differ only on exact-boundary events,
+    and BOTH are driver-gated so a drift in either shows up."""
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(session_window_counts(stream), "mhs_stream_sessions", "complete")
+    out = spark.table("mhs_stream_sessions")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _STREAM_DEDUP_ORACLE = """
 SELECT event_type, count(*) AS n_unique
 FROM (
