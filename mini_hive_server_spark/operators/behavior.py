@@ -65,6 +65,58 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+t AS (
+  SELECT prev_type, event_type AS next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+FROM t
+ORDER BY prev_type, next_type
+"""
+
+
+@register("events_type_transitions", oracle=_TRANSITIONS_ORACLE, tags=("events", "agg", "window-fn"))
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    user's time-ordered stream, count (previous type → next type) steps
+    and normalize to per-source-state probabilities — the user-journey
+    summary behind next-action prediction and anomaly screens.
+
+    Plan: one window `lag` over (user_id, ts) — a single user-keyed hash
+    exchange — then a hash aggregate whose output is |types|² rows, and a
+    window normalization over that tiny aggregate. The event table
+    shuffles once, on the same user_id partitioning every other
+    behavioral query uses (a production layout would bucket events by
+    user_id and make it free)."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wnorm = Window.partitionBy("prev_type")
+    return t.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wnorm), 4).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
 _REGRESSION_ORACLE = """
 SELECT event_type,
        round(regr_slope(value, extract(hour from CAST(ts AS TIMESTAMP))), 6) AS slope,
