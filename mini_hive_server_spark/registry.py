@@ -84,8 +84,12 @@ _QUERY_MODULES = (
 # post-fix (events_sessionize + the 3 streaming rows), promotes the three
 # previously rows-only tiers now oracle-paired (dedup_simhash,
 # similarity_lsh_ann, similarity_ivf_ann), and re-confirms the heaviest
-# LLM/dedup/event-time tiers in the remaining slots. After this round every
-# registered query has a driver-green row at least once across rounds.
+# LLM/dedup/event-time tiers in the remaining slots. After this round
+# every query registered BEFORE round 3 has a driver-green row at least
+# once across rounds; the round-3 additions outside the window (the
+# reference-model family is IN it; ingest/behavior/streaming_sessionize
+# are not) are oracle-verified by the pytest replica and are first in
+# line for the round-4 rotation.
 _DRIVER_WINDOW = (
     # event-time long tail (never driver-checked)
     "events_sliding_window",
