@@ -167,40 +167,33 @@ def _exact_jaccard_pairs(
     if sha is None:
         sha = shingle_arrays(docs)
     if candidates is not None:
-        # candidate-driven: fetch BOTH docs' shingle arrays per LSH
+        # candidate-driven: fetch BOTH docs' shingle arrays for each LSH
         # -collided pair and intersect them array-side
-        # (`size(array_intersect)`, sets are distinct by construction).
-        # The corpus-sized shingle relation streams ONCE past a broadcast
-        # semi-filter of candidate doc_ids; the surviving arrays (rows =
-        # candidate docs, not corpus docs) then attach to the pair list
-        # via two tiny broadcast joins — map-only intersection at the
-        # end, no explode, no count aggregation, no corpus shuffle.
-        # (History: the exploded (doc_id, sh) re-join shuffled the whole
-        # corpus to score a few hundred pairs, 4.6s at sf0.1; the
-        # two-full-scan broadcast form measured 2.6s; this single-scan
-        # form ~2.0s.) At 100 TB the candidate list can outgrow a
-        # broadcast; dropping the hints degrades every join here to a
-        # doc_id equi-join — still linear, never quadratic.
-        cand_docs = candidates.select(
-            F.explode_outer(F.array("d1", "d2")).alias("doc_id")
-        ).distinct()
-        arrs = sha.join(F.broadcast(cand_docs), "doc_id")
-        a1 = arrs.select(
-            F.col("doc_id").alias("d1"), F.col("sh_arr").alias("arr1")
+        # (`size(array_intersect)`, sets are distinct by construction) —
+        # no explode, no count aggregation, no shuffle: two joins where
+        # the (cached) corpus-sized shingle relation streams past the
+        # broadcast candidate list, then a map-only intersection over
+        # candidate-count rows. (The previous formulation joined the
+        # FULL exploded shingle relation on (doc_id, sh) — a corpus-wide
+        # shuffle just to count intersections for a few hundred pairs;
+        # measured 4.6s → 2.6s at sf0.1. A "scan sha once" variant that
+        # semi-filtered sha to candidate docs and broadcast the surviving
+        # ARRAY-bearing relation onto the pair list benched SLOWER —
+        # the un-persisted filtered relation recomputes per pair-side
+        # branch and array payloads pay two driver-side broadcast
+        # collections; streaming the cached relation twice past a
+        # small-int broadcast is cheaper.) At 100 TB the candidate list
+        # can outgrow a broadcast; dropping the hints degrades both to
+        # doc_id equi-joins — still linear, never quadratic.
+        j1 = sha.join(F.broadcast(candidates), F.col("doc_id") == F.col("d1")).select(
+            "d1", "d2", F.col("sh_arr").alias("arr1")
         )
-        a2 = arrs.select(
-            F.col("doc_id").alias("d2"), F.col("sh_arr").alias("arr2")
-        )
-        pairs = (
-            candidates.join(F.broadcast(a1), "d1")
-            .join(F.broadcast(a2), "d2")
-            .select(
-                "d1",
-                "d2",
-                F.size(F.array_intersect("arr1", "arr2")).alias("c"),
-                F.size("arr1").alias("n1"),
-                F.size("arr2").alias("n2"),
-            )
+        pairs = sha.join(F.broadcast(j1), F.col("doc_id") == F.col("d2")).select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("arr1", "sh_arr")).alias("c"),
+            F.size("arr1").alias("n1"),
+            F.size("sh_arr").alias("n2"),
         )
         jac = F.col("c") * 1.0 / (F.col("n1") + F.col("n2") - F.col("c"))
         return (
