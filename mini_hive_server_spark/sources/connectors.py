@@ -261,3 +261,48 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     supplier.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return back.orderBy("s_suppkey")
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT n_nationkey, n_name, NULL AS n_regionkey, 1 AS batch
+FROM nation
+UNION ALL
+SELECT n_nationkey, n_name, n_regionkey::VARCHAR, 2 AS batch
+FROM nation
+ORDER BY n_nationkey, batch
+"""
+
+
+@register(
+    "source_schema_evolution",
+    oracle=_SCHEMA_EVOLUTION_ORACLE,
+    tags=("source",),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on a file table: batch 1 lands WITHOUT a column,
+    batch 2 adds it, and a `mergeSchema` read serves the union with NULLs
+    for the pre-evolution rows — the additive-column pattern every
+    long-lived ingest directory hits. Footer-merge costs scale with file
+    COUNT, not data size; production tables pin the merged schema in the
+    metastore (`spark.read.schema(...)`) so the per-query merge
+    disappears — this query exercises the discovery path itself."""
+    out = _tmp_dir(sf_dir, "nation_evolving")
+    nation = load_tables(spark, sf_dir)["nation"]
+    v1 = nation.select("n_nationkey", "n_name", F.lit(1).alias("batch"))
+    v2 = nation.select(
+        "n_nationkey", "n_name", "n_regionkey", F.lit(2).alias("batch")
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/b1")
+    v2.write.mode("overwrite").parquet(f"{out}/b2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/b1", f"{out}/b2"
+    )
+    # the evolved column renders as string: the oracle harness collects
+    # via pandas, which coerces a nullable int column to float NaN and
+    # breaks NULL comparison — string keeps pre-evolution NULLs as NULLs
+    return back.select(
+        "n_nationkey",
+        "n_name",
+        F.col("n_regionkey").cast("string").alias("n_regionkey"),
+        "batch",
+    ).orderBy("n_nationkey", "batch")
