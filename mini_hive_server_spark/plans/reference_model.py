@@ -332,6 +332,36 @@ def ref_open_tasks_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- top workers
+
+_TOP_WORKERS_ORACLE = f"""
+WITH {duck_cte("ref_users")}
+SELECT name, photo, round(coins, 2) AS coins
+FROM ref_users
+WHERE role = 'worker'
+ORDER BY coins DESC, email
+LIMIT 6
+"""
+
+
+@register("ref_top_workers", oracle=_TOP_WORKERS_ORACLE, tags=("reference", "topk"))
+def ref_top_workers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §3.3 lifecycle (GET /top-workers, index.js:1237-1257) on the
+    reference-shaped users collection: role filter → coins-desc top-6 →
+    name/photo/coins projection. The fully pushed-down pipeline shape:
+    filter and projection reach the scan, the limit compiles to
+    TakeOrderedAndProject (per-partition heaps, no global sort), with the
+    unique email as tiebreak (Mongo's unstable sort hid ties)."""
+    users = reference_table(spark, "ref_users")
+    return (
+        users.filter(F.col("role") == "worker")
+        .select("name", "photo", F.round("coins", 2).alias("coins"), "email")
+        .orderBy(F.col("coins").desc(), "email")
+        .limit(6)
+        .select("name", "photo", "coins")
+    )
+
+
 # --------------------------------------------------- over-subscribed tasks
 
 _OVERSUB_ORACLE = f"""
