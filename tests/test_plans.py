@@ -180,6 +180,46 @@ def test_funnel_stage_filters_reach_the_scan(spark):
     assert re.search(r"PushedFilters:.*event_type", plan), plan
 
 
+def test_runtime_bloom_filter_prunes_smj_probe_side(spark):
+    """Fact-fact joins at 100 TB can't broadcast; Spark's runtime bloom
+    filter (on by default) builds a filter from the selective build side
+    and applies it to the probe side's scan, cutting shuffle input before
+    the SortMergeJoin. Assert the injection actually fires on a
+    selective-dimension SMJ so a conf/regression can't silently drop it."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # the sf0.001 test fixture is below the default 10GB application-side
+        # threshold; lower it so the injection triggers at test scale
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        t = load_tables(spark, SF_SMOKE)
+        sel = t["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = t["lineitem"].join(
+            sel, t["lineitem"]["l_orderkey"] == sel["o_orderkey"]
+        ).agg(F.sum("l_quantity"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, plan
+        assert "BloomFilterMightContain" in plan or "might_contain" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def test_shingle_pipeline_not_duplicated_scan_side(spark):
     """explode_outer regression guard: the shingle transform must appear
     in projection nodes only — a scan-side Filter containing the
