@@ -81,9 +81,9 @@ WITH per_source AS (
   GROUP BY source
 ),
 tot AS (SELECT sum(n_tokens) AS t, count(*) AS n_sources FROM per_source)
-SELECT source, n_docs, n_tokens,
-       round(n_tokens * 1.0 / t, 6) AS actual_share,
-       round((1.0 / n_sources) / (n_tokens * 1.0 / t), 4) AS mix_weight
+SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), 6) AS actual_share,
+       round((1.0 / n_sources) / (CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE)), 4) AS mix_weight
 FROM per_source, tot
 ORDER BY source
 """

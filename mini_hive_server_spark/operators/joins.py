@@ -5,9 +5,12 @@ a hand-built broadcast semi-join (`$in` over pre-collected keys,
 index.js:550-554) and an N+1 `findOne` loop (index.js:350-359). Here every
 shape is a declarative join and Catalyst plans it.
 
-Scale notes: all reference joins have one tiny side → BroadcastHashJoin
-(explicit `F.broadcast` where the semantics guarantee smallness, AQE
-otherwise). The one genuinely large-large join in the schema
+Scale notes: explicit `F.broadcast` is pinned ONLY where the build side is
+provably tiny at ANY scale factor (literal tier tables, one entity's key
+set); every SF-proportional side — even a whole dimension table that fits
+in memory at fixture scale — is left to AQE, which broadcasts it when the
+measured size allows and degrades to a shuffle join at 100× instead of
+OOMing a forced BHJ. The one genuinely large-large join in the schema
 (lineitem ⋈ orders) sort-merge-joins on the shuffled key; at 100 TB both
 sides would be bucketed by orderkey at write time (catalog.py) to eliminate
 the shuffle entirely.
@@ -60,15 +63,16 @@ ORDER BY l_orderkey, l_linenumber
 def lookup_join_defaults(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J2: the N+1 `findOne`-per-row enrichment loop with per-field defaults
     on miss (`task?.task_title || 'Unknown Task'`, index.js:350-359) — a
-    left-outer broadcast lookup join + coalesce. The extra join condition
+    left-outer lookup join + coalesce. The extra join condition
     (p_size > 25) manufactures misses so the default path is actually
-    exercised (fixture FKs are complete)."""
+    exercised (fixture FKs are complete). part is SF-proportional so the
+    join strategy is AQE's call (BHJ at fixture scale)."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].filter(F.col("l_orderkey") < 300)
     part = t["part"]
     return (
         li.join(
-            F.broadcast(part),
+            part,
             (li.l_partkey == part.p_partkey) & (part.p_size > 25),
             "left_outer",
         )
@@ -106,7 +110,7 @@ def join_chain_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"]
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -167,7 +171,7 @@ def join_theta_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = t["supplier"]
     nation = t["nation"]
     return (
-        cust.join(F.broadcast(supp), cust.c_nationkey == supp.s_nationkey)
+        cust.join(supp, cust.c_nationkey == supp.s_nationkey)
         .filter(F.col("c_acctbal") > F.col("s_acctbal"))
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .groupBy("n_name")

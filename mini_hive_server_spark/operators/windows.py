@@ -108,7 +108,7 @@ WITH ordered AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM ordered
 GROUP BY user_id
 ORDER BY user_id
@@ -467,7 +467,7 @@ WITH hourly AS (
 )
 SELECT strftime(date_trunc('day', h), '%Y-%m-%d') AS day,
        event_type,
-       sum(n) AS n,
+       CAST(sum(n) AS BIGINT) AS n,
        round(sum(v), 2) AS total_value
 FROM hourly
 GROUP BY 1, 2

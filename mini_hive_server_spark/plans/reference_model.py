@@ -85,8 +85,8 @@ _PAYMENT_HISTORY_ORACLE = f"""
 WITH {duck_cte("ref_payments")}
 SELECT email,
        count(*) AS n_payments,
-       round(sum(coins), 2) AS total_coins,
-       round(sum(amount_usd), 2) AS total_usd
+       CAST(round(sum(coins), 2) AS DOUBLE) AS total_coins,
+       CAST(round(sum(amount_usd), 2) AS DOUBLE) AS total_usd
 FROM ref_payments
 WHERE email IS NOT NULL
 GROUP BY email
@@ -124,9 +124,9 @@ WITH {duck_cte("ref_users", "ref_payments", "ref_withdrawals")}
 SELECT
   (SELECT count(*) FROM ref_users WHERE role = 'worker') AS total_workers,
   (SELECT count(*) FROM ref_users WHERE role = 'buyer') AS total_buyers,
-  (SELECT round(sum(coins), 2) FROM ref_users
+  (SELECT CAST(round(sum(coins), 2) AS DOUBLE) FROM ref_users
     WHERE role IN ('admin', 'buyer', 'worker')) AS total_coins,
-  (SELECT round(sum(amount_usd), 2) FROM ref_payments) AS total_payments_usd,
+  (SELECT CAST(round(sum(amount_usd), 2) AS DOUBLE) FROM ref_payments) AS total_payments_usd,
   (SELECT count(*) FROM ref_withdrawals WHERE status = 'pending') AS pending_withdrawals
 """
 

@@ -6,10 +6,19 @@ the same shapes at analytical scale on the driver fixtures, and double as the
 bench workload.
 
 Scale design: `lineitem` is the 100 TB fact; every plan here aggregates it
-with map-side partial aggregation (Catalyst HashAggregate partial→final),
-joins dimensions broadcast-side (`F.broadcast`), and keeps all expressions
-JVM-codegen'd (no Python UDFs). Filters are written directly against scan
-columns so Parquet row-group pruning and predicate pushdown apply.
+with map-side partial aggregation (Catalyst HashAggregate partial→final)
+and keeps all expressions JVM-codegen'd (no Python UDFs). Filters are
+written directly against scan columns so Parquet row-group pruning and
+predicate pushdown apply.
+
+Broadcast policy (SCALE.md): a static `F.broadcast` hint is pinned ONLY on
+sides whose size is provably SF-INVARIANT — region/nation (25 rows at any
+scale factor), 1-row scalar aggregates, literal tables, and bounded key
+sets (e.g. `c_custkey < 100`-class filters). Filtered-but-SF-proportional
+sides (a market segment of customer, a type/brand slice of part, an
+unfiltered dimension) get NO hint: AQE broadcasts them at fixture scale
+when the measured size is under the threshold, and at 100× the same plan
+degrades to a shuffle join instead of OOMing a forced build side.
 """
 
 from __future__ import annotations
@@ -90,8 +99,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference analog: buyer-home (`index.js:542-589`) = filter a small side
     (one buyer's tasks), join the fact (submissions), aggregate. The
-    `customer` side after the segment filter is small → broadcast, so the
-    fact table joins without shuffling (SURVEY.md §2.4 J1).
+    segment-filtered customer side and the date-filtered orders side are
+    both SF-PROPORTIONAL (the segment keeps ~1/5 of customers, the date
+    keeps ~97% of orders), so neither carries a static broadcast hint — a
+    pinned hint would force BHJ and OOM at 100×; AQE broadcasts them at
+    runtime whenever the measured build side is actually small
+    (SURVEY.md §2.4 J1, SCALE.md broadcast policy).
     """
     t = load_tables(spark, sf_dir)
     cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
@@ -103,9 +116,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-            ),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -146,9 +157,11 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join with a region filter.
 
     Reference analog: the 2-hop chained lookup joins (`index.js:205-206`,
-    SURVEY.md §2.4 J3) generalized to a full star. All dimensions broadcast;
-    only the lineitem↔orders join is a real shuffle candidate, and AQE keeps
-    it broadcast when the filtered orders side is small.
+    SURVEY.md §2.4 J3) generalized to a full star. Only region/nation (25
+    rows at ANY scale factor) carry static broadcast hints; supplier and
+    customer are SF-proportional, so their joins are left to AQE — at
+    fixture scale AQE broadcasts them, at 100× they degrade gracefully to
+    shuffle joins instead of OOMing a pinned build side.
     """
     t = load_tables(spark, sf_dir)
     region = t["region"].filter(F.col("r_name") == "ASIA")
@@ -165,11 +178,11 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(supp),
+            supp,
             li.l_suppkey == supp.s_suppkey,
         )
         .join(
-            F.broadcast(cust),
+            cust,
             (orders.o_custkey == cust.c_custkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
@@ -212,10 +225,11 @@ def argmin_cheapest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = t["customer"].filter(F.col("c_custkey") < 100)
     return (
         orders.join(
-            F.broadcast(mn.withColumnRenamed("o_custkey", "mk")),
+            # per-customer aggregate → SF-proportional: no static hint
+            mn.withColumnRenamed("o_custkey", "mk"),
             (F.col("o_custkey") == F.col("mk")) & (F.col("o_totalprice") == F.col("m")),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -270,8 +284,10 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_semi",
     )
     return (
+        # orders is semi-filtered to qty>300 keys (very selective) → hint ok;
+        # customer is unfiltered SF-proportional → AQE decides.
         li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
         .select(
@@ -316,9 +332,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SURVEY.md §2.4 J3) where one lookup table serves two roles. Plan notes:
     both nation dims are filtered to the two named nations BEFORE the join
     (so the broadcast build sides carry 2 rows each and the pair-OR
-    predicate only runs on survivors); the fact-side joins stay broadcast,
-    with only lineitem↔orders as a potential shuffle at 100 TB — and that
-    one is co-partitioned under the bucketed-table layout
+    predicate only runs on survivors); customer and supplier are
+    SF-proportional so their joins carry no static hint (AQE broadcasts
+    them at fixture scale, shuffles at 100×); lineitem↔orders is
+    co-partitioned under the bucketed-table layout
     (source_bucketed_join)."""
     t = load_tables(spark, sf_dir)
     pair = ("NATION_1", "NATION_2")
@@ -333,8 +350,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"]
     joined = (
         li.join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
         .filter(
@@ -385,10 +402,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     numerator is `sum(CASE WHEN))` — SURVEY.md §2.5 A3's conditional-count
     idiom applied to revenue).
 
-    Scale: the only big-big join is lineitem↔orders; part/customer/supplier
-    sides are filtered or dimension-sized and broadcast. The ratio is
-    computed post-aggregation on grouped rows (one row per year), so the
-    division never touches fact-table cardinality."""
+    Scale: the only big-big join is lineitem↔orders; the type-filtered part
+    and the customer/supplier sides are SF-proportional, so they carry no
+    static broadcast hint (AQE broadcasts at fixture scale, degrades to
+    shuffle at 100×); only the two nation roles are pinned broadcast. The
+    ratio is computed post-aggregation on grouped rows (one row per year),
+    so the division never touches fact-table cardinality."""
     t = load_tables(spark, sf_dir)
     part = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
     region = t["region"].filter(F.col("r_name") == "ASIA")
@@ -401,11 +420,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t["lineitem"]
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
+        li.join(part, li.l_partkey == F.col("p_partkey"))
         .join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -487,7 +506,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     month of fact data joined to a dimension.
 
     The date filter prunes at the Parquet scan (pushed predicate on
-    l_shipdate); part broadcasts; the aggregate collapses to one row before
+    l_shipdate); part is SF-proportional so AQE owns the join strategy
+    (broadcast at fixture scale); the aggregate collapses to one row before
     the division — the `x || 0` default-then-divide idiom of the reference's
     dashboard percentages (SURVEY.md §2.8 X1) done engine-side."""
     t = load_tables(spark, sf_dir)
@@ -497,7 +517,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
                 100.0
@@ -530,8 +550,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing in for partsupp as the part↔supplier bridge (the fixture has no
     partsupp table).
 
-    Scale: the exclusion side (negative-balance suppliers) is tiny →
-    broadcast anti-join, map-only. count(DISTINCT l_suppkey) expands to
+    Scale: the exclusion side (negative-balance suppliers) and the
+    size-filtered part side are both SF-proportional, so neither is pinned
+    broadcast — AQE picks BHJ at fixture scale and falls back to shuffle
+    at 100×. count(DISTINCT l_suppkey) expands to
     Catalyst's two-phase distinct-aggregate (partial dedup per partition
     before the shuffle), so the shuffle carries distinct (group, suppkey)
     pairs, not raw fact rows."""
@@ -543,10 +565,10 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bad_supp = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = t["lineitem"].join(
-        F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        bad_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
@@ -715,9 +737,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     what the shape exercises.)
 
     Scale: `contains` can't prune row groups, but it runs on the PART
-    dimension (small), shrinking it BEFORE the broadcast — the fact table is
-    then filtered by the broadcast hash join itself. lineitem<->orders is the
-    one shuffle join; everything else is map-side.
+    dimension, shrinking it BEFORE the join. part/supplier are
+    SF-proportional → no static hint (AQE broadcasts them at fixture
+    scale); nation (25 rows at any SF) stays pinned. lineitem<->orders is
+    the one guaranteed shuffle join.
 
     The profit expression subtracts two same-magnitude products
     (cancellation), so double summation order shifts the cent rounding
@@ -729,8 +752,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t["lineitem"]
     joined = (
-        li.join(F.broadcast(part), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(t["supplier"]), li.l_suppkey == F.col("s_suppkey"))
+        li.join(part, li.l_partkey == F.col("p_partkey"))
+        .join(t["supplier"], li.l_suppkey == F.col("s_suppkey"))
         .join(t["orders"], li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
@@ -773,7 +796,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k.
 
     Scale: both fact filters (quarter of orders, returnflag='R') push to the
-    scans; customer + nation broadcast; the grouped set is customer-
+    scans; nation broadcasts (SF-invariant), customer is left to AQE
+    (SF-proportional); the grouped set is customer-
     cardinality so the final TakeOrderedAndProject top-k needs only 20 rows
     per partition. c_custkey in the ORDER BY breaks revenue ties so the
     20-row cut is deterministic across engines."""
@@ -785,7 +809,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t["lineitem"].filter(F.col("l_returnflag") == "R")
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name", "c_mktsegment")
         .agg(
@@ -844,7 +868,8 @@ def q11_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_part = (
         t["lineitem"]
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # one nation's suppliers: SF-proportional → AQE owns the strategy
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -959,7 +984,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(t["supplier"]), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -983,23 +1008,24 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the correlated `avg(l_quantity) per part` decorrelates into a
     grouped aggregate joined back on partkey — but computed only for the
-    one brand's parts: the brand filter shrinks part to ~1/25, broadcast-
-    joins lineitem (map-side), and the per-part averages over that already-
-    filtered fact slice are what the threshold needs. At 100 TB the avg
-    table is brand-parts-cardinality -> broadcast; no second fact shuffle.
+    one brand's parts: the brand filter shrinks part to ~1/25 — still
+    SF-proportional, so no pinned broadcast (AQE picks BHJ at fixture
+    scale); the per-part averages over that already-filtered fact slice are
+    what the threshold needs, and being brand-parts-cardinality they are
+    likewise left to AQE rather than force-broadcast.
     The DuckDB oracle's correlated subquery sees lineitem rows ONLY for
     brand parts too (the avg is per-partkey and partkeys are brand-
     disjoint), so both engines aggregate identical slices."""
     t = load_tables(spark, sf_dir)
     part = t["part"].filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li_b = t["lineitem"].join(
-        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        part, F.col("l_partkey") == F.col("p_partkey")
     )
     per_part_avg = li_b.groupBy(F.col("l_partkey").alias("avg_pk")).agg(
         (F.lit(0.5) * F.avg("l_quantity")).alias("qty_cutoff")
     )
     return (
-        li_b.join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_pk"))
+        li_b.join(per_part_avg, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.col("qty_cutoff"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -1029,7 +1055,9 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: the disjunction can't split into per-side pushdowns wholesale, but
     each side's derivable envelope CAN: part is pre-filtered to the brand
     union and size max, lineitem to the quantity envelope [1,30] — both push
-    to the scans — then the exact OR evaluates inside the broadcast join.
+    to the scans — then the exact OR evaluates inside the join (AQE-chosen
+    strategy; the filtered part side is SF-proportional so it is not
+    pinned broadcast).
     This derived-envelope trick is what keeps a 100 TB scan from reading
     rows no disjunct could accept."""
     t = load_tables(spark, sf_dir)
@@ -1059,7 +1087,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .filter(disjunct)
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -1094,11 +1122,14 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     who moved real volume of a part class: part-filter -> fact aggregate with
     HAVING -> semi-join into the supplier dimension.
 
-    Scale: evaluation runs inside-out — PROMO parts broadcast into the
+    Scale: evaluation runs inside-out — PROMO parts join into the
     year-pruned fact scan, per-supplier quantity sums (supplier-cardinality)
-    filter by the HAVING threshold, and that small key set semi-joins
-    supplier as a broadcast. The 100 TB fact is touched once, map-side
-    only. Reference analog: SURVEY.md §2.4 J1's id-list-then-probe done in
+    filter by the HAVING threshold, and that key set semi-joins supplier.
+    Both small sides are SF-proportional (type-filtered part, HAVING-
+    filtered supplier keys), so neither is pinned broadcast — AQE
+    broadcasts them at fixture scale and the plan degrades to shuffle
+    joins at 100× instead of OOMing. The 100 TB fact is touched once.
+    Reference analog: SURVEY.md §2.4 J1's id-list-then-probe done in
     one plan instead of two round trips."""
     t = load_tables(spark, sf_dir)
     promo = t["part"].filter(F.col("p_type") == "PROMO").select("p_partkey")
@@ -1108,7 +1139,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         )
-        .join(F.broadcast(promo), F.col("l_partkey") == F.col("p_partkey"))
+        .join(promo, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 100)
@@ -1118,7 +1149,7 @@ def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["supplier"]
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(movers), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(movers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name", F.round("s_acctbal", 2).alias("acctbal"))
         .orderBy("s_suppkey")
     )
@@ -1155,8 +1186,9 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier orders. (Lateness = shipped >90 days after order date,
     standing in for the missing commit/receipt dates.)
 
-    Plan: base = one nation's late lines on finished orders (all dimension
-    joins broadcast). The EXISTS becomes a left-semi self-join against
+    Plan: base = one nation's late lines on finished orders (nation pinned
+    broadcast; supplier SF-proportional → AQE). The EXISTS becomes a
+    left-semi self-join against
     (orderkey, suppkey) pairs; the NOT EXISTS a left-anti against the late
     subset of those pairs — the anti side carries o_orderdate via a fact-
     sized join, the one unavoidable shuffle. Both probes are column-pruned
@@ -1172,7 +1204,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         li.join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
         .filter(late)
-        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("l_orderkey", "l_suppkey", "s_suppkey", "s_name")
     )

@@ -291,7 +291,7 @@ WITH ordered AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
 )
-SELECT user_id, sum(new_session) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM ordered
 GROUP BY user_id
 ORDER BY user_id

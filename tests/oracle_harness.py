@@ -62,12 +62,84 @@ def arrow_to_columns(tbl) -> dict[str, list]:
     return {name: tbl.column(name).to_pylist() for name in tbl.column_names}
 
 
+def _spark_type_family(dt) -> str:
+    """Collapse a Spark DataType into the family the driver's typed value-hash
+    distinguishes. int64 vs decimal128 hash differently even for equal values
+    (round-1 commit 3c26f38 and the round-3 red rows were exactly this)."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dt, T.DecimalType):
+        return "decimal"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, (T.TimestampType, getattr(T, "TimestampNTZType", T.TimestampType))):
+        return "timestamp"
+    if isinstance(dt, T.DateType):
+        return "date"
+    if isinstance(dt, (T.StringType, T.VarcharType, T.CharType)):
+        return "string"
+    if isinstance(dt, T.BinaryType):
+        return "binary"
+    if isinstance(dt, T.ArrayType):
+        return "array<" + _spark_type_family(dt.elementType) + ">"
+    return "other"
+
+
+def _arrow_type_family(at) -> str:
+    import pyarrow as pa
+
+    if pa.types.is_integer(at):
+        return "int"
+    if pa.types.is_floating(at):
+        return "float"
+    if pa.types.is_decimal(at):
+        return "decimal"
+    if pa.types.is_boolean(at):
+        return "bool"
+    if pa.types.is_timestamp(at):
+        return "timestamp"
+    if pa.types.is_date(at):
+        return "date"
+    if pa.types.is_string(at) or pa.types.is_large_string(at):
+        return "string"
+    if pa.types.is_binary(at) or pa.types.is_large_binary(at):
+        return "binary"
+    if pa.types.is_list(at) or pa.types.is_large_list(at):
+        return "array<" + _arrow_type_family(at.value_type) + ">"
+    return "other"
+
+
+def type_mismatches(name: str, spark_df, oracle_tbl) -> list[str]:
+    """Driver-faithful type check: same column name must resolve to the same
+    hash family on both sides. Catches DuckDB's integer-sum → DECIMAL128
+    widening (and hugeint) that the stringified value compare is blind to."""
+    problems: list[str] = []
+    s_fam = {f.name: _spark_type_family(f.dataType) for f in spark_df.schema.fields}
+    o_fam = {
+        fld.name: _arrow_type_family(fld.type) for fld in oracle_tbl.schema
+    }
+    for col in sorted(set(s_fam) & set(o_fam)):
+        if s_fam[col] != o_fam[col]:
+            problems.append(
+                f"[{name}] column '{col}' type family differs: "
+                f"spark={s_fam[col]} oracle={o_fam[col]} "
+                f"(driver's typed hash WILL fail — cast the oracle, e.g. "
+                f"CAST(sum(...) AS BIGINT) for DuckDB's DECIMAL128 sum widening)"
+            )
+    return problems
+
+
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     s_cols = spark_df_to_columns(spark_df)
     o_tbl = run_duckdb_oracle(oracle_sql, sf_dir)
     o_cols = arrow_to_columns(o_tbl)
+    problems.extend(type_mismatches(name, spark_df, o_tbl))
 
     s_names, s_rows = canonicalize(s_cols)
     o_names, o_rows = canonicalize(o_cols)
