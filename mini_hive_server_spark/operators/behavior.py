@@ -241,3 +241,65 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, count(*) AS n_attributed
+FROM clicks c
+JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.pts >= c.cts
+ AND p.pts <= c.cts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY n_attributed DESC, c.user_id
+LIMIT 20
+"""
+
+
+@register("events_click_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("events", "join", "skew"))
+def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: per user, count (click, purchase) pairs
+    where the purchase lands within one hour of the click — the classic
+    fact-fact self-join on user_id that no aggregate pre-pass can replace
+    (the pairing predicate needs both event timestamps).
+
+    Scale shape: both sides are SF-proportional event slices, so this is
+    the registry's canonical SHUFFLE join — no broadcast hint by policy,
+    the type filters push to the scans, and the join shuffles on user_id.
+    Per-user event counts are what make or break it at 100 TB: a hot user
+    (bot traffic) concentrates one reducer AND inflates the pair blowup
+    quadratically. The engine's answer is AQE's skew-split
+    (spark.sql.adaptive.skewJoin, on by default): the oversized partition
+    is split into sub-partitions, each joined against a replicated copy of
+    the other side — demonstrated end-to-end (plant hot key → executed
+    SMJ carries skew=true) in tests/test_plans.py::
+    test_attribution_skew_join_splits_hot_key. The 1-hour window also
+    bounds the blowup semantically: pairing is (clicks/hr × purchases/hr)
+    per user, not all-history × all-history."""
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy(F.col("n_attributed").desc(), "user_id")
+        .limit(20)
+    )

@@ -411,3 +411,131 @@ def ref_oversubscribed_tasks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("excess").desc(), "id")
         .limit(15)
     )
+
+
+# --------------------------------------------- approve-submission batch (write path)
+
+_APPROVE_BATCH_ORACLE = f"""
+WITH {duck_cte("ref_submissions", "ref_tasks", "ref_users")},
+cap AS (
+  SELECT task_id AS tid, count(*) AS n_approved
+  FROM ref_submissions
+  WHERE status = 'approved' AND task_id IS NOT NULL
+  GROUP BY 1
+),
+cand AS (
+  SELECT s.id, s.task_id, s.worker_email,
+         coalesce(s.payable_amount, CAST(0 AS DOUBLE)) AS pay,
+         row_number() OVER (PARTITION BY s.task_id
+                            ORDER BY s.submitted_at, s.id) AS rk,
+         t.required_workers - coalesce(c.n_approved, 0) AS capacity
+  FROM ref_submissions s
+  JOIN ref_tasks t ON t.id = s.task_id
+  LEFT JOIN cap c ON c.tid = s.task_id
+  WHERE s.status <> 'approved' AND s.task_id IS NOT NULL
+),
+per_worker AS (
+  SELECT worker_email, count(*) AS n_approved, sum(pay) AS added
+  FROM cand WHERE rk <= capacity
+  GROUP BY worker_email
+)
+SELECT u.email AS worker_email,
+       p.n_approved,
+       round(u.coins, 2) AS coins_before,
+       round(p.added, 2) AS coins_added,
+       round(u.coins + p.added, 2) AS coins_after
+FROM per_worker p JOIN ref_users u ON u.email = p.worker_email
+ORDER BY coins_added DESC, worker_email
+LIMIT 20
+"""
+
+
+@register(
+    "ref_approve_submission_batch",
+    oracle=_APPROVE_BATCH_ORACLE,
+    tags=("reference", "mutation", "join", "agg"),
+)
+def ref_approve_submission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approve-submission WRITE lifecycle (index.js:799-849:
+    S2 find → J4 ownership lookup → A2 approved-count → F7 capacity guard →
+    S5 $set status → S6 $inc coins) on the reference-shaped collections,
+    batch-formulated: every approvable submission is processed FIFO
+    (submitted_at, id) per task, and the output is the resulting per-worker
+    coin ledger (the S6 post-image), top-20 by coins added.
+
+    Faithful quirk semantics on real reference-shaped rows:
+    * The endpoint dereferences `submission.task_id` directly
+      (index.js:806,814) — submissions stored under the `taskId` spelling
+      throw at `new ObjectId(undefined)` and can never be approved, so the
+      batch keys everything off the task_id column alone, NOT the
+      coalesced reference the read paths use.
+    * The already-approved guard (index.js:810) and the capacity count
+      (index.js:813-817) both match the CORRECT spelling 'approved' only —
+      a row carrying the misspelled 'approve' status is re-approvable AND
+      occupies no capacity slot, so tasks with 'approve' rows admit more
+      approvals than their ledger suggests (the §2.11 spelling quirk,
+      index.js:614, exercised in a write gate).
+    * Ownership (index.js:806) = the task must exist; orphan task
+      references (FIXTURES §C) fail the lookup and drop out via the inner
+      join.
+    * Sequential capacity consumption is modeled exactly by
+      rank ≤ (required_workers − approved_count): each successful approval
+      consumes one slot, and over-subscribed tasks (negative capacity,
+      FIXTURES §C.4) admit none.
+    * The coin credit joins users by worker_email (index.js:829-832);
+      the reference's non-transactional miss path (submission flipped but
+      no user matched → coins lost) drops out via the inner user join.
+
+    Plan: submissions is the fact side — one partial-agg'd count for
+    capacity, one window rank per task partition, one per-worker groupBy;
+    tasks/users are tenancy-sized dims (AQE broadcasts at fixture scale).
+    The top-20 page is TakeOrderedAndProject with the unique worker_email
+    as tiebreak."""
+    from pyspark.sql import Window
+
+    subs = reference_table(spark, "ref_submissions")
+    tasks = reference_table(spark, "ref_tasks").select(
+        F.col("id").alias("t_id"), "required_workers"
+    )
+    users = reference_table(spark, "ref_users").select("email", "coins")
+
+    cap = (
+        subs.filter((F.col("status") == "approved") & F.col("task_id").isNotNull())
+        .groupBy(F.col("task_id").alias("tid"))
+        .agg(F.count(F.lit(1)).alias("n_approved_already"))
+    )
+    cand = (
+        subs.filter((F.col("status") != "approved") & F.col("task_id").isNotNull())
+        .join(tasks, F.col("task_id") == F.col("t_id"))
+        .join(cap, F.col("task_id") == F.col("tid"), "left")
+        .select(
+            "id",
+            "task_id",
+            "worker_email",
+            F.coalesce("payable_amount", F.lit(0.0)).alias("pay"),
+            "submitted_at",
+            (
+                F.col("required_workers")
+                - F.coalesce("n_approved_already", F.lit(0))
+            ).alias("capacity"),
+        )
+    )
+    w = Window.partitionBy("task_id").orderBy("submitted_at", "id")
+    per_worker = (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= F.col("capacity"))
+        .groupBy("worker_email")
+        .agg(F.count(F.lit(1)).alias("n_approved"), F.sum("pay").alias("added"))
+    )
+    return (
+        per_worker.join(users, per_worker["worker_email"] == users["email"])
+        .select(
+            F.col("email").alias("worker_email"),
+            "n_approved",
+            F.round("coins", 2).alias("coins_before"),
+            F.round("added", 2).alias("coins_added"),
+            F.round(F.col("coins") + F.col("added"), 2).alias("coins_after"),
+        )
+        .orderBy(F.col("coins_added").desc(), "worker_email")
+        .limit(20)
+    )

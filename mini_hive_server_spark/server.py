@@ -132,17 +132,40 @@ def beeline_sql(sql: str, port: int = DEFAULT_THRIFT_PORT) -> list[list[str]]:
 
 
 def serve_fixtures(
-    sf_dir: str, port: int = DEFAULT_THRIFT_PORT, database: str = "mini_hive"
+    sf_dir: str,
+    port: int = DEFAULT_THRIFT_PORT,
+    database: str = "mini_hive",
+    with_reference_model: bool = True,
 ) -> SparkSession:
     """End-to-end convenience: build the hive session, materialize the
-    fixture tables as catalogued managed tables, and open the Thrift
-    endpoint. Returns the hosting session (caller owns shutdown)."""
+    fixture tables AND (by default) the synthesized reference-shaped
+    collections as catalogued managed tables, and open the Thrift
+    endpoint. Returns the hosting session (caller owns shutdown).
+
+    The reference model defaults ON: this engine is the "mini hive server",
+    so a fresh boot serves the mini-hive data model (ref_users, ref_tasks,
+    ...) out of the box next to the analytic fixtures."""
     from .catalog import create_managed_tables
 
     spark = get_thrift_spark(port=port)
     create_managed_tables(spark, sf_dir, database=database)
+    if with_reference_model:
+        _create_reference_tables(spark, database)
     start_thrift_server(spark, port=port)
     return spark
+
+
+def _create_reference_tables(spark: SparkSession, database: str) -> None:
+    """Materialize the six reference-shaped collections (fixtures.py) as
+    managed tables in `database` (idempotent overwrite)."""
+    from .fixtures import REF_TABLE_NAMES, reference_table
+
+    for t in REF_TABLE_NAMES:
+        reference_table(spark, t).write.mode("overwrite").format(
+            "parquet"
+        ).option(
+            "path", f"/tmp/mhs_spark_warehouse/ref/{database}/{t}"
+        ).saveAsTable(f"{database}.{t}")
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -166,22 +189,19 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--port", type=int, default=DEFAULT_THRIFT_PORT)
     ap.add_argument("--database", default="mini_hive")
     ap.add_argument(
-        "--with-reference-model",
+        "--no-reference-model",
         action="store_true",
-        help="also serve the synthesized reference-shaped collections",
+        help="skip the synthesized reference-shaped collections "
+        "(served by default)",
     )
     args = ap.parse_args(argv)
 
-    spark = serve_fixtures(args.sf_dir, port=args.port, database=args.database)
-    if args.with_reference_model:
-        from .fixtures import REF_TABLE_NAMES, reference_table
-
-        for t in REF_TABLE_NAMES:
-            reference_table(spark, t).write.mode("overwrite").format(
-                "parquet"
-            ).option(
-                "path", f"/tmp/mhs_spark_warehouse/ref/{args.database}/{t}"
-            ).saveAsTable(f"{args.database}.{t}")
+    spark = serve_fixtures(
+        args.sf_dir,
+        port=args.port,
+        database=args.database,
+        with_reference_model=not args.no_reference_model,
+    )
     print(
         f"mini-hive-server-spark: serving {args.sf_dir} as database "
         f"'{args.database}' on jdbc:hive2://localhost:{args.port} (Ctrl-C to stop)",

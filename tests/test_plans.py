@@ -229,3 +229,63 @@ def test_shingle_pipeline_not_duplicated_scan_side(spark):
     for section in plan.split("\n\n"):
         if section.startswith("(") and ") Filter" in section.split("\n")[0]:
             assert "array_distinct(transform(" not in section, section
+
+
+def test_attribution_skew_join_splits_hot_key(spark):
+    """End-to-end AQE skew-join demonstration on the attribution shape:
+    plant a hot user (distinct replicas — identical rows compress away in
+    shuffle stats and dodge detection), run the click→purchase fact-fact
+    join under lowered skew thresholds (the fixture is KBs; production
+    defaults are 256MB), and assert the executed SortMergeJoin carries
+    skew=true — i.e. AQE actually split the oversized partition. Guards
+    the skew-split path the events_click_attribution docstring promises
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        ev = load_tables(spark, SF_SMOKE)["events"]
+        hot = (
+            ev.filter(F.col("user_id") == 0)
+            .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(500))))
+            .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("r")))
+            .drop("r")
+        )
+        skewed = ev.unionByName(hot).repartition(8)
+        clicks = skewed.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("cts")
+        )
+        purchases = skewed.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+        )
+        out = (
+            clicks.join(
+                purchases,
+                (F.col("p_user_id") == F.col("user_id"))
+                & (F.col("pts") >= F.col("cts"))
+                & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+        assert out.collect()[0]["n_pairs"] > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

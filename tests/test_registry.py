@@ -25,3 +25,30 @@ def test_window_regressions_are_oracle_paired():
     specs = registry.all_specs()
     assert specs["q12_late_lines"].oracle is not None
     assert specs["json_ingest_extract"].oracle is not None
+
+
+def test_oracle_outputs_carry_no_widened_types():
+    """Driver-hash safety net, DuckDB-only (no Spark, runs in seconds):
+    every registered oracle's Arrow output schema must be free of
+    decimal128/decimal256/hugeint columns. DuckDB silently widens integer
+    sums to DECIMAL128 (and decimal-column sums stay decimal), while the
+    Spark side emits int64/float64 — equal values, different typed hash at
+    the driver's differential gate. This class shipped twice (round-1
+    commit 3c26f38, round-3 red rows) before being closed structurally;
+    an oracle that needs widening must CAST its output (BIGINT / DOUBLE)."""
+    import pyarrow as pa
+
+    from .conftest import SF_SMOKE
+    from .oracle_harness import run_duckdb_oracle
+
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        if not spec.oracle:
+            continue
+        tbl = run_duckdb_oracle(spec.oracle, SF_SMOKE)
+        for fld in tbl.schema:
+            # is_decimal covers decimal128 + decimal256; DuckDB exports
+            # HUGEINT through Arrow as decimal128(38,0), so it's caught too
+            if pa.types.is_decimal(fld.type):
+                offenders.append(f"{name}.{fld.name}: {fld.type}")
+    assert not offenders, offenders

@@ -17,7 +17,7 @@ shutil.rmtree("/tmp/mhs_thrift_it_ms", ignore_errors=True)
 shutil.rmtree("/tmp/mhs_thrift_it_wh", ignore_errors=True)
 shutil.rmtree("/tmp/mhs_spark_warehouse/sf0.001/mhs_serve_it", ignore_errors=True)
 from mini_hive_server_spark.server import (
-    beeline_sql, get_thrift_spark, start_thrift_server,
+    _create_reference_tables, beeline_sql, get_thrift_spark, start_thrift_server,
 )
 from mini_hive_server_spark.catalog import create_managed_tables
 spark = get_thrift_spark(port={PORT},
@@ -26,6 +26,7 @@ spark = get_thrift_spark(port={PORT},
 spark.sparkContext.setLogLevel("ERROR")
 create_managed_tables(spark, "/root/testdata/sf0.001",
                       database="mhs_serve_it", tables=("region", "nation"))
+_create_reference_tables(spark, "mhs_serve_it")
 start_thrift_server(spark, port={PORT})
 
 # 1. point SELECT over the endpoint
@@ -40,6 +41,14 @@ rows = beeline_sql(
     "ON n.n_regionkey = r.r_regionkey "
     "GROUP BY r.r_name ORDER BY r.r_name", port={PORT})
 assert len(rows) == 5 and all(int(r[1]) == 5 for r in rows), rows
+
+# 3. the reference-shaped model is served by default on a fresh boot
+rows = beeline_sql(
+    "SELECT role, count(*) AS n FROM mhs_serve_it.ref_users "
+    "GROUP BY role ORDER BY role", port={PORT})
+roles = {{r[0]: int(r[1]) for r in rows}}
+assert roles.get("worker", 0) > 0 and roles.get("buyer", 0) > 0, rows
+assert "ghost" in roles, rows  # the out-of-enum quirk row is served too
 print("THRIFT_OK")
 spark.stop()
 """
