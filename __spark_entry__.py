@@ -29,7 +29,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query (omitted for non-SQL-expressible
-    ops — LSH/minhash/simhash randomness, streaming — which get the driver's
-    rows-only check)."""
+    """DuckDB-runnable oracle SQL per query. Since round 4 every registered
+    query is oracle-paired (the ANN tiers run at provably-exact operating
+    points whose results equal the brute-force SQL; the approximate
+    operating points stay recall-bound under pytest)."""
     return registry.oracles()

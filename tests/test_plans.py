@@ -289,3 +289,50 @@ def test_attribution_skew_join_splits_hot_key(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def _broadcast_hint_subtrees(df) -> list[str]:
+    """Stringified child subtree of every ResolvedHint in the analyzed
+    logical plan (indentation-sliced)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.split("\n")
+    out = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" in ln:
+            depth = max(ln.find("+-"), ln.find(":-"))
+            sub = []
+            for nxt in lines[i + 1 :]:
+                d2 = max(nxt.find("+-"), nxt.find(":-"))
+                if d2 <= depth and ("+-" in nxt or ":-" in nxt):
+                    break
+                sub.append(nxt)
+            out.append("\n".join(sub))
+    return out
+
+
+def test_no_static_broadcast_hints_on_sf_proportional_sides(spark):
+    """Broadcast-policy regression guard (SCALE.md): static broadcast()
+    hints may cover ONLY SF-invariant relations — region/nation — never
+    customer/supplier/part/orders/lineitem sides, whose pinned broadcast
+    would OOM at 100x while AQE handles them adaptively. q3 carries no
+    hint at all; q5's two hints must sit on nation/region subtrees only;
+    q7-q21 spot-checked via the same invariant."""
+    forbidden = ("customer", "supplier", "part.parquet", "orders", "lineitem")
+    for name in (
+        "q3_shipping_priority",
+        "q5_region_volume",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q14_promo_revenue",
+        "q16_supplier_cnt",
+        "q17_small_quantity",
+        "q19_disjunctive_revenue",
+        "q20_promo_suppliers",
+        "q21_waiting_supplier",
+    ):
+        df = QS[name](spark, SF_SMOKE)
+        for sub in _broadcast_hint_subtrees(df):
+            hits = [w for w in forbidden if w in sub]
+            assert not hits, f"{name}: static broadcast hint covers {hits}:\n{sub}"
