@@ -48,11 +48,10 @@ TABLE_NAMES = (
     "embeddings",
 )
 
-# Small dimension tables that should always be broadcast in joins: at any
-# scale factor these stay tiny relative to the facts (region=5, nation=25,
-# part/supplier/customer grow slowly) — SURVEY.md §2.4's observation that all
-# reference joins have one tiny side.
-BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+# Broadcast policy lives where the joins are declared (plans/tpch.py module
+# docstring + SCALE.md): static hints ONLY on SF-invariant sides
+# (region/nation, 1-row aggregates, literal tables, bounded key sets);
+# SF-proportional sides — including part/supplier/customer — are AQE's call.
 
 
 def table_path(sf_dir: str, name: str) -> str:
