@@ -298,6 +298,15 @@ def register_reference_views(spark: SparkSession) -> None:
 
 
 def reference_table(spark: SparkSession, table: str) -> DataFrame:
+    try:
+        # Same defense as catalog.load_tables: timestamp RENDERING
+        # (date_format over the synthesized createdAt/submitted_at columns)
+        # follows the session timezone, and the driver's vanilla session
+        # inherits the host tz — pin UTC so oracle comparison is stable.
+        # (Re-set on every call on purpose: the caller may have flipped it.)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.sql(spark_sql_for(table))
 
 

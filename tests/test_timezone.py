@@ -24,6 +24,11 @@ _TZ_SENSITIVE = (
     "events_date_parts",
     "events_sessionize",
     "order_desc_recent",
+    # reference-model rows render synthesized timestamps via date_format;
+    # reference_table pins UTC the same way load_tables does (the bug was
+    # live until round 4 — these two failed under America/New_York)
+    "ref_worker_submission_page",
+    "ref_notifications_feed",
 )
 
 
