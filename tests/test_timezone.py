@@ -3,7 +3,11 @@ vanilla SparkSession, which inherits the host timezone — not necessarily
 UTC. `catalog.load_tables` pins `spark.sql.session.timeZone=UTC` at query
 time precisely so every date_format/window result is stable no matter what
 session the engine is handed; these tests prove that defense by running
-the timestamp-heavy oracles under a deliberately hostile session tz."""
+the timestamp-heavy oracles under a deliberately hostile session tz.
+(`reference_table` applies the same pin since round 4. A one-off full
+sweep — all 145 registered queries compared against their oracles under
+America/New_York — passed clean; this file keeps the fast representative
+subset.)"""
 
 from __future__ import annotations
 
