@@ -303,3 +303,82 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_attributed").desc(), "user_id")
         .limit(20)
     )
+
+
+_N_JOIN_SALT = 8
+
+_SALTED_JOIN_ORACLE = """
+WITH clicks AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, count(*) AS n_attributed
+FROM clicks c
+JOIN purchases p
+  ON p.user_id = c.user_id
+ AND p.pts >= c.cts
+ AND p.pts <= c.cts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY n_attributed DESC, c.user_id
+LIMIT 20
+"""
+
+
+@register("join_salted_skew", oracle=_SALTED_JOIN_ORACLE, tags=("events", "join", "skew"))
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual key-salting for a skewed equi-join — the portable fallback
+    when AQE's skew-split isn't available or doesn't apply (AQE disabled,
+    a sink that pins the join's output partitioning, or an engine where
+    the split would break a required distribution). Same logical result as
+    `events_click_attribution` (the oracle is the identical plain-join
+    SQL — salting must be result-invariant), different physical strategy:
+
+    * probe side (clicks): each row gets a deterministic salt in
+      [0, N) — `event_id % N`, so a hot user's rows spread across N
+      reducers instead of one;
+    * build side (purchases): replicated N× via posexplode over the salt
+      domain, so every (user, salt) probe partition still sees all of
+      that user's purchases;
+    * join on (user_id, salt) — a plain equi-join whose hottest partition
+      carries 1/N of the hot key.
+
+    Cost model vs AQE skew-split: replication multiplies the build side
+    by N unconditionally, so production salts ONLY identified hot keys
+    (split the relation on a heavy-hitter list — see
+    `agg_salted_two_stage` for the aggregation analog); AQE's split is
+    the better default because it pays only for partitions actually
+    oversized at runtime. Both are provided because at 100 TB some
+    pipelines run the join inside a larger stage whose partitioning AQE
+    will not break."""
+    events = load_tables(spark, sf_dir)["events"]
+    salts = F.array(*[F.lit(i) for i in range(_N_JOIN_SALT)])
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        (F.col("event_id") % _N_JOIN_SALT).cast("int").alias("salt"),
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("pts"),
+            F.explode(salts).alias("p_salt"),
+        )
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("p_salt") == F.col("salt"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy(F.col("n_attributed").desc(), "user_id")
+        .limit(20)
+    )

@@ -111,6 +111,7 @@ _DRIVER_WINDOW = (
     "similarity_ivf_ann",  # nprobe=k → brute-force oracle, no longer rows-only
     "ref_approve_submission_batch",  # approve write lifecycle, spelling quirk
     "events_click_attribution",  # skew-tested fact-fact join
+    "join_salted_skew",  # manual salted join == plain-join oracle
     # --- ref_* oracles that gained explicit DOUBLE casts this round ---
     "ref_buyer_payment_history",
     "ref_admin_platform_stats",
@@ -150,7 +151,6 @@ _DRIVER_WINDOW = (
     "q1_pricing_summary",
     "q12_late_lines",
     "text_quality_score",
-    "top_workers",
 )
 
 
