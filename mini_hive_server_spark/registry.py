@@ -112,6 +112,7 @@ _DRIVER_WINDOW = (
     "ref_approve_submission_batch",  # approve write lifecycle, spelling quirk
     "events_click_attribution",  # skew-tested fact-fact join
     "join_salted_skew",  # manual salted join == plain-join oracle
+    "source_zorder_layout",  # multi-dim layout; result-invariant oracle
     # --- ref_* oracles that gained explicit DOUBLE casts this round ---
     "ref_buyer_payment_history",
     "ref_admin_platform_stats",
@@ -150,7 +151,6 @@ _DRIVER_WINDOW = (
     # --- headline + historical regressions kept warm ---
     "q1_pricing_summary",
     "q12_late_lines",
-    "text_quality_score",
 )
 
 

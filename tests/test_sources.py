@@ -8,7 +8,7 @@ import re
 
 from mini_hive_server_spark import registry
 
-from .conftest import SF_SMOKE
+from .conftest import SF_ORACLE, SF_SMOKE
 
 QS = registry.queries()
 
@@ -45,3 +45,47 @@ def test_bucketed_smj_without_broadcast(spark):
         assert "Exchange hashpartitioning" not in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_zorder_rowgroups_bound_both_dims(spark, tmp_path):
+    """Mechanism proof for source_zorder_layout: parquet footer stats of
+    the Z-ORDERED layout must bound user_id per row group at a fraction of
+    the time-sorted baseline (whose every row group spans the full user
+    range — a user predicate prunes nothing there). Row-group min/max is
+    exactly what Spark's parquet filter pushdown prunes with, so narrow
+    stats = skipped IO, no execution needed to prove it."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.sources.connectors import write_events_zorder
+
+    zdir = str(tmp_path / "z")
+    tdir = str(tmp_path / "t")
+    write_events_zorder(spark, SF_ORACLE, zdir)
+    (
+        load_tables(spark, SF_ORACLE)["events"]
+        .repartitionByRange(8, "ts")
+        .sortWithinPartitions("ts")
+        .write.mode("overwrite")
+        .option("parquet.block.size", 256 * 1024)
+        .parquet(tdir)
+    )
+
+    def avg_user_spread(path):
+        spreads = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(cols["user_id"]).statistics
+                spreads.append(st.max - st.min)
+        assert spreads
+        return sum(spreads) / len(spreads)
+
+    z, t = avg_user_spread(zdir), avg_user_spread(tdir)
+    assert z * 3 < t, (
+        f"z-order user spread {z:.0f} not substantially narrower than "
+        f"time-sorted {t:.0f}"
+    )
