@@ -1,0 +1,534 @@
+"""Corpus-curation heuristics from published training-data pipelines.
+
+Round-5 extensions over `documents` / `embeddings` / `events`: the named
+filter families large-scale LLM data builds actually run — Gopher-style
+rule filters (Rae et al. 2021), CCNet-style LM-surprisal quality buckets
+(Wenzek et al. 2020), per-source boilerplate template detection
+(C4/RefinedWeb line-dedup adapted to unsegmented text), intra-document
+bigram repetition ratios, SemDeDup-style within-cluster semantic dedup
+(Abbas et al. 2023), and per-user z-score outlier screening over events.
+
+All hot paths are built-in expression work (higher-order array functions,
+window aggregates, hash joins) — zero Python. Per-document metrics are
+map-only; corpus-level passes shuffle once on their natural key. Every
+query is oracle-paired; fractional outputs are either exact integer
+ratios (identical IEEE division in both engines) or rounded to 4 decimals
+before comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables, parallelize_scan
+from ..persistence import tracked_persist
+from ..registry import register
+
+_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_STOPLIST = "'the','a','of','and','to'"
+
+# ------------------------------------------------ Gopher-style rule filter
+
+# Thresholds adapted to the synthetic corpus (docs are 10-99 words from a
+# small shared vocabulary); the published rules use [50, 100k] words etc.
+_MIN_WORDS, _MAX_WORDS = 30, 1000
+_MIN_AWL, _MAX_AWL = 2.0, 12.0
+_MIN_STOPWORDS = 2
+_MAX_TOP_WORD_FRAC = 0.15
+
+_GOPHER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS w FROM documents
+),
+m AS (
+  SELECT source,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac
+  FROM t
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE nw BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                          AND awl BETWEEN {_MIN_AWL} AND {_MAX_AWL}
+                          AND ns >= {_MIN_STOPWORDS}
+                          AND top_frac <= {_MAX_TOP_WORD_FRAC}) AS n_pass,
+       count(*) FILTER (WHERE nw NOT BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+         AS n_fail_len,
+       count(*) FILTER (WHERE awl NOT BETWEEN {_MIN_AWL} AND {_MAX_AWL})
+         AS n_fail_wordlen,
+       count(*) FILTER (WHERE ns < {_MIN_STOPWORDS}) AS n_fail_stop,
+       count(*) FILTER (WHERE top_frac > {_MAX_TOP_WORD_FRAC}) AS n_fail_rep
+FROM m
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_gopher_quality", oracle=_GOPHER_ORACLE, tags=("llm", "text", "pipeline"))
+def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rule filter: word-count bounds, mean word
+    length bounds, minimum stopword evidence, and a most-frequent-word
+    repetition cap, reported as per-source pass/fail counts — the rule
+    census a pipeline inspects before choosing drop thresholds.
+
+    Every metric (including the unigram mode) is a per-row array
+    expression over the document's own words — no explode, no
+    (doc, word) shuffle: the whole rule pass is map-only and the only
+    shuffle is the final per-source count aggregation. The mode is
+    O(distinct x words) per document, bounded by document size, never by
+    corpus size. Fractions are int-sum / int-count IEEE divisions —
+    bit-identical cross-engine, so threshold comparisons can't flip."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "source", "text")).select(
+        "source", F.expr(_WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    m = t.select(
+        "source",
+        nw.alias("nw"),
+        (
+            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+            * F.lit(1.0)
+            / nw
+        ).alias("awl"),
+        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
+        (
+            F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+            * F.lit(1.0)
+            / nw
+        ).alias("top_frac"),
+    )
+    ok_len = F.col("nw").between(_MIN_WORDS, _MAX_WORDS)
+    ok_awl = F.col("awl").between(_MIN_AWL, _MAX_AWL)
+    ok_stop = F.col("ns") >= _MIN_STOPWORDS
+    ok_rep = F.col("top_frac") <= _MAX_TOP_WORD_FRAC
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(ok_len & ok_awl & ok_stop & ok_rep).alias("n_pass"),
+            F.count_if(~ok_len).alias("n_fail_len"),
+            F.count_if(~ok_awl).alias("n_fail_wordlen"),
+            F.count_if(~ok_stop).alias("n_fail_stop"),
+            F.count_if(~ok_rep).alias("n_fail_rep"),
+        )
+        .orderBy("source")
+    )
+
+
+# --------------------------------------- per-source boilerplate templates
+
+_TPL_NGRAM = 8  # same shingle width as decontaminate_ngram
+_TPL_MIN_DOCS = 2  # shingle in >= this many docs of one source = template
+
+_BOILERPLATE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS arr FROM documents
+),
+sh AS (
+  SELECT DISTINCT source, doc_id, array_to_string(arr[i:i+{_TPL_NGRAM - 1}], ' ') AS g
+  FROM w, unnest(generate_series(1, len(arr) - {_TPL_NGRAM - 1})) AS t(i)
+  WHERE len(arr) >= {_TPL_NGRAM}
+),
+tpl AS (
+  SELECT source, g FROM sh GROUP BY source, g
+  HAVING count(*) >= {_TPL_MIN_DOCS}
+),
+aff AS (
+  SELECT source, count(DISTINCT doc_id) AS n_docs_affected
+  FROM sh WHERE (source, g) IN (SELECT (source, g) FROM tpl)
+  GROUP BY source
+),
+ntpl AS (
+  SELECT source, count(*) AS n_template_shingles FROM tpl GROUP BY source
+)
+SELECT d.source,
+       count(*) AS n_docs,
+       coalesce(any_value(ntpl.n_template_shingles), 0) AS n_template_shingles,
+       coalesce(any_value(aff.n_docs_affected), 0) AS n_docs_affected
+FROM documents d
+LEFT JOIN ntpl ON d.source = ntpl.source
+LEFT JOIN aff ON d.source = aff.source
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@register(
+    "text_boilerplate_templates", oracle=_BOILERPLATE_ORACLE, tags=("llm", "text", "dedup")
+)
+def text_boilerplate_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate detection: an 8-word shingle appearing
+    verbatim in >= 2 documents of the SAME source is a template (headers,
+    navigation, license banners — the C4/RefinedWeb line-dedup signal,
+    adapted to unsegmented text). Output per source: template-shingle
+    count and how many documents carry at least one.
+
+    Scale shape: shingling is map-only; the (source, shingle) census is
+    one hash aggregation whose key space is corpus-sized but whose
+    partial-agg rows are (doc x shingle)-distinct; the template relation
+    is tiny relative to the corpus (only cross-doc repeats survive the
+    HAVING), so the affected-doc pass is a semi-join AQE turns into a
+    broadcast when it fits — no hint pinned, sizes are data-dependent."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = parallelize_scan(docs.select("doc_id", "source", "text"), "doc_id").select(
+        "doc_id", "source", F.expr(_WORDS_SPARK).alias("arr")
+    )
+    sh = (
+        w.filter(F.size("arr") >= _TPL_NGRAM)
+        .select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(arr) - {_TPL_NGRAM - 1}),"
+                    f" i -> concat_ws(' ', slice(arr, i, {_TPL_NGRAM})))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    # feeds both the template census and the affected-doc semi-join
+    sh = tracked_persist(sh)
+    tpl = (
+        sh.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _TPL_MIN_DOCS)
+        .select("source", "g")
+    )
+    tpl = tracked_persist(tpl)
+    ntpl = tpl.groupBy("source").agg(F.count(F.lit(1)).alias("n_template_shingles"))
+    aff = (
+        sh.join(tpl, ["source", "g"], "left_semi")
+        .groupBy("source")
+        .agg(F.count_distinct("doc_id").alias("n_docs_affected"))
+    )
+    base = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        base.join(ntpl, "source", "left")
+        .join(aff, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_template_shingles", F.lit(0)).alias("n_template_shingles"),
+            F.coalesce("n_docs_affected", F.lit(0)).alias("n_docs_affected"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------- intra-doc bigram repetition
+
+_REP_FLAG_FRAC = 0.05  # duplicate-bigram fraction above this is flagged
+
+_REPETITION_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, {_WORDS_DUCK} AS arr FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(arr) - 1),
+                        i -> array_to_string(arr[i:i+1], ' ')) AS b
+  FROM w WHERE len(arr) >= 2
+),
+m AS (
+  SELECT doc_id, len(b) AS nb, len(list_distinct(b)) AS nd,
+         list_max(list_transform(list_distinct(b),
+                                 x -> len(list_filter(b, y -> y = x)))) AS topc
+  FROM bg
+)
+SELECT doc_id,
+       nb AS n_bigrams,
+       round((nb - nd) * 1.0 / nb, 4) AS dup_bigram_frac,
+       round(topc * 1.0 / nb, 4) AS top_bigram_frac,
+       (nb - nd) * 1.0 / nb > {_REP_FLAG_FRAC} AS flagged
+FROM m
+ORDER BY doc_id
+"""
+
+
+@register("text_repetition_bigrams", oracle=_REPETITION_ORACLE, tags=("llm", "text"))
+def text_repetition_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition ratios over bigrams — the
+    duplicate-n-gram fraction family of Gopher/RefinedWeb repetition
+    filters: fraction of bigram slots occupied by repeats, and the share
+    of the single most frequent bigram. Documents above the duplicate
+    fraction threshold are flagged.
+
+    Map-only per-document array work (bigrams via sequence+slice, mode
+    via the same distinct-x-count expression as the unigram rule);
+    fractions are exact integer-ratio IEEE divisions, so the flag
+    comparison is cross-engine stable. The only shuffle is the output
+    sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = parallelize_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("arr")
+    )
+    bg = w.filter(F.size("arr") >= 2).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(arr) - 1),"
+            " i -> concat_ws(' ', slice(arr, i, 2)))"
+        ).alias("b"),
+    )
+    nb = F.size(F.col("b"))
+    nd = F.size(F.array_distinct(F.col("b")))
+    topc = F.expr("array_max(transform(array_distinct(b), x -> size(filter(b, y -> y = x))))")
+    dup_frac = (nb - nd) * F.lit(1.0) / nb
+    return bg.select(
+        "doc_id",
+        nb.alias("n_bigrams"),
+        F.round(dup_frac, 4).alias("dup_bigram_frac"),
+        F.round(topc * F.lit(1.0) / nb, 4).alias("top_bigram_frac"),
+        (dup_frac > _REP_FLAG_FRAC).alias("flagged"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------------ CCNet-style LM surprisal buckets
+
+_PPLX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest({_WORDS_DUCK}) AS word FROM documents
+),
+lex AS (
+  SELECT word, count(*) AS c FROM tok GROUP BY word
+),
+lexp AS (
+  SELECT word,
+         CAST(round(-ln(c * 1.0 / (SELECT sum(c) FROM lex)) * 1000000)
+              AS BIGINT) AS surprisal_micro
+  FROM lex
+),
+scored AS (
+  SELECT t.doc_id, any_value(t.lang) AS lang,
+         sum(l.surprisal_micro) * 1.0 / count(*) / 1000000 AS score
+  FROM tok t JOIN lexp l ON t.word = l.word
+  GROUP BY t.doc_id
+),
+b AS (
+  SELECT lang, score,
+         ntile(3) OVER (PARTITION BY lang ORDER BY score, doc_id) AS bucket
+  FROM scored
+)
+SELECT lang, bucket,
+       count(*) AS n_docs,
+       round(avg(score), 4) AS avg_surprisal,
+       round(min(score), 4) AS min_surprisal,
+       round(max(score), 4) AS max_surprisal
+FROM b
+GROUP BY lang, bucket
+ORDER BY lang, bucket
+"""
+
+
+@register("text_perplexity_buckets", oracle=_PPLX_ORACLE, tags=("llm", "text", "pipeline"))
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing: score each document by mean unigram
+    surprisal under a language model estimated from the corpus itself,
+    then split every language into head/middle/tail thirds — the
+    perplexity-bucket curation step, with a unigram LM standing in for
+    the KenLM 5-gram (same plan shape: broadcast-scale model, map-side
+    scoring).
+
+    Determinism: per-word surprisal is quantized to integer micro-nats IN
+    THE LEXICON (one ln per distinct word), so each document's score is
+    an exact integer sum / count — immune to float summation order, which
+    would otherwise make ntile boundaries run-dependent for equal-multiset
+    documents. The lexicon is vocabulary-sized (Heaps-sublinear); AQE
+    broadcasts the word join at any realistic scale — no pinned hint
+    since vocabulary is not provably bounded. The 1-row corpus total IS
+    provably tiny -> explicit broadcast. ntile needs a per-lang sort; at
+    100 TB the same cutoffs come from approx_percentile without the sort
+    (noted, not needed at bench scale)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = parallelize_scan(docs.select("doc_id", "lang", "text"), "doc_id").select(
+        "doc_id", "lang", F.explode(F.expr(_WORDS_SPARK)).alias("word")
+    )
+    tok = tracked_persist(tok)
+    lex = tok.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    total = lex.agg(F.sum("c").alias("total"))
+    lexp = lex.crossJoin(F.broadcast(total)).select(
+        "word",
+        F.round(-F.log(F.col("c") * F.lit(1.0) / F.col("total")) * F.lit(1000000))
+        .cast("bigint")
+        .alias("surprisal_micro"),
+    )
+    scored = (
+        tok.join(lexp, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            (
+                F.sum("surprisal_micro") * F.lit(1.0) / F.count(F.lit(1)) / F.lit(1000000)
+            ).alias("score"),
+        )
+    )
+    b = scored.select(
+        "lang",
+        "score",
+        F.ntile(3).over(Window.partitionBy("lang").orderBy("score", "doc_id")).alias(
+            "bucket"
+        ),
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_surprisal"),
+            F.round(F.min("score"), 4).alias("min_surprisal"),
+            F.round(F.max("score"), 4).alias("max_surprisal"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# --------------------------------------- SemDeDup within-cluster dedup
+
+_SEM_THRESHOLD = 0.45  # same near-dup cosine as dedup_embedding_cosine
+
+# Spark-side dot product — same left-fold as similarity.py's _DOT, which is
+# documented there to produce bit-identical doubles to DuckDB's
+# list_dot_product.
+_SEM_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+_SEMDEDUP_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+),
+dropped AS (
+  SELECT DISTINCT b.label, b.vec_id
+  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {_SEM_THRESHOLD}
+)
+SELECT n.label,
+       count(*) AS n_vecs,
+       count(*) FILTER (WHERE dropped.vec_id IS NOT NULL) AS n_dropped,
+       count(*) FILTER (WHERE dropped.vec_id IS NULL) AS n_kept
+FROM n LEFT JOIN dropped
+  ON n.label = dropped.label AND n.vec_id = dropped.vec_id
+GROUP BY n.label
+ORDER BY n.label
+"""
+
+
+@register(
+    "dedup_semantic_clusters", oracle=_SEMDEDUP_ORACLE, tags=("llm", "dedup", "similarity")
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: within each cluster, drop every
+    vector that has a lower-id near-neighbor at cosine >= 0.45 (greedy
+    keep-first — deterministic, unlike keep-random). The fixture's
+    `label` column stands in for the k-means cluster id (the production
+    assignment is exactly similarity.py's IVF step); clustering is what
+    CONTAINS the quadratic: pairwise comparison runs only inside a
+    cluster, so cost is sum over clusters of |c|^2, bounded by the max
+    cluster size a 100 TB run chooses k to enforce — never corpus^2.
+
+    One shuffle co-partitions by label; the within-label self-join and
+    the survivor anti-join reuse that partitioning. Cosine uses the
+    codegen'd zip_with/aggregate fold that is bit-identical to DuckDB's
+    list_dot_product, so the threshold cannot flip cross-engine."""
+    emb = (
+        parallelize_scan(load_tables(spark, sf_dir)["embeddings"], "vec_id")
+        .select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(F.expr(_SEM_DOT.format(a="v", b="v"))))
+    )
+    emb = tracked_persist(emb)
+    a = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = emb.select(
+        F.col("label"),
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    cos = F.expr(_SEM_DOT.format(a="a_v", b="b_v")) / (F.col("a_nrm") * F.col("b_nrm"))
+    dropped = (
+        a.join(b, "label")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter(cos >= _SEM_THRESHOLD)
+        .select("label", F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    flagged = emb.select("label", "vec_id").join(
+        dropped.withColumn("is_dropped", F.lit(True)), ["label", "vec_id"], "left"
+    )
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count_if(F.col("is_dropped").isNotNull()).alias("n_dropped"),
+            F.count_if(F.col("is_dropped").isNull()).alias("n_kept"),
+        )
+        .orderBy("label")
+    )
+
+
+# ------------------------------------------- per-user z-score outliers
+
+_Z_THRESHOLD = 2.0
+
+_OUTLIER_ORACLE = f"""
+WITH z AS (
+  SELECT event_type, value,
+         avg(value) OVER (PARTITION BY user_id) AS m,
+         stddev_samp(value) OVER (PARTITION BY user_id) AS sd
+  FROM events
+)
+SELECT event_type,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE sd > 0 AND abs((value - m) / sd) > {_Z_THRESHOLD})
+         AS n_outliers,
+       round(max(CASE WHEN sd > 0 THEN abs((value - m) / sd) END), 4)
+         AS max_abs_z
+FROM z
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("events_value_outliers", oracle=_OUTLIER_ORACLE, tags=("events", "windows"))
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score outlier screening: standardize each event's value
+    against its own user's mean/stddev (unbounded window — one shuffle on
+    user_id, no self-join), then census outliers beyond 2 sigma per event
+    type — the anomalous-record screen a pipeline runs before trusting
+    behavioral aggregates.
+
+    The window form computes both moments in a single pass over each
+    user's partition, replacing the groupBy+join-back shape (two shuffles
+    and a join) with one hash exchange. Cross-engine float risk is
+    confined to stddev's last ulp; a flip requires |z| within ~1e-12 of
+    the threshold, and the rounded max-z is 4-decimal stable."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id")
+    z = events.select(
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("m"),
+        F.stddev_samp("value").over(w).alias("sd"),
+    )
+    abs_z = F.abs((F.col("value") - F.col("m")) / F.col("sd"))
+    return (
+        z.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_if((F.col("sd") > 0) & (abs_z > _Z_THRESHOLD)).alias("n_outliers"),
+            F.round(F.max(F.when(F.col("sd") > 0, abs_z)), 4).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )

@@ -57,6 +57,7 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.text_analysis",
     "mini_hive_server_spark.operators.pipeline",
     "mini_hive_server_spark.operators.contamination",
+    "mini_hive_server_spark.operators.curation",
     "mini_hive_server_spark.operators.multimodal",
     "mini_hive_server_spark.operators.sketches",
     "mini_hive_server_spark.operators.ingest",
@@ -92,6 +93,13 @@ _QUERY_MODULES = (
 # TPC-H/join query whose broadcast hints were unpinned this round plus the
 # heaviest dedup/similarity tiers. After this round every registered query
 # has a driver row at least once; cumulative target is 0 red.
+# Round 5: the driver produced no r04 artifacts, so the round-4 window was
+# never consumed and carries over intact; six re-confirmation slots whose
+# queries already have green rows (dedup_exact r2+r3, dedup_simhash r3,
+# events_tumbling_hourly r1-r3, multimodal_feature_extract r3,
+# buyer_home_dashboard r3, q12_late_lines r1) rotate out for the six new
+# round-5 curation queries (Gopher rules, boilerplate templates, bigram
+# repetition, perplexity buckets, SemDeDup clusters, z-score outliers).
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -137,20 +145,21 @@ _DRIVER_WINDOW = (
     "lookup_join_defaults",
     "join_chain_2hop",
     "join_theta_balance",
+    # --- new round-5 curation family (never driver-checked) ---
+    "text_gopher_quality",
+    "text_boilerplate_templates",
+    "text_repetition_bigrams",
+    "text_perplexity_buckets",
+    "dedup_semantic_clusters",
+    "events_value_outliers",
     # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
     "dedup_minhash_lsh",
     "dedup_lsh_clusters",
     "dedup_embedding_cosine",
-    "dedup_simhash",
     "similarity_cosine_topk",
     "similarity_lsh_ann",
-    "dedup_exact",
-    "events_tumbling_hourly",
-    "multimodal_feature_extract",
-    "buyer_home_dashboard",
-    # --- headline + historical regressions kept warm ---
+    # --- headline kept warm ---
     "q1_pricing_summary",
-    "q12_late_lines",
 )
 
 

@@ -336,3 +336,31 @@ def test_no_static_broadcast_hints_on_sf_proportional_sides(spark):
         for sub in _broadcast_hint_subtrees(df):
             hits = [w for w in forbidden if w in sub]
             assert not hits, f"{name}: static broadcast hint covers {hits}:\n{sub}"
+
+
+def test_gopher_rules_map_only(spark):
+    """The Gopher rule pass computes every per-doc metric (including the
+    unigram mode) as array expressions over the document's own words —
+    no explode, no (doc, word) exchange: only the per-source census may
+    shuffle."""
+    plan = _plan(spark, "text_gopher_quality")
+    assert "Generate" not in plan, plan  # explode would appear as Generate
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_semdedup_pairing_stays_within_cluster(spark):
+    """SemDeDup guard: the pairwise stage must be the label (cluster)
+    equi-join — the quadratic is contained inside clusters, never an
+    all-pairs NLJ or cartesian across the corpus."""
+    plan = _plan(spark, "dedup_semantic_clusters")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_outliers_window_single_pass(spark):
+    """Per-user standardization must come from one window over user_id
+    (both moments in a single exchange), not a groupBy + join-back —
+    the plan carries no join at all."""
+    plan = _plan(spark, "events_value_outliers")
+    assert "Join" not in plan, plan
+    assert _shuffles(plan) <= 2, plan  # user_id window + event_type agg
