@@ -539,3 +539,259 @@ def ref_approve_submission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("coins_added").desc(), "worker_email")
         .limit(20)
     )
+
+
+# ----------------------------- sequential coin-ledger folds (write paths)
+
+# Both remaining reference write lifecycles (task post, withdrawal
+# approve) are sequential ledgers: each request re-reads the user's coin
+# balance, so a rejected request consumes nothing and a later smaller one
+# can still succeed. That greedy-skip fold has no window/cumsum closed
+# form (rejections don't accumulate), so it runs as an Arrow-batched
+# applyInPandas over per-user groups — user-scale state, one shuffle on
+# the key, the policy-sanctioned Python boundary. All amounts are
+# quantized to INTEGER CENTS before folding, so the fold is exact integer
+# arithmetic in both engines and acceptance decisions can never flip on a
+# float ulp (same trick as text_perplexity_buckets' micro-nats); the
+# DuckDB oracles replay the identical fold as a recursive CTE.
+
+_FOLD_SCHEMA = "key string, grp string, cost_c long, budget_c long, accepted boolean"
+
+
+def _greedy_budget_fold(pdf):
+    pdf = pdf.sort_values(["ord_ts", "ord_id"]).reset_index(drop=True)
+    rem = int(pdf["budget_c"].iloc[0])
+    accepted = []
+    for c in pdf["cost_c"]:
+        c = int(c)
+        ok = c <= rem
+        if ok:
+            rem -= c
+        accepted.append(ok)
+    pdf["accepted"] = accepted
+    return pdf[["key", "grp", "cost_c", "budget_c", "accepted"]]
+
+
+_REC_FOLD_SQL = """
+rec AS (
+  SELECT key, grp, rk, cost_c, budget_c,
+         cost_c <= budget_c AS accepted,
+         CASE WHEN cost_c <= budget_c THEN budget_c - cost_c
+              ELSE budget_c END AS remaining
+  FROM req WHERE rk = 1
+  UNION ALL
+  SELECT q.key, q.grp, q.rk, q.cost_c, q.budget_c,
+         q.cost_c <= r.remaining,
+         CASE WHEN q.cost_c <= r.remaining THEN r.remaining - q.cost_c
+              ELSE r.remaining END
+  FROM req q JOIN rec r ON q.key = r.key AND q.rk = r.rk + 1
+)
+"""
+
+# ------------------------------------------------ task-post batch (write path)
+
+_POST_TASK_ORACLE = f"""
+WITH RECURSIVE {duck_cte("ref_tasks", "ref_users")},
+req AS (
+  SELECT t.buyer_email AS key, t.buyer_email AS grp,
+         CAST(round(t.required_workers * t.payable_amount * 100) AS BIGINT)
+           AS cost_c,
+         CAST(round(u.coins * 100) AS BIGINT) AS budget_c,
+         row_number() OVER (PARTITION BY t.buyer_email
+                            ORDER BY t.createdAt, t.id) AS rk
+  FROM ref_tasks t JOIN ref_users u ON u.email = t.buyer_email
+  WHERE u.role = 'buyer' AND t.required_workers > 0 AND t.payable_amount > 0
+),
+{_REC_FOLD_SQL}
+SELECT key AS buyer_email,
+       count(*) AS n_requested,
+       count(*) FILTER (WHERE accepted) AS n_posted,
+       count(*) FILTER (WHERE NOT accepted) AS n_rejected_budget,
+       round(any_value(budget_c) / 100.0, 2) AS coins_before,
+       round(sum(CASE WHEN accepted THEN cost_c ELSE 0 END) / 100.0, 2)
+         AS coins_spent,
+       round((any_value(budget_c)
+              - sum(CASE WHEN accepted THEN cost_c ELSE 0 END)) / 100.0, 2)
+         AS coins_after
+FROM rec
+GROUP BY key
+ORDER BY coins_spent DESC, buyer_email
+LIMIT 20
+"""
+
+
+@register(
+    "ref_post_task_batch",
+    oracle=_POST_TASK_ORACLE,
+    tags=("reference", "mutation", "join", "agg"),
+)
+def ref_post_task_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The task-post WRITE lifecycle (index.js:443-514: field validation →
+    S2 user lookup → F7 role + numeric guards → coin-budget guard →
+    S6 $inc coins -= totalCost → S4 insert) replayed as a batch: every
+    task row is a post request, processed per buyer in creation order
+    (createdAt, id). Output is the resulting per-buyer coin ledger
+    (top-20 by coins spent).
+
+    Faithful semantics: totalCost = required_workers × payable_amount
+    (index.js:483); the role guard admits only users whose role is
+    exactly 'buyer' (index.js:478-480); the numeric guards reject
+    non-positive workers/amounts (index.js:469-472); and because the
+    endpoint re-reads coins per request, the budget check is the
+    sequential greedy-skip fold — a rejected post consumes no coins and a
+    later cheaper post can still succeed, which no prefix-cumsum
+    reproduces. The fold runs in integer cents (exact in both engines).
+
+    Plan: tasks join the tenancy-sized users dim (AQE broadcasts), one
+    shuffle co-groups each buyer's requests for the Arrow-batched fold,
+    then a per-buyer aggregation and TakeOrderedAndProject with the
+    unique email tiebreak."""
+    tasks = reference_table(spark, "ref_tasks")
+    users = reference_table(spark, "ref_users").select("email", "role", "coins")
+    req = (
+        tasks.join(users, tasks["buyer_email"] == users["email"])
+        .filter(
+            (F.col("role") == "buyer")
+            & (F.col("required_workers") > 0)
+            & (F.col("payable_amount") > 0)
+        )
+        .select(
+            F.col("buyer_email").alias("key"),
+            F.col("buyer_email").alias("grp"),
+            F.col("createdAt").alias("ord_ts"),
+            F.col("id").alias("ord_id"),
+            F.round(F.col("required_workers") * F.col("payable_amount") * 100)
+            .cast("long")
+            .alias("cost_c"),
+            F.round(F.col("coins") * 100).cast("long").alias("budget_c"),
+        )
+    )
+    folded = req.groupBy("key").applyInPandas(_greedy_budget_fold, _FOLD_SCHEMA)
+    spent_c = F.sum(F.when(F.col("accepted"), F.col("cost_c")).otherwise(F.lit(0)))
+    return (
+        folded.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_requested"),
+            F.count_if(F.col("accepted")).alias("n_posted"),
+            F.count_if(~F.col("accepted")).alias("n_rejected_budget"),
+            F.round(F.any_value("budget_c") / 100.0, 2).alias("coins_before"),
+            F.round(spent_c / 100.0, 2).alias("coins_spent"),
+            F.round((F.any_value("budget_c") - spent_c) / 100.0, 2).alias(
+                "coins_after"
+            ),
+        )
+        .withColumnRenamed("key", "buyer_email")
+        .orderBy(F.col("coins_spent").desc(), "buyer_email")
+        .limit(20)
+    )
+
+
+# ----------------------------------------- withdrawal-approve batch (write path)
+
+_APPROVE_WITHDRAWAL_ORACLE = f"""
+WITH RECURSIVE {duck_cte("ref_withdrawals", "ref_users", "ref_submissions")},
+earned AS (
+  SELECT worker_email,
+         sum(CAST(round(coalesce(payable_amount, 0) * 100) AS BIGINT))
+           AS earned_c
+  FROM ref_submissions WHERE status = 'approved' GROUP BY worker_email
+),
+req AS (
+  SELECT w.worker_email AS key, w.payment_system AS grp,
+         CAST(round(w.withdrawal_coin * 100) AS BIGINT) AS cost_c,
+         CAST(round(u.coins * 100) AS BIGINT) + coalesce(e.earned_c, 0)
+           AS budget_c,
+         row_number() OVER (PARTITION BY w.worker_email
+                            ORDER BY w.withdraw_date, w.id) AS rk
+  FROM ref_withdrawals w
+  JOIN ref_users u ON u.email = w.worker_email
+  LEFT JOIN earned e ON e.worker_email = w.worker_email
+  WHERE w.status <> 'approved'
+),
+{_REC_FOLD_SQL}
+SELECT grp AS payment_system,
+       count(*) AS n_processed,
+       count(*) FILTER (WHERE accepted) AS n_approved,
+       count(*) FILTER (WHERE NOT accepted) AS n_rejected_insufficient,
+       round(sum(CASE WHEN accepted THEN cost_c ELSE 0 END) / 100.0, 2)
+         AS coins_paid
+FROM rec
+GROUP BY grp
+ORDER BY payment_system
+"""
+
+
+@register(
+    "ref_approve_withdrawal_batch",
+    oracle=_APPROVE_WITHDRAWAL_ORACLE,
+    tags=("reference", "mutation", "join", "agg"),
+)
+def ref_approve_withdrawal_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admin withdrawal-approve WRITE lifecycle (index.js:1336-1371:
+    S2 withdrawal find → already-approved guard → S2 user lookup →
+    coins-sufficiency guard → S6 $inc coins → S5 $set approved) replayed
+    as a batch over all pending withdrawals, per worker in request order
+    (withdraw_date, id). Output: per-payment-system approval census and
+    coins paid.
+
+    Composition with the earning flow: a worker's spendable balance is
+    users.coins PLUS the earnings the approve-submission endpoint
+    credited (index.js:829) — rows whose status is exactly 'approved';
+    rows carrying the misspelled 'approve' were written by the
+    unvalidated client insert (index.js:925-935), never passed through
+    the crediting endpoint, and contribute nothing — the §2.11 spelling
+    quirk surfacing in a second write gate. The endpoint re-reads coins
+    per request (index.js:1347-1358), so sufficiency is the same
+    greedy-skip integer-cents fold: a too-large withdrawal is rejected
+    and consumes nothing, a later smaller one may still clear. The
+    sub-200-coin rows (FIXTURES §C) flow through unguarded — the minimum
+    applies at request creation (index.js:1062), not at approval.
+
+    Plan: withdrawals join the users dim and the per-worker earnings
+    aggregate (itself partial-agg'd from submissions); one shuffle
+    co-groups each worker's pending requests for the Arrow fold; the
+    final census is a 4-group aggregation."""
+    wd = reference_table(spark, "ref_withdrawals")
+    users = reference_table(spark, "ref_users").select("email", "coins")
+    subs = reference_table(spark, "ref_submissions")
+    earned = (
+        subs.filter(F.col("status") == "approved")
+        .groupBy("worker_email")
+        .agg(
+            F.sum(
+                F.round(F.coalesce("payable_amount", F.lit(0.0)) * 100).cast("long")
+            ).alias("earned_c")
+        )
+    )
+    req = (
+        wd.filter(F.col("status") != "approved")
+        .join(users, wd["worker_email"] == users["email"])
+        .join(earned, "worker_email", "left")
+        .select(
+            F.col("worker_email").alias("key"),
+            F.col("payment_system").alias("grp"),
+            F.col("withdraw_date").alias("ord_ts"),
+            F.col("id").alias("ord_id"),
+            F.round(F.col("withdrawal_coin") * 100).cast("long").alias("cost_c"),
+            (
+                F.round(F.col("coins") * 100).cast("long")
+                + F.coalesce("earned_c", F.lit(0))
+            ).alias("budget_c"),
+        )
+    )
+    folded = req.groupBy("key").applyInPandas(_greedy_budget_fold, _FOLD_SCHEMA)
+    return (
+        folded.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_processed"),
+            F.count_if(F.col("accepted")).alias("n_approved"),
+            F.count_if(~F.col("accepted")).alias("n_rejected_insufficient"),
+            F.round(
+                F.sum(F.when(F.col("accepted"), F.col("cost_c")).otherwise(F.lit(0)))
+                / 100.0,
+                2,
+            ).alias("coins_paid"),
+        )
+        .withColumnRenamed("grp", "payment_system")
+        .orderBy("payment_system")
+    )

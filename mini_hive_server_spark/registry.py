@@ -99,7 +99,10 @@ _QUERY_MODULES = (
 # events_tumbling_hourly r1-r3, multimodal_feature_extract r3,
 # buyer_home_dashboard r3, q12_late_lines r1) rotate out for the six new
 # round-5 curation queries (Gopher rules, boilerplate templates, bigram
-# repetition, perplexity buckets, SemDeDup clusters, z-score outliers).
+# repetition, perplexity buckets, SemDeDup clusters, z-score outliers);
+# two more re-confirmation slots (dedup_embedding_cosine r3,
+# similarity_cosine_topk r3) rotate out for the round-5 reference WRITE
+# lifecycles (task post, withdrawal approve).
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -152,11 +155,12 @@ _DRIVER_WINDOW = (
     "text_perplexity_buckets",
     "dedup_semantic_clusters",
     "events_value_outliers",
+    # --- new round-5 reference write lifecycles (never driver-checked) ---
+    "ref_post_task_batch",
+    "ref_approve_withdrawal_batch",
     # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
     "dedup_minhash_lsh",
     "dedup_lsh_clusters",
-    "dedup_embedding_cosine",
-    "similarity_cosine_topk",
     "similarity_lsh_ann",
     # --- headline kept warm ---
     "q1_pricing_summary",
