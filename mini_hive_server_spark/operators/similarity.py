@@ -515,3 +515,82 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 4).alias("centroid"))
         .orderBy("label", "dim")
     )
+
+
+# ------------------------------------------------ filtered vector search
+
+_FILTERED_TOPK_ORACLE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+keep AS (
+  SELECT doc_id FROM documents WHERE lang = 'en' AND n_chars >= 200
+),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+pairs AS (
+  SELECT qid, e.vec_id AS nid,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+           AS cosine
+  FROM q, e
+  WHERE e.vec_id <> qid AND e.vec_id IN (SELECT doc_id FROM keep)
+),
+ranked AS (
+  SELECT qid, nid, cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+  FROM pairs
+)
+SELECT qid, nid, cosine, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
+@register(
+    "similarity_filtered_topk", oracle=_FILTERED_TOPK_ORACLE, tags=("llm", "similarity")
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search — top-5 cosine neighbors among only the
+    vectors whose DOCUMENT passes an attribute predicate (lang = 'en' AND
+    n_chars >= 200): the retrieval shape RAG pipelines actually run,
+    and the classically hard ANN case because the filter decimates every
+    index bucket.
+
+    The engine PRE-filters: the predicate is evaluated on the metadata
+    table (documents — where Parquet pushes both conjuncts to the scan,
+    embeddings untouched), and a left-semi join on the key restricts the
+    vector relation BEFORE any distance work; only doc ids cross the
+    join, never text or vectors. Exact scoring over the filtered subset
+    is the right plan whenever the predicate is selective — cost is
+    O(|filtered| x queries), and at 1% selectivity brute force over the
+    survivors beats probing an ANN index whose buckets are 99% dead
+    post-filter. For broad predicates the IVF tier composes the other
+    way (probe first, post-filter candidates); the crossover is a
+    selectivity estimate away, same as any scan-vs-index choice."""
+    docs_keep = (
+        load_tables(spark, sf_dir)["documents"]
+        .filter((F.col("lang") == "en") & (F.col("n_chars") >= 200))
+        .select("doc_id")
+    )
+    emb = (
+        parallelize_scan(load_tables(spark, sf_dir)["embeddings"], "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qnrm"),
+    )
+    from pyspark.sql import Window
+
+    corpus = emb.join(docs_keep, emb["vec_id"] == docs_keep["doc_id"], "left_semi")
+    pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.round(_dot("qv", "v") / (F.col("qnrm") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "cosine", "rank")
+        .orderBy("qid", "rank")
+    )

@@ -102,7 +102,11 @@ _QUERY_MODULES = (
 # repetition, perplexity buckets, SemDeDup clusters, z-score outliers);
 # two more re-confirmation slots (dedup_embedding_cosine r3,
 # similarity_cosine_topk r3) rotate out for the round-5 reference WRITE
-# lifecycles (task post, withdrawal approve).
+# lifecycles (task post, withdrawal approve), and two join re-checks whose
+# shapes are already re-proven on their reference-shaped twins
+# (lookup_join_defaults → ref_worker_submission_page, join_theta_balance →
+# ref_withdrawal_queue, both green r3) rotate out for the round-5 filtered
+# vector search and the dynamic-partition-overwrite incremental rollup.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -145,9 +149,10 @@ _DRIVER_WINDOW = (
     "q20_promo_suppliers",
     "q21_waiting_supplier",
     "argmin_cheapest_order",
-    "lookup_join_defaults",
     "join_chain_2hop",
-    "join_theta_balance",
+    # --- new round-5 retrieval + maintenance ops (never driver-checked) ---
+    "similarity_filtered_topk",
+    "source_incremental_rollup",
     # --- new round-5 curation family (never driver-checked) ---
     "text_gopher_quality",
     "text_boilerplate_templates",

@@ -389,3 +389,117 @@ def source_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------- incremental rollup (dynamic overwrite)
+
+_INCR_ROLLUP_ORACLE = """
+SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY day, event_type
+ORDER BY day, event_type
+"""
+
+
+def _rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events projected to rollup grain plus the late-arrival marker: the
+    delta is 10% of rows (event_id % 10) restricted to the corpus's LAST
+    3 days — late arrivals land near the watermark, not uniformly across
+    history. The max-day anchor joins in as a 1-row broadcast aggregate
+    (provably tiny at any SF), no driver-side collect."""
+    events = load_tables(spark, sf_dir)["events"].select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        "event_id",
+    )
+    max_day = events.agg(F.max("day").alias("max_day"))
+    return events.crossJoin(F.broadcast(max_day)).withColumn(
+        "is_delta",
+        (F.col("event_id") % 10 == 0)
+        & (F.datediff(F.col("max_day"), F.col("day")) <= 2),
+    )
+
+
+def _rollup(df: DataFrame) -> DataFrame:
+    return df.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value")
+    )
+
+
+def write_rollup_base(spark: SparkSession, sf_dir: str, out: str) -> None:
+    """Base load: full overwrite of the day-partitioned rollup from
+    everything that has arrived on time."""
+    ev = _rollup_events(spark, sf_dir)
+    _rollup(ev.filter(~F.col("is_delta"))).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(out)
+
+
+def merge_rollup_delta(spark: SparkSession, sf_dir: str, out: str) -> None:
+    """Delta load: aggregate the late arrivals alone, merge with ONLY the
+    affected base partitions (semi-join on the delta's day set), and
+    dynamic-overwrite — partitions absent from the write are untouched
+    on disk (file-identity asserted in tests/test_sources.py)."""
+    ev = _rollup_events(spark, sf_dir)
+    delta = _rollup(ev.filter(F.col("is_delta")))
+    affected = delta.select("day").distinct()
+    base_cols = ["day", "event_type", "n_events", "total_value"]
+    base_affected = (
+        spark.read.parquet(out)
+        .withColumn("day", F.col("day").cast("string"))
+        .join(affected, "day", "left_semi")
+        .select(*base_cols)
+    )
+    merged = (
+        base_affected.union(delta.select(*base_cols))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("total_value").alias("total_value"),
+        )
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy("day").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+@register("source_incremental_rollup", oracle=_INCR_ROLLUP_ORACLE, tags=("source", "sink"))
+def source_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance via DYNAMIC partition
+    overwrite — the batch pattern that keeps a 100 TB daily aggregate
+    fresh without recomputing history. A base load writes the
+    day-partitioned rollup from on-time events; the late-arriving delta
+    (10% of rows in the last 3 days) is aggregated alone, merged with
+    ONLY the affected base partitions, and written back with
+    `spark.sql.sources.partitionOverwriteMode=dynamic`, which replaces
+    exactly the partitions present in the write — every other day's
+    files stay untouched (file-identity asserted in tests). The oracle
+    is the full recompute over all events: incremental maintenance must
+    be indistinguishable from it.
+
+    At scale this is the whole point: the merge reads |affected days|
+    partitions of an already-aggregated table (rows = days x types, not
+    raw events) plus the delta, so daily maintenance cost is
+    proportional to the delta's day-spread, not to history. Counts merge
+    by sum; re-aggregation of partial sums is exact for count and
+    2-decimal stable for the double sum."""
+    out = _tmp_dir(sf_dir, "events_rollup_by_day")
+    write_rollup_base(spark, sf_dir, out)
+    merge_rollup_delta(spark, sf_dir, out)
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "event_type",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )

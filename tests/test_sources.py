@@ -89,3 +89,41 @@ def test_zorder_rowgroups_bound_both_dims(spark, tmp_path):
         f"z-order user spread {z:.0f} not substantially narrower than "
         f"time-sorted {t:.0f}"
     )
+
+
+def test_incremental_rollup_leaves_unaffected_partitions_untouched(spark):
+    """Dynamic partition overwrite must replace ONLY the partitions
+    present in the merge write: the base files of every day outside the
+    delta's 3-day late-arrival window keep their exact file identities
+    (Spark part-file names embed a per-write UUID, so any rewrite would
+    change them), while every affected day's files are replaced."""
+    import os
+
+    from mini_hive_server_spark.sources.connectors import (
+        _tmp_dir,
+        merge_rollup_delta,
+        write_rollup_base,
+    )
+
+    out = _tmp_dir(SF_SMOKE, "events_rollup_by_day")
+    write_rollup_base(spark, SF_SMOKE, out)
+
+    def listing():
+        return {
+            d: sorted(os.listdir(os.path.join(out, d)))
+            for d in os.listdir(out)
+            if d.startswith("day=")
+        }
+
+    before = listing()
+    merge_rollup_delta(spark, SF_SMOKE, out)
+    after = listing()
+
+    assert set(after) == set(before), "merge must not add or drop day partitions"
+    days = sorted(before)
+    affected = set(days[-3:])  # delta = last 3 days by construction
+    changed = {d for d in days if before[d] != after[d]}
+    assert changed == affected, (
+        f"expected exactly the last-3-day partitions rewritten; "
+        f"changed={sorted(changed)} affected={sorted(affected)}"
+    )
