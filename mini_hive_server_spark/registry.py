@@ -106,7 +106,9 @@ _QUERY_MODULES = (
 # shapes are already re-proven on their reference-shaped twins
 # (lookup_join_defaults → ref_worker_submission_page, join_theta_balance →
 # ref_withdrawal_queue, both green r3) rotate out for the round-5 filtered
-# vector search and the dynamic-partition-overwrite incremental rollup.
+# vector search and the dynamic-partition-overwrite incremental rollup;
+# join_chain_2hop (green r1, shape plan-tested) rotates out for the
+# left-outer stream-stream join with its flush-sentinel drain.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -149,10 +151,10 @@ _DRIVER_WINDOW = (
     "q20_promo_suppliers",
     "q21_waiting_supplier",
     "argmin_cheapest_order",
-    "join_chain_2hop",
     # --- new round-5 retrieval + maintenance ops (never driver-checked) ---
     "similarity_filtered_topk",
     "source_incremental_rollup",
+    "streaming_stream_stream_left_join",
     # --- new round-5 curation family (never driver-checked) ---
     "text_gopher_quality",
     "text_boilerplate_templates",

@@ -42,11 +42,15 @@ def _events_schema(ts_type: T.DataType) -> T.StructType:
     )
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, glob: str = "events.parquet"
+) -> DataFrame:
     """File-stream source over the events parquet, ts normalized to a Spark
     TIMESTAMP (µs, UTC session) — same three-encoding contract as the batch
     reader (catalog._read_events); the footer probe is shared so batch and
-    streaming can never diverge on decode."""
+    streaming can never diverge on decode. `glob` widens the file pin for
+    staged source dirs that add files beside the events copy (the flush
+    sentinel)."""
     kind = events_ts_encoding(sf_dir)
     if kind == "ns":
         try:
@@ -63,7 +67,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(_events_schema(ts_type))
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", glob)
         .load(sf_dir)
     )
     if kind == "ns":
@@ -485,3 +489,159 @@ def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_to_memory(agg, "mhs_stream_enrich", "complete")
     return spark.table("mhs_stream_enrich").orderBy("c_mktsegment", "event_type")
+
+
+# -------------------------------------------- left-outer stream-stream join
+
+def stage_events_with_flush_sentinel(sf_dir: str) -> str:
+    """Copy the events file into a scratch stream-source directory and add
+    a one-row sentinel parquet whose ts sits 2 hours past the corpus max.
+
+    Stream-stream OUTER joins emit their null rows only when the
+    watermark passes a buffered row's match-window — so over a FINITE
+    source the newest unmatched rows sit in state forever and the
+    drained result depends on internal watermark propagation, not on the
+    data. The sentinel is the deterministic fix: it advances the
+    watermark past every real row's expiry, every orphan is emitted, and
+    the drained stream equals the batch left join exactly. In production
+    the stream is infinite and the watermark does this continuously; the
+    sentinel is the standard end-of-stream flush for bounded replays and
+    backfills.
+
+    The sentinel is written with the SOURCE FILE's own arrow schema, so
+    all three historical ts encodings (ns, ntz-µs, tz-µs) stay
+    readable under the single declared schema the source requires."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from ..sources.connectors import _tmp_dir
+
+    src = os.path.join(sf_dir, "events.parquet")
+    out = _tmp_dir(sf_dir, "events_flush_src")
+    os.makedirs(out, exist_ok=True)
+    dst = os.path.join(out, "events.parquet")
+    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
+        shutil.copyfile(src, dst)
+    sentinel = os.path.join(out, "sentinel.parquet")
+    if not os.path.exists(sentinel) or os.path.getmtime(sentinel) < os.path.getmtime(src):
+        tbl = pq.read_table(src, columns=["ts"])
+        schema = pq.read_schema(src)
+        ts_type = schema.field("ts").type
+        if pa.types.is_timestamp(ts_type):
+            two_h = pa.scalar(7200 * 10 ** {"s": 0, "ms": 3, "us": 6, "ns": 9}[ts_type.unit], pa.duration(ts_type.unit))
+            flush_ts = pc.add(pc.max(tbl["ts"]), two_h)
+        else:  # ns-as-int64 vintage
+            flush_ts = pc.add(pc.max(tbl["ts"]), pa.scalar(7200 * 10 ** 9, ts_type))
+        # one sentinel row PER JOIN SIDE, typed to pass that side's filter:
+        # Catalyst pushes deterministic predicates below the
+        # EventTimeWatermark node, so a row that fails the event_type
+        # filter never reaches the watermark stats — a neutral
+        # '__flush__' type advances nothing (measured; the first cut of
+        # this helper did exactly that). The impossible user_id = -1
+        # keeps sentinel rows out of every real join group; the query
+        # filters them from its output.
+        row = {
+            "event_id": [-1, -2],
+            "ts": pa.array([flush_ts.as_py(), flush_ts.as_py()], ts_type),
+            "user_id": [-1, -1],
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 0.0],
+            "props": ["{}", "{}"],
+        }
+        pq.write_table(
+            pa.table(row, schema=schema), sentinel, version="2.6"
+        )
+    return out
+
+
+_STREAM_SS_LEFT_JOIN_ORACLE = """
+WITH c AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id,
+       count(*) AS n_rows,
+       count(p.value) AS n_matched,
+       count(*) FILTER (WHERE p.value IS NULL) AS n_orphan_clicks,
+       round(sum(coalesce(p.value, 0)), 2) AS purchase_value
+FROM c LEFT JOIN p
+  ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
+GROUP BY c.user_id
+ORDER BY c.user_id
+"""
+
+
+@register(
+    "streaming_stream_stream_left_join",
+    oracle=_STREAM_SS_LEFT_JOIN_ORACLE,
+    tags=("streaming", "join"),
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM LEFT OUTER join: the attribution join that also
+    reports unconverted clicks — each click with no purchase inside its
+    one-hour window emits a null-extended row once the watermark proves
+    no qualifying purchase can still arrive. This is the harder half of
+    stream-stream joins: inner results flow as matches happen, but outer
+    rows exist only through state EVICTION, so watermarks on both sides
+    plus the time-range constraint are load-bearing for correctness, not
+    just for state size.
+
+    The source is staged with an end-of-stream flush sentinel
+    (`stage_events_with_flush_sentinel`): over a bounded replay the
+    sentinel advances the watermark past every click's window so ALL
+    orphans emit and the drained result equals the batch left join — the
+    exact oracle. The sentinel ships one click-typed and one
+    purchase-typed row under an impossible user id because Catalyst
+    pushes the event-type filter BELOW the EventTimeWatermark node — a
+    neutral sentinel type never reaches the watermark stats (measured;
+    see stage_events_with_flush_sentinel). Sentinel rows are dropped
+    from the output. State stays one constraint-window wide per user,
+    same as the inner variant."""
+    src_dir = stage_events_with_flush_sentinel(sf_dir)
+
+    def side(event_type: str) -> DataFrame:
+        # watermark attaches upstream of the type filter: the sentinel
+        # must pass through the EventTimeWatermark node to advance the
+        # clock, then drop out of the join input
+        return (
+            read_events_stream(spark, src_dir, glob="*.parquet")
+            .withWatermark("ts", "10 minutes")
+            .filter(F.col("event_type") == event_type)
+        )
+
+    clicks = side("click").select("user_id", F.col("ts").alias("click_ts"))
+    purchases = side("purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    run_to_memory(pairs, "mhs_stream_ss_left_join", "append")
+    # drop the sentinel rows (user_id = -1) staged to drive the watermark
+    out = spark.table("mhs_stream_ss_left_join").filter(F.col("user_id") >= 0)
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("value").alias("n_matched"),
+            F.count_if(F.col("value").isNull()).alias("n_orphan_clicks"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )

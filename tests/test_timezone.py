@@ -33,6 +33,9 @@ _TZ_SENSITIVE = (
     # live until round 4 — these two failed under America/New_York)
     "ref_worker_submission_page",
     "ref_notifications_feed",
+    # round 5: renders day strings from event timestamps on both the
+    # write and read side of the partitioned rollup
+    "source_incremental_rollup",
 )
 
 
