@@ -532,3 +532,97 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------------------- model-based quality classifier
+
+# Fixed logistic-regression weights over the rule features — the GPT-3 /
+# fastText-style learned quality filter's plan shape with a deterministic
+# stand-in for trained coefficients (training itself is out of engine
+# scope; deployment is: broadcast coefficients, map-side score).
+_LR_W = {"bias": -1.0, "nw": 0.02, "awl": 0.15, "stop": 0.08, "rep": -6.0}
+
+_CLASSIFIER_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS w FROM documents
+),
+m AS (
+  SELECT source,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac
+  FROM t
+),
+s AS (
+  SELECT source,
+         1.0 / (1.0 + exp(-({_LR_W['bias']} + {_LR_W['nw']} * nw
+                            + {_LR_W['awl']} * awl + {_LR_W['stop']} * ns
+                            + {_LR_W['rep']} * top_frac))) AS score
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE score > 0.5) AS n_keep,
+       round(avg(score), 4) AS avg_score
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register(
+    "text_quality_classifier", oracle=_CLASSIFIER_ORACLE, tags=("llm", "text", "pipeline")
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: a logistic regression over the rule
+    features (word count, mean word length, stopword evidence, top-word
+    repetition) scores every document and a 0.5 threshold gates it — the
+    GPT-3-style learned quality classifier's deployment shape. The
+    coefficients here are fixed stand-ins (training is out of engine
+    scope); swapping in trained weights changes no plan.
+
+    Deployment is the point: coefficients are literals folded into a
+    map-only codegen'd expression — no model server round-trip, no UDF,
+    no shuffle except the per-source census. The same shape serves any
+    linear scorer at 100 TB; a fastText-style bag-of-ngrams model lifts
+    to a broadcast weight-table join plus this identical sigmoid."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "source", "text")).select(
+        "source", F.expr(_WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    m = t.select(
+        "source",
+        nw.alias("nw"),
+        (
+            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+            * F.lit(1.0)
+            / nw
+        ).alias("awl"),
+        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
+        (
+            F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+            * F.lit(1.0)
+            / nw
+        ).alias("top_frac"),
+    )
+    logit = (
+        F.lit(_LR_W["bias"])
+        + F.lit(_LR_W["nw"]) * F.col("nw")
+        + F.lit(_LR_W["awl"]) * F.col("awl")
+        + F.lit(_LR_W["stop"]) * F.col("ns")
+        + F.lit(_LR_W["rep"]) * F.col("top_frac")
+    )
+    s = m.select("source", (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"))
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(F.col("score") > 0.5).alias("n_keep"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("source")
+    )

@@ -13,6 +13,9 @@ corpus partitions.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: the grouped-agg UDAF's type hint must
+# resolve from module globals (PEP 563 stringifies annotations and pyspark's
+# infer_eval_type resolves them against the defining module's namespace)
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -335,4 +338,50 @@ def text_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_chars"), 2).alias("avg_chars"),
         )
         .orderBy("split")
+    )
+
+
+_GEOMEAN_UDAF_ORACLE = """
+SELECT lang,
+       count(*) AS n_docs,
+       round(exp(avg(ln(n_chars))), 2) AS geomean_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register(
+    "text_geomean_chars_udaf", oracle=_GEOMEAN_UDAF_ORACLE, tags=("llm", "text", "udf")
+)
+def text_geomean_chars_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pandas GROUPED_AGG UDAF surface: per-language geometric mean of
+    document length as a vectorized aggregate (Series -> scalar, Arrow
+    batch transfer) — completing the Python extension matrix alongside
+    the scalar pandas_udf, the UDTF, applyInPandas, and
+    applyInPandasWithState. For THIS aggregate the builtin
+    exp(avg(ln(x))) is the production path (and is the oracle); the UDAF
+    slot exists for aggregates with no algebraic decomposition.
+
+    A grouped-agg pandas UDF is a full-group aggregate, not a partial
+    one: unlike builtin sum/avg there is NO map-side combine — every row
+    crosses the group shuffle. That cost profile is exactly why the
+    engine keeps UDAFs out of hot paths and why the builtin twin is
+    registered as the oracle, not the other way around."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geomean(chars: pd.Series) -> float:
+        return float(np.exp(np.log(chars.to_numpy(dtype="float64")).mean()))
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # a grouped-agg pandas UDF cannot share an agg() with builtin
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — two aggregations over
+    # the same grouping join back on the key (both are lang-cardinality)
+    gm = docs.groupBy("lang").agg(F.round(geomean("n_chars"), 2).alias("geomean_chars"))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        counts.join(gm, "lang")
+        .select("lang", "n_docs", "geomean_chars")
+        .orderBy("lang")
     )

@@ -108,7 +108,10 @@ _QUERY_MODULES = (
 # ref_withdrawal_queue, both green r3) rotate out for the round-5 filtered
 # vector search and the dynamic-partition-overwrite incremental rollup;
 # join_chain_2hop (green r1, shape plan-tested) rotates out for the
-# left-outer stream-stream join with its flush-sentinel drain.
+# left-outer stream-stream join with its flush-sentinel drain; and two
+# r1-green TPC-H re-checks (q14_promo_revenue, q16_supplier_cnt — values
+# untouched by the hint unpinning) rotate out for the round-5 LR quality
+# classifier and the grouped-agg UDAF.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -142,9 +145,9 @@ _DRIVER_WINDOW = (
     "q9_product_profit",
     "q10_returned_items",
     "q11_value_concentration",
-    "q14_promo_revenue",
+    "text_quality_classifier",  # round-5 LR quality filter (never checked)
     "q15_top_supplier",
-    "q16_supplier_cnt",
+    "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)
     "q17_small_quantity",
     "q18_large_orders",
     "q19_disjunctive_revenue",

@@ -364,3 +364,15 @@ def test_outliers_window_single_pass(spark):
     plan = _plan(spark, "events_value_outliers")
     assert "Join" not in plan, plan
     assert _shuffles(plan) <= 2, plan  # user_id window + event_type agg
+
+
+def test_filtered_topk_prefilters_before_distance(spark):
+    """Filtered vector search guard: the attribute predicate must reach
+    the documents scan (PushedFilters) and restrict the vector relation
+    via a LEFT SEMI join BEFORE any distance work — only keys cross that
+    join, never embeddings."""
+    df = QS["similarity_filtered_topk"](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "LeftSemi" in plan, plan
+    assert "n_chars" in plan and "PushedFilters" in plan, plan
