@@ -80,13 +80,14 @@ def main() -> None:
         if name in failed:
             continue
         best, rows = float("inf"), 0
-        # min-of-2, plus a third rep for any query still >2s: the host
-        # shows multi-second CPU-steal bursts, and one burst landing on
-        # both reps of the heaviest query would otherwise be recorded as
-        # a regression.
+        # min-of-2, plus up to two extra reps for any query still >2s:
+        # the host shows multi-second CPU-steal bursts (round-5
+        # measurement: the one >2s query varied 1.9-6.0s across runs on
+        # load-average-6 neighbors), and a burst landing on every rep of
+        # the heaviest query would otherwise be recorded as a regression.
         try:
-            for rep in range(3):
-                if rep == 2 and best <= 2.0:
+            for rep in range(4):
+                if rep >= 2 and best <= 2.0:
                     break
                 t0 = time.perf_counter()
                 rows = qs[name](spark, sf_dir).count()
