@@ -318,6 +318,13 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bh")
+    # persist the band relation: the candidate self-join is a diamond over
+    # `bands`, and without a cache boundary BOTH join branches re-run the
+    # whole explode→64-rehash-min-agg→banding pipeline (measured at sf0.1:
+    # signature+banding ≈ 0.44s per branch, the bucket-join stage 1.31s →
+    # 0.45s once persisted). 16 small rows per doc — cheap to cache at any
+    # scale relative to recomputing the signature pass twice.
+    bands = tracked_persist(bands)
     x = bands.alias("x")
     y = bands.alias("y")
     candidates = (
