@@ -626,3 +626,125 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ composite quality dashboard
+
+_REPORT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS w FROM documents
+),
+m AS (
+  SELECT source,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac,
+         CASE WHEN len(w) >= 2 THEN
+           (len(w) - 1
+            - len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+                                               i -> array_to_string(w[i:i+1], ' ')))))
+           * 1.0 / (len(w) - 1)
+         ELSE 0.0 END AS dup_bg_frac
+  FROM t
+),
+s AS (
+  SELECT source, nw, awl, ns, top_frac, dup_bg_frac,
+         1.0 / (1.0 + exp(-({_LR_W['bias']} + {_LR_W['nw']} * nw
+                            + {_LR_W['awl']} * awl + {_LR_W['stop']} * ns
+                            + {_LR_W['rep']} * top_frac))) AS score
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE nw BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+                          AND awl BETWEEN {_MIN_AWL} AND {_MAX_AWL}
+                          AND ns >= {_MIN_STOPWORDS}
+                          AND top_frac <= {_MAX_TOP_WORD_FRAC}) AS n_gopher_pass,
+       count(*) FILTER (WHERE score > 0.5) AS n_classifier_keep,
+       count(*) FILTER (WHERE dup_bg_frac > {_REP_FLAG_FRAC}) AS n_repetition_flagged,
+       round(avg(score), 4) AS avg_quality_score
+FROM s
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_quality_report", oracle=_REPORT_ORACLE, tags=("llm", "text", "pipeline"))
+def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite per-source quality dashboard: the Gopher rule gate, the
+    LR classifier gate, and the bigram repetition screen computed in ONE
+    corpus scan — the report a curation run publishes before choosing
+    per-source drop policies. The reference's dashboard analogue is A7
+    (multi-metric, one pass); this is the same discipline applied to the
+    curation layer: three screens that would naively be three jobs over
+    100 TB collapse into one words materialization, one pass of array
+    expressions, and one per-source aggregation."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "source", "text")).select(
+        "source", F.expr(_WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    n_bg = nw - 1
+    m = t.select(
+        "source",
+        nw.alias("nw"),
+        (
+            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
+            * F.lit(1.0)
+            / nw
+        ).alias("awl"),
+        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
+        (
+            F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
+            * F.lit(1.0)
+            / nw
+        ).alias("top_frac"),
+        F.when(
+            nw >= 2,
+            (
+                n_bg
+                - F.size(
+                    F.array_distinct(
+                        F.expr(
+                            "transform(sequence(1, size(w) - 1),"
+                            " i -> concat_ws(' ', slice(w, i, 2)))"
+                        )
+                    )
+                )
+            )
+            * F.lit(1.0)
+            / n_bg,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bg_frac"),
+    )
+    logit = (
+        F.lit(_LR_W["bias"])
+        + F.lit(_LR_W["nw"]) * F.col("nw")
+        + F.lit(_LR_W["awl"]) * F.col("awl")
+        + F.lit(_LR_W["stop"]) * F.col("ns")
+        + F.lit(_LR_W["rep"]) * F.col("top_frac")
+    )
+    s = m.withColumn("score", F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)))
+    gopher_pass = (
+        F.col("nw").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("awl").between(_MIN_AWL, _MAX_AWL)
+        & (F.col("ns") >= _MIN_STOPWORDS)
+        & (F.col("top_frac") <= _MAX_TOP_WORD_FRAC)
+    )
+    return (
+        s.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_if(gopher_pass).alias("n_gopher_pass"),
+            F.count_if(F.col("score") > 0.5).alias("n_classifier_keep"),
+            F.count_if(F.col("dup_bg_frac") > _REP_FLAG_FRAC).alias(
+                "n_repetition_flagged"
+            ),
+            F.round(F.avg("score"), 4).alias("avg_quality_score"),
+        )
+        .orderBy("source")
+    )

@@ -111,7 +111,8 @@ _QUERY_MODULES = (
 # left-outer stream-stream join with its flush-sentinel drain; and two
 # r1-green TPC-H re-checks (q14_promo_revenue, q16_supplier_cnt — values
 # untouched by the hint unpinning) rotate out for the round-5 LR quality
-# classifier and the grouped-agg UDAF.
+# classifier and the grouped-agg UDAF; q20_promo_suppliers (r1 green)
+# rotates out for the one-scan composite quality report.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -151,7 +152,7 @@ _DRIVER_WINDOW = (
     "q17_small_quantity",
     "q18_large_orders",
     "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
+    "text_quality_report",  # round-5 one-scan composite dashboard (never checked)
     "q21_waiting_supplier",
     "argmin_cheapest_order",
     # --- new round-5 retrieval + maintenance ops (never driver-checked) ---
