@@ -376,3 +376,13 @@ def test_filtered_topk_prefilters_before_distance(spark):
     plan = df._jdf.queryExecution().explainString(mode)
     assert "LeftSemi" in plan, plan
     assert "n_chars" in plan and "PushedFilters" in plan, plan
+
+
+def test_quality_report_single_scan(spark):
+    """The composite dashboard's whole point: three screens, ONE read of
+    the corpus — the plan must contain exactly one parquet scan of
+    documents."""
+    plan = _plan(spark, "text_quality_report")
+    # formatted mode prints each node once in the tree and once in the
+    # detail listing — count the numbered detail headers
+    assert plan.count(") Scan parquet") == 1, plan
