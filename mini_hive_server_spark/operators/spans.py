@@ -1,0 +1,167 @@
+"""Substring-level (span) deduplication across the corpus.
+
+Document-level dedup (exact / MinHash / SimHash — `operators/dedup.py`)
+misses the dominant failure mode in web-scale training data: long spans
+repeated across otherwise-distinct documents (boilerplate, licenses,
+quoted passages). The published treatment is suffix-array substring
+dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+Models Better"); a suffix array is a single-machine construction, so the
+distributed approximation every large pipeline actually ships is
+fixed-width rolling windows: hash every W-token window, find windows
+seen in more than one document, and report/remove the covered spans.
+
+Scale shape (the reason this form wins at 100 TB):
+
+* window generation is a map-only explode — no shuffle, no state;
+* the "seen in >1 doc" pass is one hash aggregation keyed on the window
+  hash (partial map-side count-distinct via the (wh, doc_id) pre-agg);
+* the flag-back join is keyed on the same window hash, so AQE plans it
+  from the measured size of the repeated set (duplicate-volume-
+  proportional, NOT corpus-proportional — never statically broadcast);
+* only 16-byte hashes shuffle, never the W-token text.
+
+A true suffix array finds arbitrary-length repeats; fixed-W windows
+find every repeat of length >= W (any such repeat contains a repeated
+W-window) at 1/W-th the candidate volume of per-position suffixes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables, parallelize_scan
+from ..persistence import tracked_persist
+from ..registry import register
+
+_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
+_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+_W = 12  # span window width in tokens (50 in published pipelines; 12 so
+# the 10-99-word synthetic fixture docs carry multi-window spans)
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS arr FROM documents
+),
+wins AS (
+  SELECT doc_id, source,
+         md5(array_to_string(arr[i:i+{_W - 1}], ' ')) AS wh
+  FROM toks, unnest(generate_series(1, len(arr) - {_W - 1})) AS t(i)
+  WHERE len(arr) >= {_W}
+),
+rep AS (
+  SELECT wh FROM wins GROUP BY wh HAVING count(DISTINCT doc_id) > 1
+),
+per_doc AS (
+  SELECT w.doc_id,
+         any_value(w.source) AS source,
+         count(*) AS n_pos,
+         count(r.wh) AS n_rep_pos
+  FROM wins w LEFT JOIN rep r ON w.wh = r.wh
+  GROUP BY w.doc_id
+),
+src_docs AS (
+  SELECT source, count(*) AS n_docs FROM toks GROUP BY source
+),
+src_flag AS (
+  SELECT source,
+         count(*) AS n_docs_windowed,
+         count(*) FILTER (WHERE n_rep_pos > 0) AS n_docs_flagged,
+         CAST(sum(n_pos) AS BIGINT) AS n_windows,
+         CAST(sum(n_rep_pos) AS BIGINT) AS n_rep_windows
+  FROM per_doc GROUP BY source
+),
+src_distinct AS (
+  SELECT w.source, count(DISTINCT w.wh) AS n_distinct_rep
+  FROM wins w JOIN rep r ON w.wh = r.wh
+  GROUP BY w.source
+)
+SELECT d.source,
+       d.n_docs,
+       coalesce(f.n_docs_flagged, 0) AS n_docs_flagged,
+       coalesce(f.n_windows, 0) AS n_windows,
+       coalesce(f.n_rep_windows, 0) AS n_rep_windows,
+       coalesce(x.n_distinct_rep, 0) AS n_distinct_rep
+FROM src_docs d
+LEFT JOIN src_flag f ON d.source = f.source
+LEFT JOIN src_distinct x ON d.source = x.source
+ORDER BY d.source
+"""
+
+
+@register("text_span_dedup", oracle=_SPAN_ORACLE, tags=("llm", "dedup", "text"))
+def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span census: hash every W-token window, mark windows
+    appearing in more than one document, and report per source how many
+    documents carry at least one corpus-repeated span, how many window
+    positions are repeated, and how many distinct repeated windows the
+    source contributes — the decision table for substring-level dedup
+    thresholds (the distributed approximation of Lee et al. 2021's
+    suffix-array dedup; see module docstring for the scale argument).
+
+    Plan: one map-only window explode; one hash agg on the window hash
+    (the only corpus-wide shuffle); a hash-keyed flag-back join whose
+    build side is duplicate-volume-proportional (AQE-sized, no static
+    broadcast hint); then per-doc and per-source aggregations over
+    already-tiny relations.
+    """
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text"),
+        "doc_id",
+    )
+    toks = docs.select("doc_id", "source", F.expr(_WORDS_SPARK).alias("arr"))
+    wins = (
+        toks.filter(F.size("arr") >= _W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(arr) - {_W - 1}),"
+                    f" i -> md5(concat_ws(' ', slice(arr, i, {_W}))))"
+                )
+            ).alias("wh"),
+        )
+    )
+    # wins feeds three consumers (repeated-set agg, flag-back join, the
+    # per-source distinct) — persist so the explode runs once per query.
+    wins = tracked_persist(wins)
+    rep = tracked_persist(
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("wh")
+    )
+    flagged = wins.join(rep.withColumn("is_rep", F.lit(1)), "wh", "left")
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.first("source").alias("source"),
+        F.count(F.lit(1)).alias("n_pos"),
+        F.count("is_rep").alias("n_rep_pos"),
+    )
+    src_docs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    src_flag = per_doc.groupBy("source").agg(
+        F.sum(F.when(F.col("n_rep_pos") > 0, 1).otherwise(0)).alias(
+            "n_docs_flagged"
+        ),
+        F.sum("n_pos").alias("n_windows"),
+        F.sum("n_rep_pos").alias("n_rep_windows"),
+    )
+    src_distinct = (
+        wins.join(rep, "wh")
+        .groupBy("source")
+        .agg(F.countDistinct("wh").alias("n_distinct_rep"))
+    )
+    return (
+        src_docs.join(src_flag, "source", "left")
+        .join(src_distinct, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_docs_flagged", F.lit(0)).alias("n_docs_flagged"),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_rep_windows", F.lit(0)).alias("n_rep_windows"),
+            F.coalesce("n_distinct_rep", F.lit(0)).alias("n_distinct_rep"),
+        )
+        .orderBy("source")
+    )

@@ -58,6 +58,7 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.pipeline",
     "mini_hive_server_spark.operators.contamination",
     "mini_hive_server_spark.operators.curation",
+    "mini_hive_server_spark.operators.spans",
     "mini_hive_server_spark.operators.multimodal",
     "mini_hive_server_spark.operators.sketches",
     "mini_hive_server_spark.operators.ingest",
@@ -113,6 +114,12 @@ _QUERY_MODULES = (
 # untouched by the hint unpinning) rotate out for the round-5 LR quality
 # classifier and the grouped-agg UDAF; q20_promo_suppliers (r1 green)
 # rotates out for the one-scan composite quality report.
+# Round 6 (still ahead of the first driver consumption of this window):
+# q-family re-confirmation slots — r1-green, value-invariant under the
+# hint unpinning, every shape plan-guard-tested — rotate out one-for-one
+# for the round-6 additions (substring-span dedup, CDC latest-wins merge,
+# count-min heavy hitters, PQ+ADC retrieval, audio chunk planning, file
+# compaction planning), which have never been driver-checked.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -142,7 +149,7 @@ _DRIVER_WINDOW = (
     "q3_shipping_priority",
     "q5_region_volume",
     "q7_nation_volume",
-    "q8_market_share",
+    "text_span_dedup",  # round-6 substring-span dedup (never checked)
     "q9_product_profit",
     "q10_returned_items",
     "q11_value_concentration",

@@ -386,3 +386,13 @@ def test_quality_report_single_scan(spark):
     # formatted mode prints each node once in the tree and once in the
     # detail listing — count the numbered detail headers
     assert plan.count(") Scan parquet") == 1, plan
+
+
+def test_span_dedup_flag_join_is_equi_join(spark):
+    """Substring-span dedup guard: the repeated-window flag-back must be
+    a window-hash equi-join (duplicate-volume-proportional build side) —
+    never an all-pairs form, and never a re-explode of the corpus per
+    candidate. Only 16-byte hashes may shuffle, not the W-token text."""
+    plan = _plan(spark, "text_span_dedup")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
