@@ -181,3 +181,74 @@ def profile_table_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(column_name, n_nulls, n_distinct, min_value, max_value)"
         )
     ).orderBy("column_name")
+
+
+# ------------------------------------------------- CDC latest-wins merge
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S"
+
+_CDC_MERGE_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS tsu, event_id,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id,
+       event_type AS last_type,
+       round(value, 2) AS last_value,
+       CAST(n_changes AS BIGINT) AS n_changes,
+       strftime(tsu, '{_TS_FMT_DUCK}') AS last_ts
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
+@register("ingest_cdc_merge", oracle=_CDC_MERGE_ORACLE, tags=("llm", "ingest", "cdc"))
+def ingest_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog compaction (latest-wins upsert merge with deletes):
+    the events fixture read as a change stream keyed on user_id — every
+    row is an upsert carrying (event_type, value), except 'error' rows
+    which act as tombstones; versions order by (ts, event_id). The merged
+    state keeps each key's latest non-tombstone image plus a change count
+    — the standing shape behind every lakehouse MERGE INTO / CDC-apply
+    job feeding a training corpus from operational stores.
+
+    Plan: ONE hash shuffle on the merge key drives both window functions
+    (row_number and the per-key change count share the same partitioning,
+    so Catalyst plans a single exchange + sort). At 100 TB the target
+    lives as a table bucketed on the key: compaction then shuffles only
+    the day's delta, history stays in place, and AQE skew-split covers
+    hot keys (the celebrity-user problem). The tombstone filter runs
+    AFTER rank selection — a delete must win over older upserts, not be
+    filtered into resurrecting them."""
+    events = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wall = Window.partitionBy("user_id")
+    ranked = events.select(
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wall).alias("n_changes"),
+    )
+    return (
+        ranked.filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_type"),
+            F.round("value", 2).alias("last_value"),
+            "n_changes",
+            F.date_format("ts", _TS_FMT_SPARK).alias("last_ts"),
+        )
+        .orderBy("user_id")
+    )

@@ -150,7 +150,7 @@ _DRIVER_WINDOW = (
     "q5_region_volume",
     "q7_nation_volume",
     "text_span_dedup",  # round-6 substring-span dedup (never checked)
-    "q9_product_profit",
+    "ingest_cdc_merge",  # round-6 CDC latest-wins merge (never checked)
     "q10_returned_items",
     "q11_value_concentration",
     "text_quality_classifier",  # round-5 LR quality filter (never checked)

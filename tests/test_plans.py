@@ -396,3 +396,13 @@ def test_span_dedup_flag_join_is_equi_join(spark):
     plan = _plan(spark, "text_span_dedup")
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_merge_single_key_exchange(spark):
+    """CDC compaction guard: rank selection and the per-key change count
+    must share ONE hash exchange on the merge key (same partitioning →
+    Catalyst fuses the two Window nodes behind a single shuffle). A
+    second key exchange here doubles the dominant cost of every
+    CDC-apply at 100 TB."""
+    plan = _plan(spark, "ingest_cdc_merge")
+    assert _shuffles(plan) == 1, plan
