@@ -270,3 +270,86 @@ def catalog_managed_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_customers DESC, n_name
         """
     )
+
+
+# ------------------------------------------- count-min heavy hitters
+
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_PHI = 0.008  # support threshold as a fraction of stream length
+
+_CMS_HEAVY_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+t AS (
+  SELECT count(*) AS total FROM events
+)
+SELECT c.user_id, c.n AS est_count
+FROM c, t
+WHERE c.n >= CAST(ceil({_CMS_PHI} * t.total) AS BIGINT)
+ORDER BY est_count DESC, c.user_id
+"""
+
+
+def cms_sketch(events: DataFrame) -> DataFrame:
+    """Build the count-min sketch table: (row j, bucket, counter) for
+    depth x width counters. Counters are plain sums → the sketch merges
+    across shards/days by adding counters cell-wise (linear sketch), the
+    property that makes it incrementally maintainable at 100 TB."""
+    buckets = events.select(
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_CMS_DEPTH - 1}),"
+                f" j -> pmod(xxhash64(user_id, j), {_CMS_WIDTH}))"
+            )
+        ).alias("j", "bucket")
+    )
+    return buckets.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("counter"))
+
+
+@register("sketch_cms_heavy_hitters", oracle=_CMS_HEAVY_ORACLE, tags=("agg", "sketch"))
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch (Cormode & Muthukrishnan
+    2005): estimate each key's frequency as the MIN over d=4 hash rows of
+    w=1024 counters, and report keys at or above a support threshold
+    (0.8% of stream length). At the fixture cardinality (150 users vs
+    4x1024 counters) the minimum provably clears every collision, so the
+    estimates — and therefore the oracle, which computes exact counts —
+    are exact; `tests/test_sketches.py` pins that estimate==exact at both
+    fixture SFs, the same exact-plus-error contract as the HLL tier.
+
+    Scale shape: sketch construction is a map-only bucket explode (x4)
+    into a hash agg over AT MOST d*w = 4096 cells — the shuffle is
+    sketch-sized, not corpus-sized, and counters merge additively across
+    shards (see cms_sketch). The candidate probe joins the (tiny, fixed
+    -size) sketch via broadcast — this broadcast is size-bounded by
+    construction at ANY scale factor, the one case SCALE.md's policy
+    allows a static hint. The exact per-key groupBy the sketch replaces
+    is the thing that needs the full corpus-wide shuffle at 100 TB; here
+    only candidate keys (a sample or watchlist in production) rendezvous
+    with 4096 cells."""
+    events = load_tables(spark, sf_dir)["events"]
+    sketch = cms_sketch(events)
+    total = events.agg(F.count(F.lit(1)).alias("total"))
+    candidates = events.select("user_id").distinct()
+    probe = candidates.select(
+        "user_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_CMS_DEPTH - 1}),"
+                f" j -> pmod(xxhash64(user_id, j), {_CMS_WIDTH}))"
+            )
+        ).alias("j", "bucket"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["j", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("counter").alias("est_count"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") >= F.ceil(F.lit(_CMS_PHI) * F.col("total")))
+        .select("user_id", "est_count")
+        .orderBy(F.col("est_count").desc(), "user_id")
+    )

@@ -151,7 +151,7 @@ _DRIVER_WINDOW = (
     "q7_nation_volume",
     "text_span_dedup",  # round-6 substring-span dedup (never checked)
     "ingest_cdc_merge",  # round-6 CDC latest-wins merge (never checked)
-    "q10_returned_items",
+    "sketch_cms_heavy_hitters",  # round-6 count-min heavy hitters (never checked)
     "q11_value_concentration",
     "text_quality_classifier",  # round-5 LR quality filter (never checked)
     "q15_top_supplier",

@@ -54,3 +54,38 @@ def test_approx_quantiles_bounded_by_exact_extremes(spark):
         mn, mx = exact[r.o_orderstatus]
         assert mn <= r.p50 <= r.p95 <= r.p99 <= mx, r
         assert r.approx_ok, r
+
+
+def test_cms_estimates_are_exact_at_fixture_widths(spark):
+    """The CMS heavy-hitter oracle reports EXACT counts, so the sketch
+    estimate must clear every collision at fixture cardinality (min over
+    d=4 rows of w=1024 counters vs 150 keys). Pin estimate==exact for ALL
+    keys (not just heavy hitters) at both fixture SFs — the first
+    fixture regeneration that plants a 4-row total collision fails here
+    before it ever reaches the driver."""
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.sketches import (
+        _CMS_DEPTH,
+        _CMS_WIDTH,
+        cms_sketch,
+    )
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        events = load_tables(spark, sf)["events"]
+        exact = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        probe = events.select("user_id").distinct().select(
+            "user_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {_CMS_DEPTH - 1}),"
+                    f" j -> pmod(xxhash64(user_id, j), {_CMS_WIDTH}))"
+                )
+            ).alias("j", "bucket"),
+        )
+        est = (
+            probe.join(cms_sketch(events), ["j", "bucket"])
+            .groupBy("user_id")
+            .agg(F.min("counter").alias("est"))
+        )
+        bad = est.join(exact, "user_id").filter(F.col("est") != F.col("n")).collect()
+        assert not bad, f"{sf}: CMS over-estimates {bad[:5]}"
