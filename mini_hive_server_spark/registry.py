@@ -152,7 +152,7 @@ _DRIVER_WINDOW = (
     "text_span_dedup",  # round-6 substring-span dedup (never checked)
     "ingest_cdc_merge",  # round-6 CDC latest-wins merge (never checked)
     "sketch_cms_heavy_hitters",  # round-6 count-min heavy hitters (never checked)
-    "q11_value_concentration",
+    "similarity_pq_adc",  # round-6 PQ+ADC retrieval tier (never checked)
     "text_quality_classifier",  # round-5 LR quality filter (never checked)
     "q15_top_supplier",
     "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)

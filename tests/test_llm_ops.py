@@ -159,3 +159,35 @@ def test_ivf_ann_recalls_planted_strong_neighbors(spark, tmp_path):
             f"planted strong neighbor {qid + 1000} missed for query {qid}: "
             f"{by_q.get(qid)}"
         )
+
+
+def test_pq_adc_candidates_cover_true_topk(spark):
+    """The PQ tier's oracle is brute force, which is only sound while the
+    ADC top-C candidate set contains the true top-5 for every fixed
+    query. Measure the required depth through the production scoring path
+    (_pq_scored) at both correctness SFs and require >= 2x margin under
+    _PQ_C — codebook drift (Spark ML k-means changes, fixture
+    regeneration) fails here before it reaches the driver."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.similarity import _PQ_C, _pq_scored
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        emb, q, scored = _pq_scored(spark, sf)
+        wc = Window.partitionBy("qid").orderBy(
+            F.col("adc_score").desc(), F.col("nid")
+        )
+        adc_ranked = scored.withColumn("crank", F.row_number().over(wc))
+        truth = registry.queries()["similarity_cosine_topk"](spark, sf).select(
+            "qid", "nid"
+        )
+        needed = (
+            truth.join(adc_ranked.select("qid", "nid", "crank"), ["qid", "nid"])
+            .agg(F.max("crank").alias("max_needed"))
+            .collect()[0][0]
+        )
+        assert needed is not None and needed * 2 <= _PQ_C, (
+            f"{sf}: true top-5 sits at ADC depth {needed}, "
+            f"need <= {_PQ_C // 2} for 2x margin"
+        )
