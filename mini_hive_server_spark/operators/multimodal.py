@@ -273,3 +273,104 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         _resize_payloads, schema=_RESIZE_SCHEMA
     )
     return out.orderBy("doc_id")
+
+
+# ----------------------------------------------- audio chunk planning
+
+_CHUNK_BYTES = 64  # fixture-scaled stand-in for 1 s of PCM (32k bytes IRL)
+
+_AUDIO_CHUNK_SCHEMA = (
+    "doc_id long, source string, chunk_idx int, chunk_bytes int, chunk_md5 string"
+)
+
+
+def _chunk_audio(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Audio chunking kernel shape: split each payload into fixed-duration
+    chunks (here _CHUNK_BYTES bytes ~ 1 s of PCM; the tail chunk keeps its
+    short length — ASR-style pipelines pad it downstream), fingerprint
+    each chunk. Where a real resample/VAD/feature step slots in
+    (decode_audio is the honest stub for it); the chunk math and batch
+    shape are the real thing."""
+    for pdf in batches:
+        ids, srcs, idxs, sizes, hashes = [], [], [], [], []
+        for doc_id, source, payload in zip(
+            pdf["doc_id"], pdf["source"], pdf["payload"]
+        ):
+            b = bytes(payload)
+            n_chunks = max(1, -(-len(b) // _CHUNK_BYTES))
+            for i in range(n_chunks):
+                piece = b[i * _CHUNK_BYTES : (i + 1) * _CHUNK_BYTES]
+                ids.append(doc_id)
+                srcs.append(source)
+                idxs.append(i)
+                sizes.append(len(piece))
+                hashes.append(hashlib.md5(piece).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "source": pd.Series(srcs, dtype="object"),
+                "chunk_idx": pd.Series(idxs, dtype="int32"),
+                "chunk_bytes": pd.Series(sizes, dtype="int32"),
+                "chunk_md5": pd.Series(hashes, dtype="object"),
+            }
+        )
+
+
+_AUDIO_CHUNK_ORACLE = f"""
+WITH chunks AS (
+  SELECT doc_id, source,
+         least({_CHUNK_BYTES},
+               length(text) - CAST(i AS INTEGER) * {_CHUNK_BYTES}) AS chunk_bytes,
+         md5(substr(text, CAST(i AS INTEGER) * {_CHUNK_BYTES} + 1,
+                    {_CHUNK_BYTES})) AS chunk_md5
+  FROM documents,
+       unnest(range(0, greatest(1, CAST(ceil(length(text) / {_CHUNK_BYTES}.0)
+                                       AS BIGINT)))) AS t(i)
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_items,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE chunk_bytes = {_CHUNK_BYTES}) AS n_full_chunks,
+       CAST(sum(chunk_bytes) AS BIGINT) AS total_chunk_bytes,
+       count(DISTINCT chunk_md5) AS n_distinct_chunks
+FROM chunks
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("multimodal_audio_chunks", oracle=_AUDIO_CHUNK_ORACLE, tags=("llm", "multimodal"))
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunk planning: every payload splits into fixed-duration
+    chunks via an Arrow-batched mapInPandas kernel (one item → k chunk
+    rows, short tail kept), then a per-source rollup reports chunk counts,
+    byte volume, and DISTINCT chunk fingerprints — the audio-dedup signal
+    (identical intros/silence chunks collapse, the audio analog of the
+    text chunk-dedup tier). The ASCII fixture makes byte slices equal
+    text substrings, so the kernel is oracle-checkable end-to-end.
+
+    Scale shape: chunking is map-only — source rides through the kernel,
+    so NO join touches the payload-bearing relation; the only shuffle is
+    the final per-source aggregation, which moves (source, counts) rows
+    and md5 strings for the distinct count (at 100 TB you'd swap the
+    exact distinct for the HLL sketch tier, same contract as
+    sketch_approx_distinct). Payload columns never shuffle — the rule
+    stated in the module docstring."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    records = attach_payload(docs).select(
+        "doc_id", F.col("meta.origin").alias("source"), "payload"
+    )
+    chunks = records.mapInPandas(_chunk_audio, schema=_AUDIO_CHUNK_SCHEMA)
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_items"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(
+                F.when(F.col("chunk_bytes") == _CHUNK_BYTES, 1).otherwise(0)
+            ).alias("n_full_chunks"),
+            F.sum("chunk_bytes").cast("long").alias("total_chunk_bytes"),
+            F.countDistinct("chunk_md5").alias("n_distinct_chunks"),
+        )
+        .orderBy("source")
+    )

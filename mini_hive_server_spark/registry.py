@@ -154,7 +154,7 @@ _DRIVER_WINDOW = (
     "sketch_cms_heavy_hitters",  # round-6 count-min heavy hitters (never checked)
     "similarity_pq_adc",  # round-6 PQ+ADC retrieval tier (never checked)
     "text_quality_classifier",  # round-5 LR quality filter (never checked)
-    "q15_top_supplier",
+    "multimodal_audio_chunks",  # round-6 audio chunk planning (never checked)
     "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)
     "q17_small_quantity",
     "q18_large_orders",
