@@ -156,7 +156,7 @@ _DRIVER_WINDOW = (
     "text_quality_classifier",  # round-5 LR quality filter (never checked)
     "multimodal_audio_chunks",  # round-6 audio chunk planning (never checked)
     "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)
-    "q17_small_quantity",
+    "source_compaction_planner",  # round-6 small-file bin-packing (never checked)
     "q18_large_orders",
     "q19_disjunctive_revenue",
     "text_quality_report",  # round-5 one-scan composite dashboard (never checked)

@@ -503,3 +503,104 @@ def source_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# --------------------------------------------- small-file compaction plan
+
+_COMPACT_GROUPS = 16  # deterministic small files to plant
+_COMPACT_BINS = 4  # target compacted file count
+
+_COMPACTION_ORACLE = f"""
+WITH g AS (
+  SELECT CAST(event_id % {_COMPACT_GROUPS} AS INTEGER) AS file_group,
+         count(*) AS n_rows
+  FROM events GROUP BY 1
+),
+t AS (
+  SELECT CAST(ceil(sum(n_rows) / {_COMPACT_BINS}.0) AS BIGINT) AS target FROM g
+),
+c AS (
+  SELECT file_group, n_rows,
+         coalesce(sum(n_rows) OVER (
+           ORDER BY file_group
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+)
+SELECT CAST(floor(cum_before * 1.0 / t.target) AS BIGINT) AS bin_id,
+       count(*) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS n_rows,
+       TRUE AS one_file_per_group
+FROM c, t
+GROUP BY 1
+ORDER BY bin_id
+"""
+
+
+@register(
+    "source_compaction_planner", oracle=_COMPACTION_ORACLE, tags=("source", "layout")
+)
+def source_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the table-maintenance pass every
+    lakehouse runs (Delta OPTIMIZE / Iceberg rewrite_data_files): plant a
+    deterministic 16-small-file layout (events partitioned by
+    event_id % 16, one file per partition dir), read the REAL file layout
+    back, and bin-pack files into ~4 target files by cumulative row count
+    (first-fit in file order). Emits the plan: per output bin, how many
+    input files merge and how many rows move — plus a layout proof column
+    (one_file_per_group) read from input_file_name(), pinning that the
+    planner measured actual files, not assumptions.
+
+    Scale shape: per-file stats come from a group-by on the partition
+    column (at 100 TB: the table manifest / file footers — metadata-sized,
+    NOT a data scan; here the fixture is small enough to count directly,
+    and the distinct-file check is the point). The bin assignment runs a
+    single-partition window over n_files rows — planner metadata, file
+    -count-sized, never row-count-sized. The compaction EXECUTION would
+    then be per-bin coalesced rewrites, embarrassingly parallel across
+    bins, never a global shuffle."""
+    out = _tmp_dir(sf_dir, "events_small_files")
+    events = load_tables(spark, sf_dir)["events"].withColumn(
+        "file_group", (F.col("event_id") % _COMPACT_GROUPS).cast("int")
+    )
+    (
+        events.repartition(_COMPACT_GROUPS, "file_group")
+        .write.mode("overwrite")
+        .partitionBy("file_group")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "file_group", F.col("_metadata.file_path").alias("file_path")
+    )
+    per_file = back.groupBy("file_group").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("file_path").alias("n_files_in_group"),
+    )
+    total = per_file.agg(
+        F.ceil(F.sum("n_rows") / float(_COMPACT_BINS)).alias("target")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy("file_group")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        per_file.withColumn(
+            "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "bin_id", F.floor(F.col("cum_before") * 1.0 / F.col("target"))
+        )
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            (
+                (F.min("n_files_in_group") == 1) & (F.max("n_files_in_group") == 1)
+            ).alias("one_file_per_group"),
+        )
+        .orderBy("bin_id")
+    )
