@@ -157,7 +157,7 @@ _DRIVER_WINDOW = (
     "multimodal_audio_chunks",  # round-6 audio chunk planning (never checked)
     "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)
     "source_compaction_planner",  # round-6 small-file bin-packing (never checked)
-    "q18_large_orders",
+    "streaming_cdc_merge",  # round-6 stateful streaming CDC twin (never checked)
     "q19_disjunctive_revenue",
     "text_quality_report",  # round-5 one-scan composite dashboard (never checked)
     "q21_waiting_supplier",

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import events_ts_encoding, load_tables
+from ..operators import ingest
 from ..registry import register
 
 
@@ -642,6 +643,108 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
             F.count("value").alias("n_matched"),
             F.count_if(F.col("value").isNull()).alias("n_orphan_clicks"),
             F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------------ streaming CDC merge
+
+_CDC_OUT_SCHEMA = (
+    "user_id long, ts_us long, eid long, last_type string, "
+    "last_value double, n_changes long"
+)
+_CDC_STATE_SCHEMA = (
+    "ts_us long, eid long, last_type string, last_value double, n_changes long"
+)
+
+
+def cdc_merge_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of `ingest_cdc_merge`: per-key latest-wins upsert
+    state maintained across micro-batches in a GroupState — the standing
+    materialized view a CDC stream feeds (Kafka→state-store upsert). The
+    state carries the latest (version, image) per key plus a change
+    count; version order is (ts, event_id), so arrival order across and
+    within micro-batches is irrelevant — replaying the same changelog in
+    any batching yields the same final state (pinned by the oracle being
+    the BATCH merge's SQL).
+
+    Scale shape: same key-hash shuffle as a streaming groupBy; state is
+    one row per live key in the state store (RocksDB at production
+    scale), Arrow-batched across the Python crossing."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        ts_us, eid, ltype, lval, n = (
+            state.get if state.exists else (-1, -1, None, None, 0)
+        )
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            t = pdf["ts"].values.astype("datetime64[us]").astype("int64")
+            e = pdf["event_id"].values.astype("int64")
+            last = np.lexsort((e, t))[-1]
+            if (int(t[last]), int(e[last])) > (ts_us, eid):
+                ts_us, eid = int(t[last]), int(e[last])
+                ltype = str(pdf["event_type"].values[last])
+                lval = float(pdf["value"].values[last])
+        state.update((ts_us, eid, ltype, lval, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_us": [ts_us],
+                "eid": [eid],
+                "last_type": [ltype],
+                "last_value": [lval],
+                "n_changes": [n],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_CDC_OUT_SCHEMA,
+        stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "streaming_cdc_merge",
+    oracle=ingest._CDC_MERGE_ORACLE,
+    tags=("streaming", "cdc"),
+)
+def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: stream the events changelog through
+    `cdc_merge_state`, take each key's final state (n_changes is strictly
+    increasing across a key's emissions), apply the tombstone filter
+    AFTER version selection (a delete must win over older upserts), and
+    render identically to the batch merge — the oracle IS the batch
+    merge's SQL, pinning stream/batch semantic equivalence."""
+    from pyspark.sql import Window
+
+    # presentation renders last_ts via date_format — pin UTC exactly like
+    # catalog.load_tables so the string can't shift with the host tz
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(cdc_merge_state(stream), "mhs_stream_cdc_merge", "update")
+    out = spark.table("mhs_stream_cdc_merge")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_changes").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("last_type") != "error"))
+        .select(
+            "user_id",
+            "last_type",
+            F.round("last_value", 2).alias("last_value"),
+            "n_changes",
+            F.date_format(F.timestamp_micros("ts_us"), "yyyy-MM-dd HH:mm:ss").alias(
+                "last_ts"
+            ),
         )
         .orderBy("user_id")
     )

@@ -36,6 +36,10 @@ _TZ_SENSITIVE = (
     # round 5: renders day strings from event timestamps on both the
     # write and read side of the partitioned rollup
     "source_incremental_rollup",
+    # round 6: both CDC merges render the state's last_ts via date_format
+    # (the streaming twin pins UTC in its own wrapper)
+    "ingest_cdc_merge",
+    "streaming_cdc_merge",
 )
 
 
