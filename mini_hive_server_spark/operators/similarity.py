@@ -621,8 +621,15 @@ def _pq_codebook(spark: SparkSession, emb: DataFrame) -> "np.ndarray":
             )
         ).alias("sub")
     )
-    feat = slices.select(array_to_vector("sub").alias("features"))
-    km = KMeans(k=_PQ_K, seed=42, maxIter=10).fit(feat)
+    # cache the slice sample for the duration of the fit: k-means|| runs
+    # ~init+maxIter jobs over `feat`, and uncached each re-runs the
+    # sample→normalize→explode pipeline (measured 15.6s → ~6s first call).
+    # Training is eager, so the blocks release before the query returns.
+    feat = slices.select(array_to_vector("sub").alias("features")).persist()
+    try:
+        km = KMeans(k=_PQ_K, seed=42, maxIter=10).fit(feat)
+    finally:
+        feat.unpersist()
     return np.array(km.clusterCenters())  # (k, d_sub)
 
 
