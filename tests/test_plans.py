@@ -406,3 +406,20 @@ def test_cdc_merge_single_key_exchange(spark):
     CDC-apply at 100 TB."""
     plan = _plan(spark, "ingest_cdc_merge")
     assert _shuffles(plan) == 1, plan
+
+
+def test_cms_probe_broadcasts_the_sketch(spark):
+    """The CMS candidate probe must broadcast the sketch (d*w cells,
+    size-bounded by construction at ANY scale factor — the one static
+    -hint case SCALE.md's policy allows). A shuffle join here would
+    exchange the candidate relation against 4096 rows."""
+    plan = _plan(spark, "sketch_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_pq_adc_no_cartesian(spark):
+    """PQ guard: the ADC scan pairs codes with the (broadcast, query
+    -count-bounded) query side; the re-rank joins winner ids by equi-key.
+    No unbounded cartesian anywhere — the corpus never self-pairs."""
+    plan = _plan(spark, "similarity_pq_adc")
+    assert "CartesianProduct" not in plan, plan
