@@ -1,0 +1,65 @@
+"""Registry-wide physical-plan audit: no accidental quadratic plan can
+register. Every non-streaming query's formatted plan is checked for
+
+* CartesianProduct — forbidden everywhere (a cartesian over anything
+  SF-proportional is the canonical 100 TB scale-killer; even the
+  deliberate quadratic truth tier `dedup_ngram_jaccard` pairs via an
+  equi-join on a crossed key relation, not a physical cartesian);
+* BroadcastNestedLoopJoin — allowed ONLY where the build side is
+  size-bounded BY CONSTRUCTION at any scale factor: 1-row aggregate
+  totals crossed back for ratios (mixture weights, TF-IDF corpus size,
+  funnel/dashboard denominators, CMS stream total, compaction target),
+  fixed query sets joined under inequality/always-true conditions (the
+  retrieval tiers' 5 queries, range-join tier bounds), or scalar
+  -subquery analogs (q11/q22 thresholds). Anything else — a new query
+  that lets an SF-proportional relation reach an NLJ — fails here
+  before it ships.
+
+The per-query plan tests in test_plans.py pin STRONGER shapes for the
+heavy tiers (equi-join pairing, shuffle budgets, broadcast direction);
+this audit is the registry-wide floor.
+"""
+
+from __future__ import annotations
+
+from mini_hive_server_spark import registry
+
+from .conftest import SF_SMOKE
+
+# BNLJ with a provably size-bounded build side (see module docstring)
+_BNLJ_BOUNDED = {
+    "buyer_home_dashboard",
+    "dashboard_multi_metric",
+    "events_funnel_conversion",
+    "q11_value_concentration",
+    "q22_idle_capital",
+    "range_join_value_tiers",
+    "ref_admin_platform_stats",
+    "similarity_cosine_topk",
+    "similarity_filtered_topk",
+    "similarity_pq_adc",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_mergeable",
+    "source_compaction_planner",
+    "source_mixture_weights",
+    "text_perplexity_buckets",
+    "text_tfidf_top_terms",
+    "worker_home_stats",
+}
+
+
+def test_no_unbounded_nested_loop_anywhere(spark):
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    offenders = []
+    for name, spec in registry.all_specs().items():
+        if "streaming" in spec.tags:
+            continue  # streams execute at call time; covered by their own tests
+        df = spec.fn(spark, SF_SMOKE)
+        plan = df._jdf.queryExecution().explainString(mode)
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED:
+            offenders.append(f"{name}: unlisted BroadcastNestedLoopJoin")
+    assert not offenders, offenders
