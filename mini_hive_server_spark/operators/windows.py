@@ -499,3 +499,89 @@ def events_rollup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").alias("n"), F.round(F.sum("v"), 2).alias("total_value"))
         .orderBy("day", "event_type")
     )
+
+
+# ------------------------------------- forward as-of join with tolerance
+
+_ASOF_TOLERANCE_S = 600  # only a next-error within 10 min counts
+
+_ASOF_FWD_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+  FROM events WHERE user_id < 5
+),
+carried AS (
+  SELECT user_id, event_id, event_type, tsu,
+         min(CASE WHEN event_type = 'error' THEN tsu END)
+           OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+  FROM e
+),
+scored AS (
+  SELECT user_id, event_id, tsu, next_err,
+         CAST(date_diff('second', tsu, next_err) AS BIGINT) AS secs
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       strftime(tsu, '{_TS_FMT_DUCK}') AS ts_s,
+       CASE WHEN secs IS NOT NULL AND secs <= {_ASOF_TOLERANCE_S}
+            THEN strftime(next_err, '{_TS_FMT_DUCK}') ELSE 'none' END
+         AS next_error_s,
+       CASE WHEN secs IS NOT NULL AND secs <= {_ASOF_TOLERANCE_S}
+            THEN secs ELSE -1 END AS secs_to_error
+FROM scored
+ORDER BY user_id, tsu, event_id
+"""
+
+
+@register(
+    "events_asof_next_error",
+    oracle=_ASOF_FWD_ORACLE,
+    tags=("event-time", "window-fn", "asof"),
+)
+def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance (pandas merge_asof
+    direction='forward' semantics): each purchase picks up the next
+    'error' by the same user, but only if it lands within 10 minutes —
+    the does-this-action-precede-a-failure probe. Same algebra as the
+    backward as-of (`events_asof_last_click`) mirrored: a min-over-
+    following window carries the next error backward in ONE sort per
+    user partition; the tolerance is a post-window comparison, applied
+    AFTER nearest-match selection (merge_asof's contract: the nearest
+    forward match either qualifies or there is no match — a farther
+    error must not be substituted). Still a single key shuffle, never a
+    time-range cross-join; a two-table forward as-of is the same plan
+    after union-and-tag."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_err = F.min(
+        F.when(F.col("event_type") == "error", F.col("ts"))
+    ).over(w)
+    scored = (
+        events.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            next_err.alias("next_err"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "secs", F.unix_timestamp("next_err") - F.unix_timestamp("ts")
+        )
+    )
+    within = F.col("secs").isNotNull() & (F.col("secs") <= _ASOF_TOLERANCE_S)
+    return scored.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        F.when(within, F.date_format("next_err", _TS_FMT_SPARK))
+        .otherwise("none")
+        .alias("next_error_s"),
+        F.when(within, F.col("secs")).otherwise(F.lit(-1)).alias("secs_to_error"),
+    ).orderBy("user_id", "ts_s", "event_id")

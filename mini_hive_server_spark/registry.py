@@ -158,7 +158,7 @@ _DRIVER_WINDOW = (
     "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)
     "source_compaction_planner",  # round-6 small-file bin-packing (never checked)
     "streaming_cdc_merge",  # round-6 stateful streaming CDC twin (never checked)
-    "q19_disjunctive_revenue",
+    "events_asof_next_error",  # round-6 forward as-of with tolerance (never checked)
     "text_quality_report",  # round-5 one-scan composite dashboard (never checked)
     "q21_waiting_supplier",
     "argmin_cheapest_order",
