@@ -423,3 +423,13 @@ def test_pq_adc_no_cartesian(spark):
     No unbounded cartesian anywhere — the corpus never self-pairs."""
     plan = _plan(spark, "similarity_pq_adc")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_asof_forward_is_window_not_range_join(spark):
+    """Forward as-of guard: the next-error carry must be one window pass
+    per user partition (a single key exchange) — never a time-range
+    self-join, whose candidate set is quadratic in per-user activity."""
+    plan = _plan(spark, "events_asof_next_error")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert _shuffles(plan) <= 1, plan
