@@ -209,9 +209,9 @@ ORDER BY doc_id
 @register("text_fingerprint_md5", oracle=_FINGERPRINT_ORACLE, tags=("llm", "text"))
 def text_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprinting: md5 of the normalized text (identical hex in
-    every engine) — the exact-dedup key and shard-bucket prefix. A rolling
-    Rabin/winnowing fingerprint is engine-specific and lives with the
-    rows-only dedup ops."""
+    every engine) — the exact-dedup key and shard-bucket prefix. The
+    incremental (rolling) counterpart is `text_rolling_fingerprint`,
+    oracle-paired via an engine-portable Rabin-Karp fold."""
     docs = load_tables(spark, sf_dir)["documents"]
     fp = F.md5(F.lower(F.trim(F.col("text"))))
     return docs.select(
@@ -385,3 +385,56 @@ def text_geomean_chars_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "n_docs", "geomean_chars")
         .orderBy("lang")
     )
+
+
+# --------------------------------------- Rabin-Karp rolling fingerprint
+
+_RK_BASE = 131
+_RK_MOD = 2147483647  # 2^31 - 1: fold stays < 2^40, overflow-free in both engines
+
+_ROLLING_FP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS w FROM documents
+),
+codes AS (
+  SELECT doc_id, source,
+         list_transform(w, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS cs
+  FROM toks
+)
+SELECT doc_id,
+       source,
+       list_reduce(list_prepend(0::BIGINT, cs),
+                   (a, c) -> (a * {_RK_BASE} + c) % {_RK_MOD}) AS rolling_fp
+FROM codes
+ORDER BY doc_id
+"""
+
+
+@register("text_rolling_fingerprint", oracle=_ROLLING_FP_ORACLE, tags=("llm", "text", "dedup"))
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp polynomial rolling fingerprint per document:
+    fp = fold(tokens, h -> (h*B + code(t)) mod M) with B=131, M=2^31-1
+    and md5-derived 32-bit token codes — byte-identical in Spark
+    (`aggregate` fold, codegen-safe modular arithmetic) and DuckDB
+    (`list_reduce` over the same code list), which is what upgrades the
+    rolling-fingerprint family from engine-specific to oracle-paired.
+
+    Why a polynomial hash next to `text_fingerprint_md5`: the fold is
+    INCREMENTAL — hash(doc || suffix) extends from hash(doc) in O(|suffix|)
+    (h' = (h * B^k + poly(suffix)) mod M), so appends re-fingerprint
+    without re-reading history, and fixed-width window hashes slide in
+    O(1) per step — the property behind streaming dedup fingerprints and
+    the span-window family (`text_span_dedup`). md5 has neither.
+
+    Scale shape: pure map-only fold per row inside one projection — zero
+    shuffles except the presentation sort; at 100 TB this is scan-bound,
+    exactly like the quality screens."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fold = (
+        f"aggregate({_WORDS_SPARK}, 0L, (acc, t) -> "
+        f"(acc * {_RK_BASE}L + CAST(conv(substr(md5(t), 1, 8), 16, 10) AS BIGINT))"
+        f" % {_RK_MOD}L)"
+    )
+    return docs.select(
+        "doc_id", "source", F.expr(fold).alias("rolling_fp")
+    ).orderBy("doc_id")
