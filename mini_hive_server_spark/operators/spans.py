@@ -165,3 +165,141 @@ def text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------- winnowing fingerprints
+
+_WIN_K = 5  # tokens per k-gram
+_WIN_W = 4  # hashes per winnowing window
+_WIN_BIG = 1 << 62  # out-of-boundary sentinel: larger than any 32-bit code
+
+_WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS arr FROM documents
+),
+grams AS (
+  SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         ('0x' || substr(md5(array_to_string(arr[i:i+{_WIN_K - 1}], ' ')), 1, 8))::BIGINT AS kh
+  FROM toks, unnest(generate_series(1, len(arr) - {_WIN_K - 1})) AS t(i)
+  WHERE len(arr) >= {_WIN_K}
+),
+runs AS (
+  SELECT doc_id, source, pos, kh,
+         CASE WHEN coalesce(lag(kh, 1) OVER w, {_WIN_BIG}) > kh THEN
+           CASE WHEN coalesce(lag(kh, 2) OVER w, {_WIN_BIG}) > kh THEN
+             CASE WHEN coalesce(lag(kh, 3) OVER w, {_WIN_BIG}) > kh
+                  THEN 3 ELSE 2 END
+           ELSE 1 END
+         ELSE 0 END AS lr,
+         CASE WHEN coalesce(lead(kh, 1) OVER w, {_WIN_BIG}) > kh THEN
+           CASE WHEN coalesce(lead(kh, 2) OVER w, {_WIN_BIG}) > kh THEN
+             CASE WHEN coalesce(lead(kh, 3) OVER w, {_WIN_BIG}) > kh
+                  THEN 3 ELSE 2 END
+           ELSE 1 END
+         ELSE 0 END AS rr
+  FROM grams
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sel AS (
+  SELECT DISTINCT doc_id, source, kh
+  FROM runs WHERE lr + rr >= {_WIN_W - 1}
+),
+shared AS (
+  SELECT kh FROM sel GROUP BY kh HAVING count(DISTINCT doc_id) > 1
+)
+SELECT s.source,
+       count(DISTINCT s.doc_id) AS n_docs,
+       count(*) AS n_fingerprints,
+       count(sh.kh) AS n_shared,
+       count(DISTINCT CASE WHEN sh.kh IS NOT NULL THEN s.doc_id END)
+         AS n_docs_overlapping
+FROM sel s LEFT JOIN shared sh ON s.kh = sh.kh
+GROUP BY s.source
+ORDER BY s.source
+"""
+
+
+@register("text_winnowing_fingerprints", oracle=_WINNOW_ORACLE, tags=("llm", "dedup", "text"))
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer et al. 2003 — the MOSS
+    algorithm): hash every 5-token k-gram, then keep a hash iff it is the
+    minimum of at least one 4-hash sliding window. Guarantee: any match
+    of length >= w+k-1 = 8 tokens between two documents shares at least
+    one selected fingerprint, at ~2/(w+1) the storage of all-gram
+    fingerprinting — the offset-robust dedup/plagiarism signature
+    (`text_span_dedup`'s fixed windows break under single-token
+    insertions; winnowed minima survive them).
+
+    The is-window-minimum test is O(1) per position: with (effectively
+    collision-free) distinct hashes, kh[pos] is a window minimum iff its
+    run of strictly-larger neighbors spans a full window — left_run +
+    right_run >= w-1 — and runs capped at w-1 need exactly w-1 lags and
+    w-1 leads, so selection is ONE window pass per document partition,
+    no per-window explode (w-times fewer rows than materializing every
+    window). Boundary positions treat out-of-range neighbors as +inf
+    (selection on the padded extension; identical rule in both engines).
+
+    Scale shape: gram hashing is a map-only explode; selection is one
+    per-doc window sort; the shared-fingerprint census is one hash agg on
+    the 8-byte fingerprint + a fingerprint-keyed flag-back join
+    (duplicate-volume-proportional build side, AQE-sized) — the same
+    corpus-wide shape as `text_span_dedup`, at winnowing density."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text"),
+        "doc_id",
+    )
+    toks = docs.select("doc_id", "source", F.expr(_WORDS_SPARK).alias("arr"))
+    grams = toks.filter(F.size("arr") >= _WIN_K).select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(arr) - {_WIN_K - 1}),"
+                f" i -> CAST(conv(substr(md5(concat_ws(' ', slice(arr, i, {_WIN_K}))), 1, 8), 16, 10) AS BIGINT))"
+            )
+        ).alias("pos", "kh"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+
+    def _run(direction) -> "F.Column":
+        n1, n2, n3 = (
+            F.coalesce(direction("kh", j).over(w), F.lit(_WIN_BIG))
+            for j in (1, 2, 3)
+        )
+        kh = F.col("kh")
+        return (
+            F.when(
+                n1 > kh,
+                F.when(n2 > kh, F.when(n3 > kh, 3).otherwise(2)).otherwise(1),
+            ).otherwise(0)
+        )
+
+    sel = (
+        grams.withColumn("lr", _run(F.lag))
+        .withColumn("rr", _run(F.lead))
+        .filter(F.col("lr") + F.col("rr") >= _WIN_W - 1)
+        .select("doc_id", "source", "kh")
+        .distinct()
+    )
+    sel = tracked_persist(sel)
+    shared = (
+        sel.groupBy("kh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("kh")
+    )
+    flagged = sel.join(shared.withColumn("is_shared", F.lit(1)), "kh", "left")
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            F.count("is_shared").alias("n_shared"),
+            F.countDistinct(
+                F.when(F.col("is_shared").isNotNull(), F.col("doc_id"))
+            ).alias("n_docs_overlapping"),
+        )
+        .orderBy("source")
+    )

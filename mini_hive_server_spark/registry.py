@@ -115,14 +115,15 @@ _QUERY_MODULES = (
 # classifier and the grouped-agg UDAF; q20_promo_suppliers (r1 green)
 # rotates out for the one-scan composite quality report.
 # Round 6 (still ahead of the first driver consumption of this window):
-# q-family re-confirmation slots — r1-green, value-invariant under the
-# hint unpinning, every shape plan-guard-tested (q8, q9, q10, q11, q15,
-# q17, q18, q19, q21) — rotate out one-for-one for the nine round-6
-# additions (substring-span dedup, CDC latest-wins merge, count-min
-# heavy hitters, PQ+ADC retrieval, audio chunk planning, file compaction
-# planning, the stateful streaming CDC twin, the forward as-of with
-# tolerance, the Rabin-Karp rolling fingerprint), none of which has ever
-# been driver-checked.
+# re-confirmation slots — r1-green, value-invariant under the hint
+# unpinning, every shape plan-guard-tested (q8, q9, q10, q11, q15, q17,
+# q18, q19, q21, and argmin_cheapest_order, the Q2 twin) — rotate out
+# one-for-one for the ten round-6 additions (substring-span dedup, CDC
+# latest-wins merge, count-min heavy hitters, PQ+ADC retrieval, audio
+# chunk planning, file compaction planning, the stateful streaming CDC
+# twin, the forward as-of with tolerance, the Rabin-Karp rolling
+# fingerprint, MOSS winnowing fingerprints), none of which has ever been
+# driver-checked.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -164,7 +165,7 @@ _DRIVER_WINDOW = (
     "events_asof_next_error",  # round-6 forward as-of with tolerance (never checked)
     "text_quality_report",  # round-5 one-scan composite dashboard (never checked)
     "text_rolling_fingerprint",  # round-6 Rabin-Karp rolling fingerprint (never checked)
-    "argmin_cheapest_order",
+    "text_winnowing_fingerprints",  # round-6 MOSS winnowing (never checked)
     # --- new round-5 retrieval + maintenance ops (never driver-checked) ---
     "similarity_filtered_topk",
     "source_incremental_rollup",
