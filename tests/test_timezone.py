@@ -40,6 +40,9 @@ _TZ_SENSITIVE = (
     # (the streaming twin pins UTC in its own wrapper)
     "ingest_cdc_merge",
     "streaming_cdc_merge",
+    # both as-of directions render event timestamps as strings
+    "events_asof_last_click",
+    "events_asof_next_error",
 )
 
 
