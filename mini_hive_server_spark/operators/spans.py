@@ -1,4 +1,4 @@
-"""Substring-level (span) deduplication across the corpus.
+"""Substring-level deduplication and fingerprint selection.
 
 Document-level dedup (exact / MinHash / SimHash — `operators/dedup.py`)
 misses the dominant failure mode in web-scale training data: long spans
@@ -23,6 +23,11 @@ Scale shape (the reason this form wins at 100 TB):
 A true suffix array finds arbitrary-length repeats; fixed-W windows
 find every repeat of length >= W (any such repeat contains a repeated
 W-window) at 1/W-th the candidate volume of per-position suffixes.
+
+`text_winnowing_fingerprints` adds the offset-robust selection variant
+(Schleimer et al. 2003): fixed windows break when one token shifts every
+subsequent window; winnowed window-minima survive insertions, at ~2/(w+1)
+the fingerprint density.
 """
 
 from __future__ import annotations
