@@ -382,3 +382,97 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_attributed").desc(), "user_id")
         .limit(20)
     )
+
+
+# ------------------------------------------- CEP pattern: error bursts
+
+_CEP_MIN_RUN = 3  # consecutive errors that constitute a burst
+
+_CEP_BURST_ORACLE = f"""
+WITH ordered AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+),
+grouped AS (
+  SELECT user_id, event_type, rn,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS grp
+  FROM ordered
+),
+islands AS (
+  SELECT user_id, event_type, grp,
+         count(*) AS run_len,
+         max(rn) AS max_rn
+  FROM grouped GROUP BY user_id, event_type, grp
+),
+user_tot AS (
+  SELECT user_id, max(rn) AS n_events FROM ordered GROUP BY user_id
+)
+SELECT i.user_id,
+       count(*) AS n_bursts,
+       CAST(max(i.run_len) AS BIGINT) AS longest_burst,
+       count(*) FILTER (WHERE i.max_rn < t.n_events) AS n_recovered
+FROM islands i JOIN user_tot t ON i.user_id = t.user_id
+WHERE i.event_type = 'error' AND i.run_len >= {_CEP_MIN_RUN}
+GROUP BY i.user_id
+ORDER BY i.user_id
+"""
+
+
+@register("events_cep_error_burst", oracle=_CEP_BURST_ORACLE, tags=("event-time", "cep"))
+def events_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP pattern matching without a CEP engine — the MATCH_RECOGNIZE /
+    Flink-CEP `PATTERN (E{3,} R?)` shape: detect runs of >= 3
+    CONSECUTIVE 'error' events per user (adjacency in the user's event
+    sequence — what distinguishes CEP from the funnel, where stages may
+    be separated by anything), and whether each burst "recovered" (any
+    event follows it; by maximal-run construction that event is
+    necessarily non-error). Reports per affected user: burst count,
+    longest burst, recovered count.
+
+    Algebra: gaps-and-islands — change flags via lag, cumulative-sum
+    island ids, one aggregate per (user, island). All three window
+    passes share ONE hash exchange on user_id (same partitioning, same
+    ordering); island and user aggregates reuse the user-keyed
+    distribution. At 100 TB this is the scan + single-key-shuffle shape,
+    state bounded by run length — and the streaming twin would be
+    applyInPandasWithState carrying (current_type, run_len), the same
+    state the batch islands encode positionally."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = events.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.when(
+            ~F.lag("event_type").over(wo).eqNullSafe(F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    wg = Window.partitionBy("user_id").orderBy("rn")
+    grouped = ordered.withColumn("grp", F.sum("chg").over(wg))
+    islands = grouped.groupBy("user_id", "event_type", "grp").agg(
+        F.count(F.lit(1)).alias("run_len"), F.max("rn").alias("max_rn")
+    )
+    user_tot = ordered.groupBy("user_id").agg(F.max("rn").alias("n_events"))
+    bursts = islands.filter(
+        (F.col("event_type") == "error") & (F.col("run_len") >= _CEP_MIN_RUN)
+    ).join(user_tot, "user_id")
+    return (
+        bursts.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bursts"),
+            F.max("run_len").alias("longest_burst"),
+            F.sum(
+                F.when(F.col("max_rn") < F.col("n_events"), 1).otherwise(0)
+            ).alias("n_recovered"),
+        )
+        .orderBy("user_id")
+    )

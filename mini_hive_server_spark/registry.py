@@ -123,7 +123,8 @@ _QUERY_MODULES = (
 # chunk planning, file compaction planning, the stateful streaming CDC
 # twin, the forward as-of with tolerance, the Rabin-Karp rolling
 # fingerprint, MOSS winnowing fingerprints), none of which has ever been
-# driver-checked.
+# driver-checked; q7 (r1-green) later rotates out for the CEP
+# error-burst pattern.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -152,7 +153,7 @@ _DRIVER_WINDOW = (
     #     (values unchanged by plan policy; re-proven under the driver) ---
     "q3_shipping_priority",
     "q5_region_volume",
-    "q7_nation_volume",
+    "events_cep_error_burst",  # round-6 CEP burst pattern (never checked)
     "text_span_dedup",  # round-6 substring-span dedup (never checked)
     "ingest_cdc_merge",  # round-6 CDC latest-wins merge (never checked)
     "sketch_cms_heavy_hitters",  # round-6 count-min heavy hitters (never checked)
