@@ -124,7 +124,9 @@ _QUERY_MODULES = (
 # twin, the forward as-of with tolerance, the Rabin-Karp rolling
 # fingerprint, MOSS winnowing fingerprints), none of which has ever been
 # driver-checked; q7 (r1-green) later rotates out for the CEP
-# error-burst pattern.
+# error-burst pattern, and similarity_lsh_ann (r3-green, oracle
+# untouched since, family re-proven by the PQ/IVF tiers in this same
+# window) rotates out for its streaming twin.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -184,7 +186,7 @@ _DRIVER_WINDOW = (
     # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
     "dedup_minhash_lsh",
     "dedup_lsh_clusters",
-    "similarity_lsh_ann",
+    "streaming_cep_error_burst",  # round-6 streaming CEP twin (never checked)
     # --- headline kept warm ---
     "q1_pricing_summary",
 )

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import events_ts_encoding, load_tables
-from ..operators import ingest
+from ..operators import behavior, ingest
 from ..registry import register
 
 
@@ -764,5 +764,102 @@ def streaming_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "last_ts"
             ),
         )
+        .orderBy("user_id")
+    )
+
+
+# -------------------------------------------- streaming CEP error bursts
+
+_CEP_OUT_SCHEMA = (
+    "user_id long, n_seen long, n_bursts long, longest_burst long, "
+    "n_recovered long"
+)
+_CEP_STATE_SCHEMA = (
+    "cur_type string, run_len long, n_bursts long, longest long, "
+    "n_recovered long, n_seen long"
+)
+
+
+def cep_burst_state(events: DataFrame) -> DataFrame:
+    """Streaming twin of `events_cep_error_burst`: the run-length state
+    the batch gaps-and-islands encode positionally, carried explicitly as
+    (current_type, run_length) per key — the Flink-CEP NFA state for
+    PATTERN (E{3,} R?). A burst is counted when its run ENDS: a following
+    non-error closes it as recovered; end-of-data closes it unrecovered
+    (the emission adds the open burst without committing it to state).
+
+    Ordering contract: event-time order per key. The static fixture
+    arrives as one micro-batch, sorted inside the kernel by
+    (ts, event_id); a multi-batch deployment needs watermark-buffered
+    reordering upstream (what a production CEP engine's event-time mode
+    does) — batch boundaries are not order boundaries."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        cur, run, bursts, longest, rec, seen = (
+            state.get if state.exists else (None, 0, 0, 0, 0, 0)
+        )
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        if frames:
+            all_rows = pd.concat(frames, ignore_index=True)
+            t = all_rows["ts"].values.astype("datetime64[us]").astype("int64")
+            order = np.lexsort((all_rows["event_id"].values.astype("int64"), t))
+            for et in all_rows["event_type"].values[order]:
+                seen += 1
+                if et == cur:
+                    run += 1
+                    continue
+                if cur == "error" and run >= 3:
+                    bursts += 1
+                    rec += 1  # closed by this (non-error) event
+                    longest = max(longest, run)
+                cur, run = str(et), 1
+        state.update((cur, run, bursts, longest, rec, seen))
+        open_burst = 1 if (cur == "error" and run >= 3) else 0
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_seen": [seen],
+                "n_bursts": [bursts + open_burst],
+                "longest_burst": [
+                    max(longest, run) if open_burst else longest
+                ],
+                "n_recovered": [rec],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_CEP_OUT_SCHEMA,
+        stateStructType=_CEP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "streaming_cep_error_burst",
+    oracle=behavior._CEP_BURST_ORACLE,
+    tags=("streaming", "cep"),
+)
+def streaming_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper: stream events through `cep_burst_state`,
+    keep each key's final emission (n_seen strictly increases), drop
+    burst-free users, and render identically to the batch pattern match —
+    the oracle IS the batch gaps-and-islands SQL, pinning the NFA-state
+    streaming form to the positional batch form."""
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(cep_burst_state(stream), "mhs_stream_cep_bursts", "update")
+    out = spark.table("mhs_stream_cep_bursts")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("n_bursts") > 0))
+        .select("user_id", "n_bursts", "longest_burst", "n_recovered")
         .orderBy("user_id")
     )
