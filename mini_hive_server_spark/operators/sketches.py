@@ -353,3 +353,98 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "est_count")
         .orderBy(F.col("est_count").desc(), "user_id")
     )
+
+
+# --------------------------------- HLL set algebra: intersection estimate
+
+_HLL_INTERSECT_ORACLE = """
+WITH a AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+),
+b AS (
+  SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT (SELECT count(*) FROM a) AS exact_clickers,
+       (SELECT count(*) FROM b) AS exact_purchasers,
+       (SELECT count(*) FROM a JOIN b USING (user_id)) AS exact_both,
+       TRUE AS approx_ok
+"""
+
+
+@register(
+    "sketch_hll_intersection", oracle=_HLL_INTERSECT_ORACLE, tags=("agg", "sketch")
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set ALGEBRA beyond union: estimate the overlap of two cohorts
+    (clicked ∩ purchased users) by inclusion-exclusion over three HLL
+    sketches — |A∩B| = |A| + |B| - |A∪B| — where |A∪B| comes from
+    `hll_union_agg` over the two cohort sketches. This is the audience-
+    overlap query every analytics store answers from stored sketches
+    WITHOUT rescanning either cohort: at 100 TB, A and B live as KB-sized
+    per-cohort sketches (built once, map-side), and the intersection is
+    driver-side arithmetic on three estimates.
+
+    Contract (same as the other sketch tiers): the registered query emits
+    the EXACT cohort and overlap counts plus an `approx_ok` flag
+    asserting the inclusion-exclusion estimate lands within the combined
+    error envelope (union error compounds — 3 sketches at lgK=12, rsd
+    ~1.6% each, enveloped at 10% of the smaller cohort); pytest bounds
+    the raw estimate in tests/test_sketches.py."""
+    return hll_intersection_raw(spark, sf_dir).select(
+        "exact_clickers",
+        "exact_purchasers",
+        "exact_both",
+        (
+            F.abs(F.col("approx_both") - F.col("exact_both"))
+            <= 0.10 * F.least("exact_clickers", "exact_purchasers")
+        ).alias("approx_ok"),
+    )
+
+
+def hll_intersection_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-bearing form: inclusion-exclusion overlap next to the
+    exact counts; tests bound the raw estimate here."""
+    events = load_tables(spark, sf_dir)["events"]
+    cohorts = events.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select("event_type", "user_id")
+    # one pass: per-cohort sketch; the union sketch merges the two
+    per = cohorts.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    merged = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_union"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("exact"))).alias(
+            "exact_clickers"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("exact"))
+        ).alias("exact_purchasers"),
+        F.sum(F.hll_sketch_estimate("sk")).alias("approx_sum"),
+    )
+    both = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .distinct()
+        .join(
+            events.filter(F.col("event_type") == "purchase")
+            .select("user_id")
+            .distinct(),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_both"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(both))
+        .withColumn(
+            "approx_both",
+            F.round(F.col("approx_sum") - F.col("approx_union")).cast("long"),
+        )
+        .select(
+            "exact_clickers",
+            "exact_purchasers",
+            "exact_both",
+            "approx_both",
+        )
+    )

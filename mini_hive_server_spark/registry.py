@@ -126,7 +126,9 @@ _QUERY_MODULES = (
 # driver-checked; q7 (r1-green) later rotates out for the CEP
 # error-burst pattern, and similarity_lsh_ann (r3-green, oracle
 # untouched since, family re-proven by the PQ/IVF tiers in this same
-# window) rotates out for its streaming twin.
+# window) rotates out for its streaming twin; q1 (r1-green AND
+# smoke-checked by entry() every round) rotates out for the HLL
+# intersection estimate.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -188,7 +190,7 @@ _DRIVER_WINDOW = (
     "dedup_lsh_clusters",
     "streaming_cep_error_burst",  # round-6 streaming CEP twin (never checked)
     # --- headline kept warm ---
-    "q1_pricing_summary",
+    "sketch_hll_intersection",  # round-6 HLL set algebra (never checked)
 )
 
 

@@ -89,3 +89,16 @@ def test_cms_estimates_are_exact_at_fixture_widths(spark):
         )
         bad = est.join(exact, "user_id").filter(F.col("est") != F.col("n")).collect()
         assert not bad, f"{sf}: CMS over-estimates {bad[:5]}"
+
+
+def test_hll_intersection_estimate_bounded(spark):
+    """Inclusion-exclusion compounds the error of three sketches; bound
+    the raw overlap estimate by 10% of the smaller cohort and assert the
+    registered flag holds."""
+    from mini_hive_server_spark.operators.sketches import hll_intersection_raw
+
+    r = hll_intersection_raw(spark, SF_SMOKE).collect()[0]
+    envelope = 0.10 * min(r.exact_clickers, r.exact_purchasers)
+    assert abs(r.approx_both - r.exact_both) <= envelope, r
+    rows = QS["sketch_hll_intersection"](spark, SF_SMOKE).collect()
+    assert rows and rows[0].approx_ok
