@@ -39,6 +39,7 @@ _BNLJ_BOUNDED = {
     "similarity_filtered_topk",
     "similarity_pq_adc",
     "sketch_cms_heavy_hitters",
+    "sketch_hll_intersection",
     "sketch_hll_mergeable",
     "source_compaction_planner",
     "source_mixture_weights",
