@@ -257,6 +257,57 @@ _N_PERM = 64
 _N_BANDS = 16  # 16 bands × 4 rows; P(miss | jaccard 0.9) ≈ 3e-8
 
 
+def minhash_bands(sha: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) banded MinHash signature relation — the LSH
+    index both the corpus-wide dedup tier and the incremental-ingest
+    probe (`ingest_incremental_minhash`) key their bucket joins on.
+
+    Hash each shingle string ONCE to a long, then derive the 64
+    permutations by rehashing the long — xxhash64 over a fixed-width long
+    is far cheaper than 64 passes over the UTF-8 string, and min-agg with
+    map-side partial aggregation stays inside whole-stage codegen (the
+    higher-order transform/array_min formulation is interpreted per
+    element and benched ~40x slower).
+
+    Permutation family: xxhash64(h, i) per permutation index. A
+    multiply-shift family (min over a*h+b, two integer ops) would halve
+    the signature stage, but Spark 4's default ANSI mode faults on the
+    intentional long wraparound and the driver's vanilla session keeps
+    ANSI on — rehashing the fixed-width long is the fastest ANSI-safe
+    form (still ~40x over the interpreted higher-order formulation; see
+    module history)."""
+    rows_per_band = _N_PERM // _N_BANDS
+    shh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh")).select(
+        "doc_id", F.xxhash64("sh").alias("h")
+    )
+    sig = shh.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
+            for i in range(_N_PERM)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        # explode_outer: 16-element band array is never empty; avoid the
+        # implicit pushable filter re-evaluating the band hashes
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+                        ).alias("bh"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
+
 
 
 @register("dedup_minhash_lsh", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup", "headline"))
@@ -276,48 +327,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of the verification join — without it Spark recomputes the
     # tokenize+shingle work once per branch of the diamond
     sha = tracked_persist(shingle_arrays(docs))
-    rows_per_band = _N_PERM // _N_BANDS
-    # hash each shingle string ONCE to a long, then derive the 64
-    # permutations by rehashing the long — xxhash64 over a fixed-width long
-    # is far cheaper than 64 passes over the UTF-8 string, and min-agg with
-    # map-side partial aggregation stays inside whole-stage codegen (the
-    # higher-order transform/array_min formulation is interpreted per
-    # element and benched ~40x slower).
-    shh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh")).select(
-        "doc_id", F.xxhash64("sh").alias("h")
-    )
-    # Permutation family: xxhash64(h, i) per permutation index. A
-    # multiply-shift family (min over a*h+b, two integer ops) would halve
-    # the signature stage, but Spark 4's default ANSI mode faults on the
-    # intentional long wraparound and the driver's vanilla session keeps
-    # ANSI on — rehashing the fixed-width long is the fastest
-    # ANSI-safe form (still ~40x over the interpreted higher-order
-    # formulation; see module history).
-    sig = shh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-            for i in range(_N_PERM)
-        ]
-    )
-    bands = sig.select(
-        "doc_id",
-        # explode_outer: 16-element band array is never empty; avoid the
-        # implicit pushable filter re-evaluating the band hashes
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        ).alias("bh"),
-                    )
-                    for b in range(_N_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    bands = minhash_bands(sha)
     # persist the band relation: the candidate self-join is a diamond over
     # `bands`, and without a cache boundary BOTH join branches re-run the
     # whole explode→64-rehash-min-agg→banding pipeline (measured at sf0.1:

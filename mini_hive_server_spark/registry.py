@@ -128,7 +128,8 @@ _QUERY_MODULES = (
 # untouched since, family re-proven by the PQ/IVF tiers in this same
 # window) rotates out for its streaming twin; q1 (r1-green AND
 # smoke-checked by entry() every round) rotates out for the HLL
-# intersection estimate.
+# intersection estimate; q5 (r1-green, benched every round) rotates out
+# for the incremental MinHash ingest probe.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -156,7 +157,7 @@ _DRIVER_WINDOW = (
     # --- TPC-H / join plans whose broadcast hints were unpinned this round
     #     (values unchanged by plan policy; re-proven under the driver) ---
     "q3_shipping_priority",
-    "q5_region_volume",
+    "ingest_incremental_minhash",  # round-6 batch-vs-corpus near-dup probe (never checked)
     "events_cep_error_burst",  # round-6 CEP burst pattern (never checked)
     "text_span_dedup",  # round-6 substring-span dedup (never checked)
     "ingest_cdc_merge",  # round-6 CDC latest-wins merge (never checked)
