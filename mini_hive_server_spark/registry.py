@@ -128,8 +128,9 @@ _QUERY_MODULES = (
 # untouched since, family re-proven by the PQ/IVF tiers in this same
 # window) rotates out for its streaming twin; q1 (r1-green AND
 # smoke-checked by entry() every round) rotates out for the HLL
-# intersection estimate; q5 (r1-green, benched every round) rotates out
-# for the incremental MinHash ingest probe.
+# intersection estimate; q5 and q3 (r1-green, benched every round)
+# rotate out for the incremental MinHash ingest probe and the OPH
+# signature family.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -156,7 +157,7 @@ _DRIVER_WINDOW = (
     "ref_admin_platform_stats",
     # --- TPC-H / join plans whose broadcast hints were unpinned this round
     #     (values unchanged by plan policy; re-proven under the driver) ---
-    "q3_shipping_priority",
+    "dedup_minhash_oph",  # round-6 OPH signature family (never checked)
     "ingest_incremental_minhash",  # round-6 batch-vs-corpus near-dup probe (never checked)
     "events_cep_error_burst",  # round-6 CEP burst pattern (never checked)
     "text_span_dedup",  # round-6 substring-span dedup (never checked)

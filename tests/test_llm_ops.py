@@ -191,3 +191,15 @@ def test_pq_adc_candidates_cover_true_topk(spark):
             f"{sf}: true top-5 sits at ADC depth {needed}, "
             f"need <= {_PQ_C // 2} for 2x margin"
         )
+
+
+def test_oph_candidates_cover_jaccard_pairs(spark):
+    """The OPH tier's oracle is the exhaustive Jaccard scan, which is
+    only sound while the densified-OPH band join recalls every >= 0.8
+    pair. Assert output == classic tier's output at both correctness SFs
+    (both run the same verification over their own candidate sets, so
+    equality == identical recall)."""
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        classic = {tuple(r) for r in registry.queries()["dedup_minhash_lsh"](spark, sf).collect()}
+        oph = {tuple(r) for r in registry.queries()["dedup_minhash_oph"](spark, sf).collect()}
+        assert classic == oph, f"{sf}: OPH {len(oph)} vs classic {len(classic)}"
