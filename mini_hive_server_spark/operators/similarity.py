@@ -753,3 +753,119 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         ).alias("adc_score"),
     )
     return emb, q, scored
+
+
+# --------------------------- truncated-dimension retrieval (MRL) report
+
+_MRL_DIMS = (8, 16, 32)  # prefix widths evaluated against the full 64
+
+_MRL_ORACLE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+scored AS (
+  SELECT qid, e.vec_id AS nid, d.d,
+         list_dot_product(qv[1:d.d], v[1:d.d])
+           / (sqrt(list_dot_product(qv[1:d.d], qv[1:d.d]))
+              * sqrt(list_dot_product(v[1:d.d], v[1:d.d]))) AS cosine
+  FROM q, e, (VALUES (8), (16), (32), (64)) AS d(d)
+  WHERE e.vec_id <> qid
+),
+ranked AS (
+  SELECT qid, nid, d,
+         row_number() OVER (PARTITION BY qid, d
+                            ORDER BY cosine DESC, nid) AS rank
+  FROM scored
+),
+tops AS (SELECT qid, nid, d FROM ranked WHERE rank <= 5)
+SELECT f.qid AS qid,
+       t.d AS dim,
+       count(*) AS n_overlap
+FROM tops f
+JOIN tops t ON f.qid = t.qid AND f.nid = t.nid AND t.d <> 64
+WHERE f.d = 64
+GROUP BY f.qid, t.d
+ORDER BY f.qid, dim
+"""
+
+
+@register("embedding_mrl_truncation", oracle=_MRL_ORACLE, tags=("llm", "similarity"))
+def embedding_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022):
+    score retrieval with only the first 8/16/32 dimensions of the 64-dim
+    embeddings and report, per query, how many of the full-dimension
+    top-5 the truncated prefix retains — the dimension-vs-recall table a
+    pipeline reads before deciding how much of each vector to keep (or
+    scan first in a coarse-to-fine cascade: prefix scan → full-dim
+    re-rank, the memory-bandwidth sibling of the PQ tier).
+
+    Plan: ONE map-only pass over the corpus computes all four prefix
+    cosines per (query, vector) pair (the prefix dot is a slice of the
+    same array — no re-read), one window ranks per (query, dim), and the
+    overlap join touches only 4 x 5 x |q| top rows. Exact and
+    deterministic — dot products are the same left-fold in both engines
+    (bit-identical doubles, module docstring), so no rounding is needed
+    and the oracle is sound without an approximation argument."""
+    emb = parallelize_scan(
+        load_tables(spark, sf_dir)["embeddings"], "vec_id"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    pairs = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    dims = [*_MRL_DIMS, 64]
+    scored = pairs.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            F.expr(
+                                _DOT.format(
+                                    a=f"slice(qv, 1, {d})", b=f"slice(v, 1, {d})"
+                                )
+                            )
+                            / (
+                                F.sqrt(
+                                    F.expr(
+                                        _DOT.format(
+                                            a=f"slice(qv, 1, {d})",
+                                            b=f"slice(qv, 1, {d})",
+                                        )
+                                    )
+                                )
+                                * F.sqrt(
+                                    F.expr(
+                                        _DOT.format(
+                                            a=f"slice(v, 1, {d})",
+                                            b=f"slice(v, 1, {d})",
+                                        )
+                                    )
+                                )
+                            )
+                        ).alias("cosine"),
+                    )
+                    for d in dims
+                ]
+            )
+        ).alias("s"),
+    ).select("qid", "nid", "s.d", "s.cosine")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid", "d").orderBy(F.col("cosine").desc(), F.col("nid"))
+    tops = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "nid", "d")
+    )
+    tops = tracked_persist(tops)
+    full = tops.filter(F.col("d") == 64).select("qid", "nid")
+    trunc = tops.filter(F.col("d") != 64)
+    return (
+        trunc.join(full, ["qid", "nid"])
+        .groupBy("qid", F.col("d").alias("dim"))
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+        .orderBy("qid", "dim")
+    )

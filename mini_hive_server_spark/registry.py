@@ -130,7 +130,9 @@ _QUERY_MODULES = (
 # smoke-checked by entry() every round) rotates out for the HLL
 # intersection estimate; q5 and q3 (r1-green, benched every round)
 # rotate out for the incremental MinHash ingest probe and the OPH
-# signature family.
+# signature family; dedup_lsh_clusters (r3-green, and its minhash
+# underpinnings stay gated via dedup_minhash_lsh) rotates out for the
+# truncated-dimension retrieval report.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
@@ -189,7 +191,7 @@ _DRIVER_WINDOW = (
     "ref_approve_withdrawal_batch",
     # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
     "dedup_minhash_lsh",
-    "dedup_lsh_clusters",
+    "embedding_mrl_truncation",  # round-6 truncated-dim retrieval report (never checked)
     "streaming_cep_error_burst",  # round-6 streaming CEP twin (never checked)
     # --- headline kept warm ---
     "sketch_hll_intersection",  # round-6 HLL set algebra (never checked)
