@@ -30,6 +30,7 @@ from .conftest import SF_SMOKE
 _BNLJ_BOUNDED = {
     "buyer_home_dashboard",
     "dashboard_multi_metric",
+    "embedding_mrl_truncation",
     "events_funnel_conversion",
     "q11_value_concentration",
     "q22_idle_capital",
