@@ -718,3 +718,67 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
+
+
+# ------------------------------------------- asymmetric containment pairs
+
+_CONTAINMENT_THRESHOLD = 0.9
+
+_CONTAINMENT_ORACLE = f"""
+WITH {_DUCK_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS contained, b.doc_id AS container, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT contained, container,
+       round(c * 1.0 / s1.n, 4) AS containment
+FROM inter
+JOIN sizes s1 ON s1.doc_id = contained
+WHERE c * 1.0 / s1.n >= {_CONTAINMENT_THRESHOLD}
+ORDER BY contained, container
+"""
+
+
+@register("dedup_containment", oracle=_CONTAINMENT_ORACLE, tags=("llm", "dedup"))
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment C(A→B) = |A∩B| / |A| >= 0.9 (Broder 1997's
+    second resemblance measure): flags documents mostly CONTAINED in
+    another — quote-heavy pages, excerpt mirrors, doc-in-doc copies that
+    symmetric Jaccard misses entirely (a 100-shingle doc inside a
+    1000-shingle doc has J ~= 0.1 but C = 1.0). Like
+    `dedup_ngram_jaccard` this is the exhaustive TRUTH TIER, quadratic
+    by design in shingle-sharing pairs; the scale path is the same LSH
+    machinery with containment-calibrated banding (min-hash collision
+    estimates J, so candidate generation for high-C/low-J pairs keys on
+    the SMALLER doc's sketch — partition-by-size banding, the
+    "prefix-filtering" family), kept out of scope until a fixture plants
+    asymmetric sizes worth indexing."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sha = tracked_persist(shingle_arrays(docs))
+    sizes = sha.select("doc_id", F.size("sh_arr").alias("n"))
+    sh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("contained"),
+            F.col("b.doc_id").alias("container"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cont = F.col("c") * 1.0 / F.col("n")
+    return (
+        inter.join(sizes, F.col("contained") == F.col("doc_id"))
+        .filter(cont >= _CONTAINMENT_THRESHOLD)
+        .select(
+            "contained", "container", F.round(cont, 4).alias("containment")
+        )
+        .orderBy("contained", "container")
+    )

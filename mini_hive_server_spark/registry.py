@@ -132,7 +132,12 @@ _QUERY_MODULES = (
 # rotate out for the incremental MinHash ingest probe and the OPH
 # signature family; dedup_lsh_clusters (r3-green, and its minhash
 # underpinnings stay gated via dedup_minhash_lsh) rotates out for the
-# truncated-dimension retrieval report.
+# truncated-dimension retrieval report. The six remaining re-check
+# slots are all load-bearing (two round-4 oracle-type repairs, two
+# DOUBLE-cast ref oracles, the promoted IVF oracle, and the band-helper
+# -refactored minhash tier), so late round-6 additions past the 44
+# never-checked in-window names (currently: dedup_containment) queue
+# for the next rotation.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
