@@ -341,3 +341,82 @@ def ingest_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------ temperature-scaled mixture weights
+
+_MIX_ALPHA = 0.3  # sampling temperature (XLM-R / mT5 multilingual recipe)
+
+_MIXTURE_TEMP_ORACLE = f"""
+WITH per_source AS (
+  SELECT source,
+         sum(length(text) - length(replace(text, ' ', '')) + 1) AS n_tokens
+  FROM documents
+  GROUP BY source
+),
+tot AS (SELECT sum(n_tokens) AS t FROM per_source),
+shares AS (
+  SELECT source, n_tokens,
+         CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE) AS p,
+         pow(CAST(n_tokens AS DOUBLE) / CAST(t AS DOUBLE), {_MIX_ALPHA}) AS pa
+  FROM per_source, tot
+),
+norm AS (SELECT sum(pa) AS z FROM shares)
+SELECT source,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(p, 6) AS natural_share,
+       round(pa / z, 6) AS sampled_share,
+       round((pa / z) / p, 4) AS boost
+FROM shares, norm
+ORDER BY source
+"""
+
+
+@register(
+    "source_mixture_temperature",
+    oracle=_MIXTURE_TEMP_ORACLE,
+    tags=("llm", "ingest", "agg"),
+)
+def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual alpha-recipe
+    — XLM-R / mT5 style): sampled_share_i = p_i^a / sum_j p_j^a with
+    a = 0.3, the smoothed multinomial that upsamples small sources
+    WITHOUT flattening to uniform (`source_mixture_weights` is the a=0
+    uniform-target endpoint of the same family; a=1 is natural
+    sampling). `boost` = sampled/natural is each source's effective
+    upsampling factor.
+
+    Plan identical to the uniform tier: one partial-agg'd corpus scan,
+    then per-source arithmetic against two 1-row broadcast totals (the
+    share denominator and the pow-normalizer). pow() agreement across
+    engines is empirically exact on the fixture shares (and rounding to
+    6/4 decimals precedes the compare on both sides)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    tokens = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + F.lit(1)
+    )
+    per_source = docs.groupBy("source").agg(F.sum(tokens).alias("n_tokens"))
+    tot = per_source.agg(F.sum("n_tokens").alias("t"))
+    shares = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens").cast("double") / F.col("t").cast("double")).alias("p"),
+        F.pow(
+            F.col("n_tokens").cast("double") / F.col("t").cast("double"),
+            F.lit(_MIX_ALPHA),
+        ).alias("pa"),
+    )
+    norm = shares.agg(F.sum("pa").alias("z"))
+    return (
+        shares.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.round("p", 6).alias("natural_share"),
+            F.round(F.col("pa") / F.col("z"), 6).alias("sampled_share"),
+            F.round((F.col("pa") / F.col("z")) / F.col("p"), 4).alias("boost"),
+        )
+        .orderBy("source")
+    )

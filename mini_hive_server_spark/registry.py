@@ -136,7 +136,8 @@ _QUERY_MODULES = (
 # slots are all load-bearing (two round-4 oracle-type repairs, two
 # DOUBLE-cast ref oracles, the promoted IVF oracle, and the band-helper
 # -refactored minhash tier), so late round-6 additions past the 44
-# never-checked in-window names (currently: dedup_containment) queue
+# never-checked in-window names (currently: dedup_containment,
+# source_mixture_temperature) queue
 # for the next rotation.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
