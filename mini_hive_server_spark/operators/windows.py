@@ -585,3 +585,68 @@ def events_asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("next_error_s"),
         F.when(within, F.col("secs")).otherwise(F.lit(-1)).alias("secs_to_error"),
     ).orderBy("user_id", "ts_s", "event_id")
+
+
+# ------------------------------------- RANGE-frame trailing aggregates
+
+_TRAIL_RANGE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tsu,
+         -- whole-second epoch ordering: Spark's rangeBetween runs over
+         -- unix_timestamp (floored seconds), so the frame boundary must
+         -- be measured on the SAME truncated axis — a full-precision
+         -- interval frame would exclude events 3600<d<3601s back that
+         -- Spark includes
+         CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           AS tse,
+         value
+  FROM events WHERE user_id < 5
+)
+SELECT user_id, event_id,
+       strftime(tsu, '{_TS_FMT_DUCK}') AS ts_s,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+       round(sum(value) OVER w, 2) AS trailing_value
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY tse
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, tsu, event_id
+"""
+
+
+@register(
+    "events_trailing_window_range",
+    oracle=_TRAIL_RANGE_ORACLE,
+    tags=("event-time", "window-fn"),
+)
+def events_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame trailing aggregate: at every event, the count and
+    value-sum of the SAME USER's events in the trailing hour — a frame
+    bounded by event-TIME distance, not row count (ROWS frames answer
+    "last N events"; RANGE frames answer "last hour", the
+    rate-limiting / velocity-check shape). Spark spells interval frames
+    as `rangeBetween` over the epoch-seconds ordering column (the frame
+    offset is in the ordering column's units); ties in the ordering value
+    are PEER ROWS — both engines include all peers in the frame, which is
+    what keeps the two plans value-identical without a unique-key
+    tiebreak inside the frame.
+
+    Plan: one hash exchange on user_id + one sort — same single-shuffle
+    shape as every per-key window here; at 100 TB the frame state is
+    bounded by one hour of one user's events."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        events.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.round(F.sum("value").over(w), 2).alias("trailing_value"),
+        )
+        .orderBy("user_id", "ts_s", "event_id")
+    )

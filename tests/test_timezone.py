@@ -43,6 +43,8 @@ _TZ_SENSITIVE = (
     # both as-of directions render event timestamps as strings
     "events_asof_last_click",
     "events_asof_next_error",
+    # round 6: renders per-event timestamps alongside RANGE-frame sums
+    "events_trailing_window_range",
 )
 
 
