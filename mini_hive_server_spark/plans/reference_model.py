@@ -795,3 +795,80 @@ def ref_approve_withdrawal_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("grp", "payment_system")
         .orderBy("payment_system")
     )
+
+
+# ------------------------------------------------ entity resolution census
+
+_ENTITY_RES_ORACLE = f"""
+WITH {{cte}}
+, blocked AS (
+  SELECT id, name, substr(name, 1, 6) AS blk FROM ref_users
+),
+pairs AS (
+  SELECT a.blk,
+         CASE WHEN levenshtein(a.name, b.name) <= 1 THEN 1 ELSE 0 END AS m
+  FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.id < b.id
+)
+SELECT b.blk AS block,
+       count(DISTINCT b.id) AS n_names,
+       CAST(coalesce(p.n_pairs, 0) AS BIGINT) AS n_pairs_checked,
+       CAST(coalesce(p.n_matches, 0) AS BIGINT) AS n_matches
+FROM blocked b
+LEFT JOIN (
+  SELECT blk, count(*) AS n_pairs, sum(m) AS n_matches FROM pairs GROUP BY blk
+) p ON b.blk = p.blk
+GROUP BY b.blk, p.n_pairs, p.n_matches
+ORDER BY block
+"""
+
+
+@register(
+    "ref_entity_resolution",
+    oracle=_ENTITY_RES_ORACLE.format(cte=duck_cte("ref_users")),
+    tags=("reference", "dedup"),
+)
+def ref_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity resolution over the users collection — the
+    dedup-users maintenance job every account store runs (the reference
+    checks exact-email uniqueness only, index.js:388-391; near-duplicate
+    NAMES slip through): block on a cheap key (6-char name prefix), pair
+    WITHIN blocks only, score with edit distance (levenshtein is a
+    built-in JVM expression in Spark and a native function in DuckDB —
+    byte-identical integers), and report the per-block census
+    (names, candidate pairs, fuzzy matches at distance <= 1).
+
+    Scale shape — the blocking argument: all-pairs matching is O(n²) in
+    ACCOUNTS; blocking bounds the quadratic to the largest block
+    (equi-join on the block key, AQE-planned). Real deployments block on
+    phonetic keys / email domains / name n-grams; the census output is
+    the tool for CHOOSING the key — oversized blocks and zero-match
+    blocks both show up directly."""
+    u = reference_table(spark, "ref_users").select(
+        "id", "name", F.substring("name", 1, 6).alias("blk")
+    )
+    a = u.alias("a")
+    b = u.alias("b")
+    pairs = a.join(
+        b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id"))
+    ).select(
+        F.col("a.blk").alias("blk"),
+        F.when(
+            F.levenshtein(F.col("a.name"), F.col("b.name")) <= 1, 1
+        )
+        .otherwise(0)
+        .alias("m"),
+    )
+    per_block_pairs = pairs.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("m").alias("n_matches")
+    )
+    names = u.groupBy("blk").agg(F.countDistinct("id").alias("n_names"))
+    return (
+        names.join(per_block_pairs, "blk", "left")
+        .select(
+            F.col("blk").alias("block"),
+            "n_names",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs_checked"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+        )
+        .orderBy("block")
+    )

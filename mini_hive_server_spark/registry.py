@@ -137,7 +137,8 @@ _QUERY_MODULES = (
 # DOUBLE-cast ref oracles, the promoted IVF oracle, and the band-helper
 # -refactored minhash tier), so late round-6 additions past the 44
 # never-checked in-window names (currently: dedup_containment,
-# source_mixture_temperature, events_trailing_window_range) queue
+# source_mixture_temperature, events_trailing_window_range,
+# ref_entity_resolution) queue
 # for the next rotation.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
