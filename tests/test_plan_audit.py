@@ -43,6 +43,7 @@ _BNLJ_BOUNDED = {
     "sketch_hll_intersection",
     "sketch_hll_mergeable",
     "source_compaction_planner",
+    "source_mixture_temperature",
     "source_mixture_weights",
     "text_perplexity_buckets",
     "text_tfidf_top_terms",
