@@ -1,0 +1,211 @@
+"""Data-governance operators: declared-constraint audits and cascading
+erasure.
+
+Extension family (the reference trusts Mongoose to hold its invariants —
+ObjectId refs index.js:60-120 are never re-validated after write; and its
+deletes are single-collection, index.js:1239-1247): a warehouse engine
+needs both an explicit audit (Deequ/Great-Expectations-style: run the
+declared constraints as queries, report violation counts) and
+referential erasure (GDPR right-to-be-forgotten: delete a key set and
+everything transitively reachable from it).
+
+Scale notes: every check is one key-shuffled anti/semi join or one
+partial-agg'd count — constraints audit in a single pass per table pair,
+never row-by-row. The erasure cascade is two chained semi-joins whose
+probe sides are the victim key sets (SF-proportional, so NO broadcast
+hint — AQE picks the strategy at runtime); surviving data is produced by
+anti-join, the same plan `mutation_delete_anti` ships. All outputs are
+exact integer counts.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_tables
+from ..registry import register
+
+# --------------------------------------------------------- constraint audit
+
+_AUDIT_ORACLE = """
+SELECT * FROM (
+  SELECT 'fk_customer_nation' AS constraint_name,
+         count(*) FILTER (WHERE n_nationkey IS NULL) AS n_violations
+  FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+  UNION ALL
+  SELECT 'fk_lineitem_orders',
+         count(*) FILTER (WHERE o_orderkey IS NULL)
+  FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+  UNION ALL
+  SELECT 'fk_lineitem_part',
+         count(*) FILTER (WHERE p_partkey IS NULL)
+  FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+  UNION ALL
+  SELECT 'fk_lineitem_supplier',
+         count(*) FILTER (WHERE s_suppkey IS NULL)
+  FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+  UNION ALL
+  SELECT 'fk_orders_customer',
+         count(*) FILTER (WHERE c_custkey IS NULL)
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+  UNION ALL
+  SELECT 'not_null_orders_custkey',
+         count(*) FILTER (WHERE o_custkey IS NULL)
+  FROM orders
+  UNION ALL
+  SELECT 'unique_lineitem_order_line',
+         count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+  FROM lineitem
+  UNION ALL
+  SELECT 'unique_orders_orderkey',
+         count(*) - count(DISTINCT o_orderkey)
+  FROM orders
+)
+ORDER BY constraint_name
+"""
+
+
+def _anti_count(fact: DataFrame, dim: DataFrame, cond, name: str) -> DataFrame:
+    return (
+        fact.join(dim, cond, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit(name).alias("constraint_name"), "n_violations")
+    )
+
+
+@register("constraint_referential_audit", oracle=_AUDIT_ORACLE, tags=("governance", "agg"))
+def constraint_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-constraint audit in the Deequ style: run every foreign-key,
+    uniqueness, and not-null constraint of the star schema as a query and
+    report one violation count per constraint. The reference never
+    re-checks its ObjectId refs after write (index.js:60-120); a
+    warehouse audits them explicitly and continuously.
+
+    Plan: each FK check is one anti-join on its key (null FK rows count
+    as violations in both engines: a null key matches nothing); each
+    uniqueness check is count(*) minus a partial-agg'd distinct count;
+    the union of eight 1-row aggregates is driver-free. At 100 TB each
+    check is an independent single-shuffle job — they parallelize across
+    the cluster and none holds more than (key column) per row in
+    flight."""
+    t = load_tables(spark, sf_dir)
+    cust, ords, li = t["customer"], t["orders"], t["lineitem"]
+    checks = [
+        _anti_count(
+            cust,
+            t["nation"],
+            cust["c_nationkey"] == t["nation"]["n_nationkey"],
+            "fk_customer_nation",
+        ),
+        _anti_count(
+            li, ords, li["l_orderkey"] == ords["o_orderkey"], "fk_lineitem_orders"
+        ),
+        _anti_count(
+            li, t["part"], li["l_partkey"] == t["part"]["p_partkey"], "fk_lineitem_part"
+        ),
+        _anti_count(
+            li,
+            t["supplier"],
+            li["l_suppkey"] == t["supplier"]["s_suppkey"],
+            "fk_lineitem_supplier",
+        ),
+        _anti_count(
+            ords, cust, ords["o_custkey"] == cust["c_custkey"], "fk_orders_customer"
+        ),
+        ords.agg(
+            F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations")
+        ).select(F.lit("not_null_orders_custkey").alias("constraint_name"), "n_violations"),
+        li.agg(
+            (
+                F.count(F.lit(1))
+                - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
+            ).alias("n_violations")
+        ).select(
+            F.lit("unique_lineitem_order_line").alias("constraint_name"), "n_violations"
+        ),
+        ords.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(
+                "n_violations"
+            )
+        ).select(F.lit("unique_orders_orderkey").alias("constraint_name"), "n_violations"),
+    ]
+    return reduce(DataFrame.unionAll, checks).orderBy("constraint_name")
+
+
+# --------------------------------------------------------- cascading erasure
+
+_CASCADE_ORACLE = """
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+),
+dead_orders AS (
+  SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM victims)
+),
+dead_lines AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM dead_orders)
+)
+SELECT * FROM (
+  SELECT 'customer' AS table_name,
+         (SELECT count(*) FROM customer) AS n_before,
+         (SELECT count(*) FROM victims) AS n_deleted,
+         (SELECT count(*) FROM customer) - (SELECT count(*) FROM victims) AS n_after
+  UNION ALL
+  SELECT 'lineitem',
+         (SELECT count(*) FROM lineitem),
+         (SELECT count(*) FROM dead_lines),
+         (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM dead_lines)
+  UNION ALL
+  SELECT 'orders',
+         (SELECT count(*) FROM orders),
+         (SELECT count(*) FROM dead_orders),
+         (SELECT count(*) FROM orders) - (SELECT count(*) FROM dead_orders)
+)
+ORDER BY table_name
+"""
+
+
+@register("mutation_cascade_delete", oracle=_CASCADE_ORACLE, tags=("governance", "mutation"))
+def mutation_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade: erase a victim key set (every 97th
+    customer) and everything transitively reachable through declared FKs
+    (their orders, those orders' lineitems), reporting per-table
+    before/deleted/after counts — the audit record an erasure job must
+    emit. The reference deletes one collection at a time with no cascade
+    (index.js:1239-1247); referential erasure is the compliant version.
+
+    Plan: the cascade is two chained semi-joins (orders ⋉ victims,
+    lineitem ⋉ dead-orders); each deleted set is then only COUNTED — the
+    surviving relation, were it materialized, is the `left_anti` twin of
+    the same join, the exact plan `mutation_delete_anti` ships. Victim
+    sets are SF-proportional, so no broadcast hints — AQE chooses. Counts
+    are partial-agg'd; nothing but 1-row aggregates reaches the union."""
+    t = load_tables(spark, sf_dir)
+    cust, ords, li = t["customer"], t["orders"], t["lineitem"]
+    victims = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    dead_orders = ords.join(
+        victims, ords["o_custkey"] == victims["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    dead_lines = li.join(
+        dead_orders, li["l_orderkey"] == dead_orders["o_orderkey"], "left_semi"
+    ).select("l_orderkey", "l_linenumber")
+
+    def report(name: str, full: DataFrame, dead: DataFrame) -> DataFrame:
+        total = full.agg(F.count(F.lit(1)).alias("n_before"))
+        gone = dead.agg(F.count(F.lit(1)).alias("n_deleted"))
+        return total.crossJoin(F.broadcast(gone)).select(
+            F.lit(name).alias("table_name"),
+            "n_before",
+            "n_deleted",
+            (F.col("n_before") - F.col("n_deleted")).alias("n_after"),
+        )
+
+    return (
+        report("customer", cust, victims)
+        .unionAll(report("lineitem", li, dead_lines))
+        .unionAll(report("orders", ords, dead_orders))
+        .orderBy("table_name")
+    )

@@ -32,6 +32,8 @@ _BNLJ_BOUNDED = {
     "dashboard_multi_metric",
     "embedding_mrl_truncation",
     "events_funnel_conversion",
+    "events_gapfill_hourly",
+    "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
     "range_join_value_tiers",
