@@ -748,3 +748,62 @@ def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- deterministic weighted sample
+
+_WSAMPLE_PER_LANG = 5
+
+_WSAMPLE_ORACLE = f"""
+WITH k AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 17, 8))
+                   AS UBIGINT) AS DOUBLE)
+           / CAST(n_chars AS DOUBLE) AS priority
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, n_chars, priority,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY priority, doc_id) AS rn
+  FROM k
+)
+SELECT lang, doc_id, n_chars, round(priority, 4) AS priority
+FROM r WHERE rn <= {_WSAMPLE_PER_LANG}
+ORDER BY lang, doc_id
+"""
+
+
+@register("sample_weighted_priority", oracle=_WSAMPLE_ORACLE, tags=("llm", "pipeline", "sample"))
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement, per stratum:
+    each document draws priority = u / weight with u a content-stable
+    md5-derived 32-bit integer and weight = n_chars; the 5 smallest
+    priorities per language win — longer documents are proportionally
+    likelier, and the draw replays bit-identically on both engines. This
+    is the A-ES / priority-sampling shape (Efraimidis & Spirakis 2006)
+    with a RATIONAL key instead of the exponential u^(1/w) key: one
+    integer-to-double cast and one IEEE division, both correctly rounded
+    and engine-identical, where ln/pow carry last-ulp divergence that
+    could flip ranks between near-equal priorities. (The md5 offset is
+    17 so the draw is independent of the split/sample hashes at offsets
+    1 and 9.)
+
+    Plan: priority is map-side; per-stratum top-N is one shuffle on lang
+    with the rank window inside each stratum. At 100 TB with few strata,
+    swap the window for a two-stage per-partition top-N + merge (the
+    `topk_per_group` pattern); semantics are unchanged because the key
+    is a pure function of the row."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 17, 8), 16, 10
+    ).cast("bigint")
+    pri = u.cast("double") / F.col("n_chars").cast("double")
+    w = Window.partitionBy("lang").orderBy("priority", "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", pri.alias("priority"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _WSAMPLE_PER_LANG)
+        .select("lang", "doc_id", "n_chars", F.round("priority", 4).alias("priority"))
+        .orderBy("lang", "doc_id")
+    )

@@ -28,7 +28,7 @@ threshold, exactly like a stopword cut.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, parallelize_scan
@@ -781,4 +781,68 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contained", "container", F.round(cont, 4).alias("containment")
         )
         .orderBy("contained", "container")
+    )
+
+
+# ------------------------------------------------- provenance-ranked dedup
+
+_PROVENANCE_ORACLE = """
+WITH fp AS (
+  SELECT doc_id, source, lang, n_chars, md5(lower(trim(text))) AS fingerprint
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY fingerprint
+           ORDER BY (CASE WHEN lang = 'en' THEN 0 ELSE 1 END),
+                    n_chars DESC, doc_id) AS rn
+  FROM fp
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE rn = 1) AS n_kept,
+       count(*) FILTER (WHERE rn > 1) AS n_dropped
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("dedup_provenance_best", oracle=_PROVENANCE_ORACLE, tags=("llm", "dedup"))
+def dedup_provenance_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked exact dedup: within each exact-duplicate cluster keep
+    the BEST copy, not the arbitrary lowest-id one — ranked by (English
+    first, longer text first, doc_id as the total-order tiebreak), the
+    survivor policy real corpus builds use when the same page arrives via
+    several crawls of different completeness. Reported as per-source
+    kept/dropped counts: the census that shows which ingestion source is
+    mostly shadowed by better copies elsewhere.
+
+    Plan: identical movement to `dedup_exact` — ONE shuffle on the
+    content fingerprint; the ranking window runs inside each fingerprint
+    group (duplicate-cluster sized, tiny by construction), then a
+    partial-agg'd groupBy on source. No second pass over text: the rank
+    inputs (lang, n_chars) ride along with the fingerprint."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    fp = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.when(F.col("lang") == "en", 0).otherwise(1),
+        F.col("n_chars").desc(),
+        "doc_id",
+    )
+    ranked = fp.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+            F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+        )
+        .orderBy("source")
     )

@@ -47,6 +47,7 @@ _BNLJ_BOUNDED = {
     "source_compaction_planner",
     "source_mixture_temperature",
     "source_mixture_weights",
+    "text_bm25_topk",
     "text_perplexity_buckets",
     "text_tfidf_top_terms",
     "worker_home_stats",
