@@ -420,3 +420,65 @@ def source_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- mixture drift KL divergence
+
+_KL_ORACLE = """
+WITH base AS (
+  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+),
+per_source AS (SELECT source, sum(n) AS ns FROM base GROUP BY 1),
+per_lang AS (SELECT lang, sum(n) AS nl FROM base GROUP BY 1),
+tot AS (SELECT sum(n) AS nt FROM base)
+SELECT b.source,
+       CAST(ps.ns AS BIGINT) AS n_docs,
+       round(sum(
+         (CAST(b.n AS DOUBLE) / CAST(ps.ns AS DOUBLE))
+         * ln((CAST(b.n AS DOUBLE) / CAST(ps.ns AS DOUBLE))
+              / (CAST(pl.nl AS DOUBLE) / CAST(t.nt AS DOUBLE)))
+       ), 4) AS kl_nats
+FROM base b
+JOIN per_source ps ON b.source = ps.source
+JOIN per_lang pl ON b.lang = pl.lang
+CROSS JOIN tot t
+GROUP BY b.source, ps.ns
+ORDER BY b.source
+"""
+
+
+@register("source_lang_kl_divergence", oracle=_KL_ORACLE, tags=("llm", "ingest", "agg"))
+def source_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift diagnostic: KL(source's language distribution ‖
+    corpus language distribution) in nats, per source. The number a
+    data-recipe dashboard watches to catch one crawl slice silently
+    skewing toward a language before it contaminates the mixture —
+    complements `source_mixture_weights` (which reweights on token
+    volume) with a DISTRIBUTIONAL distance. KL is finite here by
+    construction: every (source, lang) cell's language also appears in
+    the corpus marginal, so q > 0 wherever p > 0.
+
+    Plan: ONE partial-agg'd groupBy over the corpus produces the
+    (source × lang) contingency table; every relation after that is
+    bounded by source and language arity — NOT by corpus size — so the
+    marginal joins broadcast at any SF (static hints justified: arity-
+    bounded, not SF-proportional). ln's last-ulp divergence is absorbed
+    by round(…, 4), the TF-IDF precedent."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    base = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    per_source = base.groupBy("source").agg(F.sum("n").alias("ns"))
+    per_lang = base.groupBy("lang").agg(F.sum("n").alias("nl"))
+    tot = base.agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("ns").cast("double")
+    q = F.col("nl").cast("double") / F.col("nt").cast("double")
+    return (
+        base.join(F.broadcast(per_source), "source")
+        .join(F.broadcast(per_lang), "lang")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "ns")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"))
+        .select(
+            "source", F.col("ns").cast("bigint").alias("n_docs"), "kl_nats"
+        )
+        .orderBy("source")
+    )

@@ -869,3 +869,82 @@ def embedding_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_overlap"))
         .orderBy("qid", "dim")
     )
+
+
+# ------------------------------------------- centroid similarity matrix
+
+_CENTROID_SIM_ORACLE = """
+WITH c AS (
+  SELECT label, CAST(t.i - 1 AS INT) AS dim,
+         round(avg(CAST(embedding[t.i] AS DOUBLE)), 4) AS v
+  FROM embeddings, range(1, 65) AS t(i)
+  GROUP BY 1, 2
+),
+nrm AS (
+  SELECT label, sqrt(sum(v * v)) AS nn FROM c GROUP BY 1
+),
+dots AS (
+  SELECT a.label AS label_a, b.label AS label_b, sum(a.v * b.v) AS d
+  FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.label_a, d.label_b,
+       round(d.d / (na.nn * nb.nn), 4) AS cosine
+FROM dots d
+JOIN nrm na ON na.label = d.label_a
+JOIN nrm nb ON nb.label = d.label_b
+ORDER BY label_a, label_b
+"""
+
+
+@register("embedding_centroid_similarity", oracle=_CENTROID_SIM_ORACLE, tags=("llm", "similarity"))
+def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity between label centroids — the confusion
+    structure of the embedding space (which classes are neighbors, which
+    clusters should SemDeDup treat as one). Downstream of
+    `embedding_label_centroids`: centroids are ROUNDED to 4 decimals
+    before any pairwise arithmetic, so the only cross-engine float noise
+    left is dot/norm accumulation order over 64 addends (≤1e-15),
+    absorbed by the output rounding.
+
+    Plan: the corpus-sized work is the one centroid groupBy (explode to
+    (label, dim) rides the scan); everything pairwise operates on
+    labels × 64 rows — label-arity-bounded, never SF-proportional. The
+    pairing is an equi-join on dim with a label inequality, not a
+    cartesian."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    c = (
+        emb.select(
+            "label", F.posexplode("v").alias("dim", "x")
+        )
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("v"))
+    )
+    nrm = c.groupBy("label").agg(F.sqrt(F.sum(F.col("v") * F.col("v"))).alias("nn"))
+    a, b = c.alias("a"), c.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.v") * F.col("b.v")).alias("d"))
+    )
+    na, nb = nrm.alias("na"), nrm.alias("nb")
+    return (
+        dots.join(na, F.col("label_a") == F.col("na.label"))
+        .join(nb, F.col("label_b") == F.col("nb.label"))
+        .select(
+            "label_a",
+            "label_b",
+            F.round(
+                F.col("d") / (F.col("na.nn") * F.col("nb.nn")), 4
+            ).alias("cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )

@@ -65,6 +65,7 @@ _QUERY_MODULES = (
     "mini_hive_server_spark.operators.behavior",
     "mini_hive_server_spark.operators.timegrid",
     "mini_hive_server_spark.operators.governance",
+    "mini_hive_server_spark.operators.graph",
     "mini_hive_server_spark.plans.reference_model",
     "mini_hive_server_spark.sources.connectors",
     "mini_hive_server_spark.streaming.events_stream",

@@ -33,6 +33,7 @@ _BNLJ_BOUNDED = {
     "embedding_mrl_truncation",
     "events_funnel_conversion",
     "events_gapfill_hourly",
+    "graph_pagerank_3iter",
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
@@ -45,6 +46,7 @@ _BNLJ_BOUNDED = {
     "sketch_hll_intersection",
     "sketch_hll_mergeable",
     "source_compaction_planner",
+    "source_lang_kl_divergence",
     "source_mixture_temperature",
     "source_mixture_weights",
     "text_bm25_topk",
