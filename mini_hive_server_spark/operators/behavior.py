@@ -476,3 +476,87 @@ def events_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------------ market-basket lift
+
+_BASKET_ORACLE = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM lineitem),
+item AS (SELECT l_partkey, count(*) AS n_i FROM li GROUP BY 1),
+pair AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_ab
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)
+SELECT part_a, part_b, n_ab,
+       round(CAST(n_ab AS DOUBLE) * n.n / (ia.n_i * ib.n_i), 4) AS lift
+FROM pair
+JOIN item ia ON ia.l_partkey = part_a
+JOIN item ib ON ib.l_partkey = part_b
+CROSS JOIN n_orders n
+WHERE n_ab >= 2
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@register("orders_market_basket", oracle=_BASKET_ORACLE, tags=("join", "agg"))
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: part pairs co-ordered in the same order,
+    scored by lift = P(a,b) / (P(a)·P(b)) — the association-rule measure
+    behind "frequently bought together". Top-20 by co-occurrence count
+    with a minimum-support floor.
+
+    Plan: the pair expansion is the bounded within-order self-join (ONE
+    shuffle on the order key, ≤ 7 lines/order so O(1) pairs per key —
+    same guarantee as `lineitem_interval_overlap`), immediately
+    partial-agg'd to pair counts, so the shuffle after the join carries
+    one row per distinct PAIR, not per occurrence. Item supports join
+    back onto the pair relation by part key; the order-count denominator
+    is a 1-row broadcast. Everything ranks on exact integers; lift's one
+    float division is engine-identical."""
+    li = (
+        load_tables(spark, sf_dir)["lineitem"]
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    item = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_i"))
+    a, b = li.alias("a"), li.alias("b")
+    pair = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 2)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_i").alias("nia"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_i").alias("nib"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("nia") * F.col("nib")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(20)
+    )

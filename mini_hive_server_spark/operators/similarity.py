@@ -948,3 +948,81 @@ def embedding_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("label_a", "label_b")
     )
+
+
+# ----------------------------------------------------- hard-negative mining
+
+_HARD_NEG_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM e WHERE vec_id < 5),
+pairs AS (
+  SELECT qid, qlabel, e.vec_id AS nid, e.label AS nlabel,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+           AS cosine
+  FROM q, e
+  WHERE e.label <> qlabel
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rn
+  FROM pairs
+)
+SELECT qid, qlabel, nid, nlabel, cosine
+FROM ranked WHERE rn <= 3
+ORDER BY qid, cosine DESC, nid
+"""
+
+
+@register("similarity_hard_negatives", oracle=_HARD_NEG_ORACLE, tags=("llm", "similarity"))
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-3 most-similar vectors carrying a DIFFERENT label —
+    the near-misses that give triplet/InfoNCE losses their gradient
+    signal (random negatives are trivially separable; the hard ones are
+    found exactly this way in retrieval-model builds).
+
+    Plan: identical movement to `similarity_cosine_topk` — the anchor set
+    broadcasts, the corpus is scanned map-only with the codegen'd
+    zip_with/aggregate dot kernel (bit-identical to DuckDB's
+    list_dot_product left fold), and the label-mismatch filter prunes
+    before ranking. Per-anchor top-3 via rank window over anchor-bounded
+    rows. At 100 TB the anchor batch stays the broadcast side; the ANN
+    tiers (LSH/IVF/PQ) drop in for the corpus scan unchanged."""
+    emb = load_tables(spark, sf_dir)["embeddings"].select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb = parallelize_scan(emb, "vec_id")
+    q = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("label").alias("qlabel"),
+            F.col("v").alias("qv"),
+        )
+    )
+    cos = F.round(
+        _dot("qv", "v")
+        / (F.sqrt(_dot("qv", "qv")) * F.sqrt(_dot("v", "v"))),
+        6,
+    )
+    pairs = (
+        emb.join(F.broadcast(q), F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("nlabel"),
+            cos.alias("cosine"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), "nid")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("qid", "qlabel", "nid", "nlabel", "cosine")
+        .orderBy("qid", F.col("cosine").desc(), "nid")
+    )

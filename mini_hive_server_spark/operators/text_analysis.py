@@ -553,3 +553,65 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition keeps its local top-N and only N rows reach the driver-side
     # merge — no single-partition global window at any scale.
     return scored.orderBy(F.col("bm25").desc(), "doc_id").limit(_BM25_TOPN)
+
+
+# -------------------------------------------------------- OOV-rate census
+
+_VOCAB = (
+    "the", "a", "of", "and", "to", "scan", "join", "sort", "hash", "merge",
+    "table", "order", "window", "batch", "stream", "spark", "key", "part",
+    "small", "fast", "dup",
+)
+
+_OOV_ORACLE = f"""
+WITH t AS (
+  SELECT source, unnest({_WORDS_DUCK}) AS tok FROM documents
+)
+SELECT source,
+       count(*) AS n_tokens,
+       count(*) FILTER (WHERE tok NOT IN ({", ".join("'" + v + "'" for v in _VOCAB)}))
+         AS n_oov,
+       count(DISTINCT tok)
+         FILTER (WHERE tok NOT IN ({", ".join("'" + v + "'" for v in _VOCAB)}))
+         AS n_oov_types,
+       round(count(*) FILTER (WHERE tok NOT IN
+               ({", ".join("'" + v + "'" for v in _VOCAB)}))
+             * 1.0 / count(*), 4) AS oov_rate
+FROM t
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_oov_rate", oracle=_OOV_ORACLE, tags=("llm", "text"))
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary census per source against a fixed tokenizer
+    vocabulary: token-level OOV rate and distinct OOV type count — the
+    number that predicts how much of a new crawl slice a frozen
+    tokenizer will shred into bytes/UNKs, checked before mixing the
+    slice in.
+
+    Plan: explode rides the scan (map-side), then ONE partial-agg'd
+    groupBy on source carries (token-count, oov-count, distinct-type
+    partials); the vocabulary is a literal IN-list evaluated inside
+    codegen — no join, no second pass. The exploded relation is
+    token-cardinality but never materializes past its map stage except
+    as the distinct-type shuffle, which carries (source, token) pairs
+    only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = docs.select(
+        "source", F.explode(F.expr(_WORDS_SPARK)).alias("tok")
+    )
+    is_oov = ~F.col("tok").isin(*_VOCAB)
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(is_oov, 1)).alias("n_oov"),
+            F.count_distinct(F.when(is_oov, F.col("tok"))).alias("n_oov_types"),
+            F.round(
+                F.count(F.when(is_oov, 1)) * 1.0 / F.count(F.lit(1)), 4
+            ).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

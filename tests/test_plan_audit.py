@@ -41,10 +41,12 @@ _BNLJ_BOUNDED = {
     "ref_admin_platform_stats",
     "similarity_cosine_topk",
     "similarity_filtered_topk",
+    "similarity_hard_negatives",
     "similarity_pq_adc",
     "sketch_cms_heavy_hitters",
     "sketch_hll_intersection",
     "sketch_hll_mergeable",
+    "orders_market_basket",
     "source_compaction_planner",
     "source_lang_kl_divergence",
     "source_mixture_temperature",
