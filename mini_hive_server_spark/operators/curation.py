@@ -807,3 +807,108 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "n_chars", F.round("priority", 4).alias("priority"))
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------- in-corpus bigram LM scoring
+
+_LM_TRAIN_SOURCE = "src0"
+
+_BIGRAM_LM_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source, {_WORDS_DUCK} AS arr FROM documents
+),
+train_bg AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2, count(*) AS c2
+  FROM w, unnest(range(1, len(arr))) AS t(i)
+  WHERE source = '{_LM_TRAIN_SOURCE}' AND len(arr) >= 2
+  GROUP BY 1, 2
+),
+train_ug AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM train_bg GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT tok) AS v
+  FROM (SELECT unnest(arr) AS tok FROM w WHERE source = '{_LM_TRAIN_SOURCE}')
+),
+eval_bg AS (
+  SELECT source, doc_id, arr[i] AS w1, arr[i + 1] AS w2
+  FROM w, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+scored AS (
+  SELECT e.source, e.doc_id,
+         -ln(CAST(coalesce(b.c2, 0) + 1 AS DOUBLE)
+             / CAST(coalesce(u.c1, 0) + v.v AS DOUBLE)) AS nll
+  FROM eval_bg e
+  LEFT JOIN train_bg b ON e.w1 = b.w1 AND e.w2 = b.w2
+  LEFT JOIN train_ug u ON e.w1 = u.w1
+  CROSS JOIN vocab v
+)
+SELECT source,
+       count(DISTINCT doc_id) AS n_docs,
+       round(avg(nll), 4) AS avg_bigram_nll
+FROM scored
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_bigram_lm_xent", oracle=_BIGRAM_LM_ORACLE, tags=("llm", "text", "pipeline"))
+def text_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a REAL in-corpus model: train
+    an add-one-smoothed bigram LM on one reference slice (src0) and
+    score every source by its average bigram negative
+    log-likelihood under that model — low NLL means "looks like the
+    reference domain", the signal CCNet thresholds into head/middle/
+    tail. Complements `text_perplexity_buckets` (which buckets a
+    precomputed heuristic) with the actual estimate-then-score loop.
+
+    Plan: bigram generation is map-side array work riding the scan (the
+    `ngram_bigram_top` idiom, no self-join); the trained model is two
+    partial-agg'd count relations keyed by bigram/unigram that join back
+    onto the eval stream by token key — vocabulary-cardinality build
+    sides, NOT corpus-cardinality, so at 100 TB they're compact enough
+    to broadcast or bucket. One |V| 1-row cross join for the smoothing
+    denominator. ln's last-ulp noise is averaged then round(…,4)-ed
+    (TF-IDF precedent)."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text")
+    )
+    w = docs.select("doc_id", "source", F.expr(_WORDS_SPARK).alias("arr"))
+    bg = w.filter(F.size("arr") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(arr) - 2),"
+                " i -> struct(arr[i] AS w1, arr[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "source", "p.w1", "p.w2")
+    train_bg = (
+        bg.filter(F.col("source") == _LM_TRAIN_SOURCE)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    train_ug = train_bg.groupBy("w1").agg(F.sum("c2").cast("bigint").alias("c1"))
+    vocab = (
+        w.filter(F.col("source") == _LM_TRAIN_SOURCE)
+        .select(F.explode("arr").alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    nll = -F.log(
+        (F.coalesce("c2", F.lit(0)) + 1).cast("double")
+        / (F.coalesce("c1", F.lit(0)) + F.col("v")).cast("double")
+    )
+    scored = (
+        bg.join(train_bg, ["w1", "w2"], "left")
+        .join(train_ug, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("source", "doc_id", nll.alias("nll"))
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.round(F.avg("nll"), 4).alias("avg_bigram_nll"),
+        )
+        .orderBy("source")
+    )

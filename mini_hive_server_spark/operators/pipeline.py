@@ -428,3 +428,67 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("qv").alias("q_min"),
         F.array_max("qv").alias("q_max"),
     ).orderBy("vec_id")
+
+
+# -------------------------------------------------- deterministic epoch shuffle
+
+_EPOCHS = 3
+_EPOCH_HEAD = 8
+
+_EPOCH_SHUFFLE_ORACLE = f"""
+WITH keyed AS (
+  SELECT e.epoch, doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+  FROM documents, (SELECT unnest(range(0, {_EPOCHS})) AS epoch) e
+),
+r AS (
+  SELECT epoch, doc_id, k,
+         row_number() OVER (PARTITION BY epoch ORDER BY k, doc_id) AS pos
+  FROM keyed
+)
+SELECT CAST(epoch AS INT) AS epoch, pos, doc_id, k
+FROM r WHERE pos <= {_EPOCH_HEAD}
+ORDER BY epoch, pos
+"""
+
+
+@register("corpus_epoch_shuffle", oracle=_EPOCH_SHUFFLE_ORACLE, tags=("llm", "pipeline", "sample"))
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded per-epoch global shuffle order: every training epoch gets an
+    independent, fully reproducible permutation of the corpus via
+    key = md5(epoch ':' doc_id) — re-running epoch 2 after a crash
+    yields the identical order on any cluster size, the property data
+    loaders need for resumable multi-epoch training. Emitted here as the
+    first 8 positions of each epoch's order (the verifiable probe).
+
+    Plan: the shuffle KEY is a pure map-side function of (epoch, row);
+    this probe takes each epoch's head via a total-ordered sort-limit
+    (TakeOrderedAndProject — per-partition top-N, no global sort). The
+    production materialization is the same key fed to
+    repartitionByRange(k).sortWithinPartitions(k): a single range
+    exchange per epoch writes the full permuted corpus, and epochs are
+    independent jobs — nothing here is driver-side or
+    permutation-in-memory."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    per_epoch = []
+    for e in range(_EPOCHS):
+        k = F.md5(F.concat(F.lit(str(e)), F.lit(":"), F.col("doc_id").cast("string")))
+        head = (
+            docs.select(
+                F.lit(e).alias("epoch"), "doc_id", k.alias("k")
+            )
+            .orderBy("k", "doc_id")
+            .limit(_EPOCH_HEAD)
+        )
+        per_epoch.append(head)
+    out = per_epoch[0]
+    for h in per_epoch[1:]:
+        out = out.unionAll(h)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("epoch").orderBy("k", "doc_id")
+    return (
+        out.withColumn("pos", F.row_number().over(w))
+        .select("epoch", "pos", "doc_id", "k")
+        .orderBy("epoch", "pos")
+    )

@@ -448,3 +448,95 @@ def hll_intersection_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_both",
         )
     )
+
+
+# ------------------------------------------- sliding-window HLL user counts
+
+_SLIDING_HLL_HOURS = 6
+
+_SLIDING_HLL_ORACLE = f"""
+WITH hours AS (
+  SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events
+),
+expanded AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP))
+           + to_hours(t.i) AS win_end_h,
+         user_id
+  FROM events, unnest(range(0, {_SLIDING_HLL_HOURS})) AS t(i)
+)
+SELECT strftime(e.win_end_h, '%Y-%m-%d %H:%M:%S') AS window_end,
+       count(DISTINCT e.user_id) AS exact_users,
+       true AS approx_ok
+FROM expanded e
+JOIN hours ON hours.h = e.win_end_h
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("sketch_hll_sliding_users", oracle=_SLIDING_HLL_ORACLE, tags=("agg", "sketch", "event-time"))
+def sketch_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 6-hour distinct-user counts from MERGEABLE hour-level HLL
+    partials: build one HLL sketch per hour, then every 6-hour window
+    unions its 6 hour-sketches — the pre-aggregated rollup pattern that
+    makes sliding distinct-counts affordable (recomputing distinct over
+    raw events per window position multiplies the scan 6×; merging
+    byte-sized sketches is O(windows), independent of event volume, and
+    the same partials serve any window length). Emits the EXACT count
+    per window (computed Spark-side for the oracle) plus an approx_ok
+    flag asserting the sketch estimate lands within 5% — the
+    `sketch_hll_mergeable` contract.
+
+    Plan: one partial-agg'd groupBy(hour) over events builds the
+    sketches; the window expansion (explode of 6 offsets) operates on
+    HOUR-cardinality rows only. The exact twin explodes raw events — at
+    100 TB you would ship ONLY the sketch path; the exact column is the
+    fixture-scale verification contract."""
+    events = load_tables(spark, sf_dir)["events"]
+    hourly = events.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.hll_sketch_agg(F.col("user_id")).alias("sk")
+    )
+    hours = hourly.select("h")
+    offsets = F.array([F.lit(i) for i in range(_SLIDING_HLL_HOURS)])
+    windows = (
+        hourly.select(
+            F.explode(offsets).alias("i"), "h", "sk"
+        )
+        .select(
+            (F.col("h") + F.expr("make_interval(0, 0, 0, 0, i, 0, 0)")).alias(
+                "win_end_h"
+            ),
+            "sk",
+        )
+        .join(hours.withColumnRenamed("h", "win_end_h"), "win_end_h", "left_semi")
+        .groupBy("win_end_h")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg(F.col("sk"))).alias("est"))
+    )
+    exact = (
+        events.select(
+            F.explode(offsets).alias("i"),
+            F.date_trunc("hour", "ts").alias("h"),
+            "user_id",
+        )
+        .select(
+            (F.col("h") + F.expr("make_interval(0, 0, 0, 0, i, 0, 0)")).alias(
+                "win_end_h"
+            ),
+            "user_id",
+        )
+        .join(hours.withColumnRenamed("h", "win_end_h"), "win_end_h", "left_semi")
+        .groupBy("win_end_h")
+        .agg(F.count_distinct("user_id").alias("exact_users"))
+    )
+    return (
+        exact.join(windows, "win_end_h")
+        .select(
+            F.date_format("win_end_h", "yyyy-MM-dd HH:mm:ss").alias("window_end"),
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("approx_ok"),
+        )
+        .orderBy("window_end")
+    )

@@ -51,6 +51,7 @@ _BNLJ_BOUNDED = {
     "source_lang_kl_divergence",
     "source_mixture_temperature",
     "source_mixture_weights",
+    "text_bigram_lm_xent",
     "text_bm25_topk",
     "text_perplexity_buckets",
     "text_tfidf_top_terms",
