@@ -560,3 +560,77 @@ def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+# -------------------------------------------------- engagement tiers
+
+_TIERS_ORACLE = """
+WITH span AS (SELECT max(CAST(ts AS TIMESTAMP)) AS t_max FROM events),
+per_user AS (
+  SELECT user_id,
+         max(CAST(ts AS TIMESTAMP)) AS last_seen,
+         count(*) AS n_events
+  FROM events GROUP BY user_id
+),
+tiered AS (
+  SELECT u.user_id, u.n_events,
+         date_diff('second', u.last_seen, s.t_max) // 3600 AS recency_h,
+         ntile(4) OVER (ORDER BY u.n_events DESC, u.user_id) AS tier
+  FROM per_user u CROSS JOIN span s
+)
+SELECT tier,
+       count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(avg(n_events), 2) AS avg_events_per_user,
+       round(avg(recency_h), 2) AS avg_recency_h
+FROM tiered
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@register("events_engagement_tiers", oracle=_TIERS_ORACLE, tags=("events", "agg"))
+def events_engagement_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-tier segmentation: users quartiled by activity volume
+    (tier 1 = power users), with per-tier population, event volume, and
+    recency — the "who generates our data" census that decides which
+    tier a sampling or rate-limit policy targets. Complements
+    `events_retention_cohorts` (decay over time) with a present-state
+    cut; ntile's rank tie-break is totalized by user_id so tier
+    boundaries are deterministic.
+
+    Plan: ONE partial-agg'd groupBy(user) is the only data-sized
+    shuffle; the horizon is a 1-row broadcast; the ntile window runs
+    over USER-cardinality rows (at 100 TB swap for pre-computed count
+    quantiles + a map-side bucket join if even the user relation is too
+    wide for one sort). avg over integer inputs rounds at 2."""
+    events = load_tables(spark, sf_dir)["events"]
+    span = events.agg(F.max("ts").alias("t_max"))
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_seen"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n_events").desc(), "user_id")
+    tiered = (
+        per_user.crossJoin(F.broadcast(span))
+        .select(
+            "n_events",
+            F.floor(
+                (F.unix_timestamp("t_max") - F.unix_timestamp("last_seen"))
+                / 3600
+            ).cast("bigint").alias("recency_h"),
+            F.ntile(4).over(w).alias("tier"),
+        )
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.round(F.avg("n_events"), 2).alias("avg_events_per_user"),
+            F.round(F.avg("recency_h"), 2).alias("avg_recency_h"),
+        )
+        .orderBy("tier")
+    )

@@ -615,3 +615,66 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------------------------- Zipf slope
+
+_ZIPF_TOP = 100
+
+_ZIPF_ORACLE = f"""
+WITH toks AS (
+  SELECT unnest({_WORDS_DUCK}) AS tok FROM documents
+),
+freq AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, n,
+         row_number() OVER (ORDER BY n DESC, tok) AS r
+  FROM freq
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(r AS DOUBLE))), 6)
+         AS r2
+FROM ranked
+WHERE r <= {_ZIPF_TOP}
+"""
+
+
+@register("text_zipf_slope", oracle=_ZIPF_ORACLE, tags=("llm", "text", "stats"))
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law conformance check: OLS slope of ln(frequency) against
+    ln(rank) over the top-100 token types. Natural text sits near -1;
+    template spam, boilerplate floods, and synthetic text bend the curve
+    — a one-number corpus-health indicator data teams trend per crawl
+    snapshot.
+
+    Plan: one token-count groupBy (map-side partial agg, the
+    `ngram_bigram_top` movement), then ranking and the regression run
+    over the TOP-100 TYPE rows only — vocabulary-bounded, not corpus-
+    bounded. The OLS fit is the built-in `regr_slope`/`regr_r2` moment
+    aggregate (bit-identical to DuckDB at 6 decimals, the
+    `events_value_regression` precedent); the global rank window touches
+    100 surviving rows after a TakeOrdered-style pre-cut."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("text")
+    )
+    freq = (
+        docs.select(F.explode(F.expr(_WORDS_SPARK)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(_ZIPF_TOP)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    return ranked.select(
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.log(F.col("r").cast("double")).alias("x"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.expr("regr_slope(y, x)"), 6).alias("zipf_slope"),
+        F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
+    )

@@ -650,3 +650,66 @@ def events_trailing_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ts_s", "event_id")
     )
+
+
+# ------------------------------------------- order-to-ship latency profile
+
+_SHIP_LATENCY_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS lat_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       count(*) AS n,
+       round(quantile_cont(lat_days, 0.50), 4) AS p50,
+       round(quantile_cont(lat_days, 0.90), 4) AS p90,
+       round(quantile_cont(lat_days, 0.99), 4) AS p99,
+       CAST(max(lat_days) AS BIGINT) AS max_days
+FROM lat
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("orders_ship_latency_percentiles", oracle=_SHIP_LATENCY_ORACLE, tags=("agg", "stats"))
+def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLO profile: exact p50/p90/p99 of the
+    orderdate→shipdate lag per order priority — the fulfillment-latency
+    dashboard every ops team runs, and the percentile-over-a-JOIN shape
+    (latency is a derived column crossing two tables, not a stored one).
+
+    Plan: one equi-join on the order key (both sides pruned to 2-3
+    columns), latency computed map-side, then one partial-agg'd
+    percentile aggregate per priority (Spark's exact `percentile` keeps
+    a per-group digest; 5 priority groups). The exact tier is the
+    contract; `sketch_approx_quantiles` is the documented 100 TB degrade
+    path when per-group cardinality makes exact digests too heavy."""
+    t = load_tables(spark, sf_dir)
+    lat = (
+        t["lineitem"]
+        .select("l_orderkey", F.col("l_shipdate").cast("date").alias("sd"))
+        .join(
+            t["orders"].select(
+                "o_orderkey",
+                "o_orderpriority",
+                F.col("o_orderdate").cast("date").alias("od"),
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            "o_orderpriority", F.datediff("sd", "od").alias("lat_days")
+        )
+    )
+    return (
+        lat.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.expr("percentile(lat_days, 0.50)"), 4).alias("p50"),
+            F.round(F.expr("percentile(lat_days, 0.90)"), 4).alias("p90"),
+            F.round(F.expr("percentile(lat_days, 0.99)"), 4).alias("p99"),
+            F.max("lat_days").cast("bigint").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

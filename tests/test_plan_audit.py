@@ -31,6 +31,7 @@ _BNLJ_BOUNDED = {
     "buyer_home_dashboard",
     "dashboard_multi_metric",
     "embedding_mrl_truncation",
+    "events_engagement_tiers",
     "events_funnel_conversion",
     "events_gapfill_hourly",
     "graph_pagerank_3iter",
