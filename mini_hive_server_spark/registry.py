@@ -143,6 +143,19 @@ _QUERY_MODULES = (
 # source_mixture_temperature, events_trailing_window_range,
 # ref_entity_resolution) queue
 # for the next rotation.
+# Round 7 (same driver round — the window above is still unconsumed, so it
+# stays frozen for stability and the sixteen round-7 additions join the
+# queue behind the four already waiting): events_gapfill_hourly,
+# lineitem_interval_overlap, constraint_referential_audit,
+# mutation_cascade_delete, text_bm25_topk, dedup_provenance_best,
+# sample_weighted_priority, graph_pagerank_3iter,
+# source_lang_kl_divergence, embedding_centroid_similarity,
+# similarity_hard_negatives, text_oov_rate, orders_market_basket,
+# text_bigram_lm_xent, corpus_epoch_shuffle, sketch_hll_sliding_users,
+# orders_ship_latency_percentiles, text_zipf_slope,
+# events_engagement_tiers. All are oracle-green under the local
+# driver-sim harness (type-aware compare); none needs a window slot more
+# than the 44 never-checked names already in place.
 _DRIVER_WINDOW = (
     # --- never driver-checked (round-3 late additions) ---
     "ref_top_workers",
