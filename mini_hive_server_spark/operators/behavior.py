@@ -634,3 +634,209 @@ def events_engagement_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# -------------------------------------------------------- session top paths
+
+_PATHS_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS t,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+  SELECT user_id, event_id, event_type, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+stepped AS (
+  SELECT user_id, sid, event_type,
+         row_number() OVER (PARTITION BY user_id, sid ORDER BY t, event_id)
+           AS step,
+         count(*) OVER (PARTITION BY user_id, sid) AS session_len
+  FROM sessions
+),
+paths AS (
+  SELECT user_id, sid,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM stepped
+  WHERE step <= 3 AND session_len >= 3
+  GROUP BY 1, 2
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 10
+"""
+
+
+@register("events_top_paths", oracle=_PATHS_ORACLE, tags=("events", "window-fn"))
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the top-10 opening 3-step event-type sequences
+    across sessions (30-min inactivity sessionization) — the
+    product-analytics "what do journeys start with" view, downstream of
+    the same gaps-and-islands sessionizer `events_sessionize` ships.
+
+    Plan: sessionize (two user-keyed windows), rank steps inside each
+    session, keep steps ≤ 3 of length-≥3 sessions, assemble the path
+    string ORDER-SAFELY (sort a (step, type) struct array, then join —
+    collect_list alone has no deterministic order), and count per path
+    with one partial-agg'd shuffle; top-10 via total-ordered sort-limit.
+    Every window partitions by user or session — no global ordering
+    until the 10-row result."""
+    events = load_tables(spark, sf_dir)["events"]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
+    stepped = sessions.select(
+        "user_id",
+        "sid",
+        "event_type",
+        F.row_number().over(ws).alias("step"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("user_id", "sid"))
+        .alias("session_len"),
+    )
+    paths = (
+        stepped.filter((F.col("step") <= 3) & (F.col("session_len") >= 3))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("step", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------ RFM segments
+
+_RFM_ORACLE = """
+WITH horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(CAST(o_orderdate AS DATE)),
+                   (SELECT d_max FROM horizon)) AS recency_d,
+         count(*) AS frequency,
+         round(sum(o_totalprice), 2) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_d, frequency, monetary,
+         ntile(5) OVER (ORDER BY recency_d, o_custkey) AS r,
+         ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+         ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+  FROM per_cust
+)
+SELECT r, f, m,
+       count(*) AS n_customers,
+       round(avg(recency_d), 2) AS avg_recency_d,
+       round(avg(frequency), 2) AS avg_frequency,
+       round(avg(monetary), 2) AS avg_monetary
+FROM scored
+GROUP BY r, f, m
+HAVING count(*) >= 5
+ORDER BY r, f, m
+"""
+
+
+@register("customers_rfm_segments", oracle=_RFM_ORACLE, tags=("agg", "window-fn"))
+def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer scored into recency / frequency /
+    monetary quintiles, then the population census per (R,F,M) cell —
+    the classic CRM cut ("champions" = 1/1/1, "at risk" = 5/1/1, …).
+
+    Determinism: monetary ranks on the ROUNDED per-customer sum —
+    o_totalprice carries 2 decimals, so a per-customer sum is
+    mathematically 2-decimal and round(…,2) is exact and engine-
+    identical (the gap-fill argument); every ntile ordering is
+    totalized by custkey. Plan: one groupBy(custkey) partial agg is the
+    only order-volume shuffle; the three quintile windows and the cell
+    census run over CUSTOMER-cardinality rows (at 100 TB: replace the
+    global ntile sort with precomputed quantile cut-points + a map-side
+    bucket join, same cells)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    from pyspark.sql import Window
+
+    horizon = orders.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max")
+    )
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "o_custkey",
+            F.datediff("d_max", "last_d").alias("recency_d"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        "recency_d",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(Window.orderBy("recency_d", "o_custkey")).alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m"),
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("recency_d"), 2).alias("avg_recency_d"),
+            F.round(F.avg("frequency"), 2).alias("avg_frequency"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+        .filter(F.col("n_customers") >= 5)
+        .orderBy("r", "f", "m")
+    )

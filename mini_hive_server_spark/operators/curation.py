@@ -912,3 +912,110 @@ def text_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------- classifier calibration bins
+
+_CALIBRATION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac
+  FROM t
+),
+s AS (
+  SELECT round(1.0 / (1.0 + exp(-({_LR_W['bias']} + {_LR_W['nw']} * nw
+                            + {_LR_W['awl']} * awl + {_LR_W['stop']} * ns
+                            + {_LR_W['rep']} * top_frac))), 6) AS score,
+         CASE WHEN nw BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+               AND awl BETWEEN {_MIN_AWL} AND {_MAX_AWL}
+               AND ns >= {_MIN_STOPWORDS}
+               AND top_frac <= {_MAX_TOP_WORD_FRAC}
+              THEN 1 ELSE 0 END AS gopher_pass
+  FROM m
+)
+SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+       count(*) AS n_docs,
+       round(avg(score), 4) AS mean_predicted,
+       round(avg(gopher_pass), 4) AS observed_rate
+FROM s
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@register("classifier_calibration_bins", oracle=_CALIBRATION_ORACLE, tags=("llm", "pipeline", "stats"))
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the learned quality filter: bucket the LR
+    score into deciles and compare mean predicted probability against
+    the observed Gopher-rule pass rate per bucket — the calibration
+    check run before trusting a classifier's threshold as a keep/drop
+    knob (a model can rank well and still be wildly miscalibrated).
+
+    Plan: scoring and the rule label are the same map-only codegen
+    expressions `text_quality_classifier` / `text_gopher_quality` ship;
+    the decile bucket is arithmetic over the score ROUNDED to 6 first,
+    so both engines bucket the identical double (a raw sigmoid can
+    differ in the last ulp; after the shared rounding the floor(×10)
+    boundary decision is made on the same value in both engines). One
+    10-group partial agg — a single corpus scan end to end."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "text")).select(
+        F.expr(_WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    awl = F.expr(
+        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
+    ) * F.lit(1.0) / nw
+    ns = F.expr(f"size(filter(w, x -> x IN ({_STOPLIST})))")
+    top_frac = F.expr(
+        "array_max(transform(array_distinct(w),"
+        " x -> size(filter(w, y -> y = x))))"
+    ) * F.lit(1.0) / nw
+    m = t.select(
+        nw.alias("nw"), awl.alias("awl"), ns.alias("ns"), top_frac.alias("top_frac")
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_LR_W["bias"])
+                    + F.lit(_LR_W["nw"]) * F.col("nw")
+                    + F.lit(_LR_W["awl"]) * F.col("awl")
+                    + F.lit(_LR_W["stop"]) * F.col("ns")
+                    + F.lit(_LR_W["rep"]) * F.col("top_frac")
+                )
+            )
+        ),
+        6,
+    )
+    gopher = (
+        F.col("nw").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("awl").between(_MIN_AWL, _MAX_AWL)
+        & (F.col("ns") >= _MIN_STOPWORDS)
+        & (F.col("top_frac") <= _MAX_TOP_WORD_FRAC)
+    ).cast("int")
+    s = m.select(score.alias("score"), gopher.alias("gopher_pass"))
+    return (
+        s.select(
+            F.least(F.floor(F.col("score") * 10), F.lit(9)).cast("int").alias("bin"),
+            "score",
+            "gopher_pass",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("mean_predicted"),
+            F.round(F.avg("gopher_pass"), 4).alias("observed_rate"),
+        )
+        .orderBy("bin")
+    )

@@ -29,6 +29,7 @@ from .conftest import SF_SMOKE
 # BNLJ with a provably size-bounded build side (see module docstring)
 _BNLJ_BOUNDED = {
     "buyer_home_dashboard",
+    "customers_rfm_segments",
     "dashboard_multi_metric",
     "embedding_mrl_truncation",
     "events_engagement_tiers",
