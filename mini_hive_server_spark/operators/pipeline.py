@@ -492,3 +492,183 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "pos", "doc_id", "k")
         .orderBy("epoch", "pos")
     )
+
+
+# ------------------------------------------------- end-to-end recipe funnel
+
+_RECIPE_PACK_BUDGET = 512
+
+_RECIPE_FUNNEL_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+           AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac,
+         w
+  FROM t
+),
+quality AS (
+  SELECT doc_id, text, nw, w FROM m
+  WHERE nw BETWEEN 30 AND 1000 AND awl BETWEEN 2.0 AND 12.0
+    AND ns >= 2 AND top_frac <= 0.15
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id
+  FROM quality GROUP BY md5(lower(trim(text)))
+),
+deduped AS (
+  SELECT q.doc_id, q.nw, q.w FROM quality q
+  JOIN survivors s ON q.doc_id = s.doc_id
+),
+grams AS (
+  SELECT doc_id, array_to_string(arr[i:i+7], ' ') AS g
+  FROM (SELECT doc_id, w AS arr FROM t)
+       , unnest(generate_series(1, len(arr) - 7)) AS u(i)
+  WHERE len(arr) >= 8
+),
+eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+clean AS (
+  SELECT d.doc_id, d.nw FROM deduped d
+  WHERE d.doc_id % 97 <> 0
+    AND NOT EXISTS (SELECT 1 FROM grams gr JOIN eval_grams e ON gr.g = e.g
+                    WHERE gr.doc_id = d.doc_id)
+)
+SELECT * FROM (
+  SELECT 1 AS stage_order, 'raw' AS stage,
+         count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_tokens FROM m
+  UNION ALL
+  SELECT 2, 'quality_pass', count(*), CAST(sum(nw) AS BIGINT) FROM quality
+  UNION ALL
+  SELECT 3, 'dedup_survivor', count(*), CAST(sum(nw) AS BIGINT) FROM deduped
+  UNION ALL
+  SELECT 4, 'decontaminated', count(*), CAST(sum(nw) AS BIGINT) FROM clean
+  UNION ALL
+  SELECT 5, 'packed_bins',
+         CAST(ceil(CAST(sum(nw) AS DOUBLE) / 512) AS BIGINT), 
+         CAST(sum(nw) AS BIGINT)
+  FROM clean
+)
+ORDER BY stage_order
+"""
+
+
+@register("corpus_recipe_funnel", oracle=_RECIPE_FUNNEL_ORACLE, tags=("llm", "pipeline", "headline"))
+def corpus_recipe_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-data recipe as ONE Catalyst DAG with a retention
+    funnel: raw corpus → Gopher-rule quality gate → exact-dedup survivors
+    → benchmark decontamination (8-gram overlap vs the held-out split) →
+    packed-sequence estimate at a 512-token budget. Each row reports the
+    docs/tokens surviving that stage — the per-stage loss accounting
+    every data recipe publishes (and the first thing reviewed when a
+    filter change moves downstream eval).
+
+    Composes the SAME stage definitions the standalone queries register
+    (`text_gopher_quality`, `dedup_exact`, `decontaminate_ngram`,
+    `seq_packing_bins`), proving the operators stack into a pipeline
+    without semantic drift. Plan: word/feature metrics are computed once
+    map-side; the quality gate is a filter; dedup adds ONE fingerprint
+    shuffle; the contamination probe is a broadcast semi-join of the
+    benchmark-sized gram set; the funnel rows are 1-row aggregates
+    unioned. The corpus text column is scanned once for metrics and once
+    for grams — never shuffled."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "text")
+    )
+    m = docs.select(
+        "doc_id",
+        "text",
+        F.expr("split(lower(trim(text)), '\\\\s+')").alias("w"),
+    ).select(
+        "doc_id",
+        "text",
+        "w",
+        F.size("w").alias("nw"),
+        (
+            F.expr("aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)")
+            * F.lit(1.0)
+            / F.size("w")
+        ).alias("awl"),
+        F.expr(
+            "size(filter(w, x -> x IN ('the','a','of','and','to')))"
+        ).alias("ns"),
+        (
+            F.expr(
+                "array_max(transform(array_distinct(w),"
+                " x -> size(filter(w, y -> y = x))))"
+            )
+            * F.lit(1.0)
+            / F.size("w")
+        ).alias("top_frac"),
+    )
+    quality = m.filter(
+        F.col("nw").between(30, 1000)
+        & F.col("awl").between(2.0, 12.0)
+        & (F.col("ns") >= 2)
+        & (F.col("top_frac") <= 0.15)
+    ).select("doc_id", "text", "nw", "w")
+    survivors = (
+        quality.groupBy(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    deduped = quality.join(survivors, "doc_id", "left_semi").select(
+        "doc_id", "nw", "w"
+    )
+    grams = (
+        m.filter(F.size("w") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 8),"
+                    " i -> array_join(slice(w, i + 1, 8), ' '))"
+                )
+            ).alias("g"),
+        )
+    )
+    eval_grams = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "g", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = (
+        deduped.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "nw")
+    )
+
+    def stage(order: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nw").cast("bigint").alias("n_tokens"),
+        ).select(
+            F.lit(order).alias("stage_order"), F.lit(name).alias("stage"),
+            "n_docs", "n_tokens",
+        )
+
+    packed = clean.agg(
+        F.ceil(F.sum("nw").cast("double") / _RECIPE_PACK_BUDGET)
+        .cast("bigint")
+        .alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_tokens"),
+    ).select(
+        F.lit(5).alias("stage_order"), F.lit("packed_bins").alias("stage"),
+        "n_docs", "n_tokens",
+    )
+    return (
+        stage(1, "raw", m)
+        .unionAll(stage(2, "quality_pass", quality))
+        .unionAll(stage(3, "dedup_survivor", deduped))
+        .unionAll(stage(4, "decontaminated", clean))
+        .unionAll(packed)
+        .orderBy("stage_order")
+    )
