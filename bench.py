@@ -32,7 +32,9 @@ import traceback
 from mini_hive_server_spark import registry
 from mini_hive_server_spark.session import get_spark
 
-HEADLINE = (
+# The original 10-query headline set, frozen since round 1 for
+# cross-round comparability (r1 16.096s → r3 5.583s → r4 4.548s).
+HEADLINE10 = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_volume",
@@ -44,6 +46,24 @@ HEADLINE = (
     "text_quality_score",
     "buyer_home_dashboard",
 )
+
+# Round-5 extension: the genuinely expensive tiers added in rounds 4-7
+# that the frozen set never wall-clock-tracked (VERDICT r4 "missing" #3),
+# plus the two skew paths so the skew story carries measured numbers, not
+# just plan assertions (agg_salted_two_stage = salted two-stage agg;
+# events_click_attribution = AQE skew-split fact-fact join).
+EXTENDED = (
+    "similarity_pq_adc",
+    "text_span_dedup",
+    "dedup_minhash_oph",
+    "ingest_cdc_merge",
+    "corpus_epoch_shuffle",
+    "agg_salted_two_stage",
+    "agg_salted_hot_key",
+    "events_click_attribution",
+)
+
+HEADLINE = HEADLINE10 + EXTENDED
 
 
 def main() -> None:
@@ -115,6 +135,16 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # round-over-round comparability: headline10 is the frozen round-1
+        # set (compare to r4's 4.548s); extended is the round-5 widening.
+        "subtotals": {
+            "headline10": round(
+                sum(t for n, t in timings.items() if n in HEADLINE10), 3
+            ),
+            "extended": round(
+                sum(t for n, t in timings.items() if n in EXTENDED), 3
+            ),
+        },
     }
     if failed:
         out["failed"] = failed

@@ -702,8 +702,13 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
-                > 1800
+                # Microsecond precision to mirror the oracle's epoch_us
+                # comparison exactly — unix_timestamp truncates to whole
+                # seconds and misclassifies gaps within ~1s of the 30-min
+                # boundary (the events fixture carries sub-second micros).
+                # Same fix events_sessionize already ships.
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
             ),
             1,
         )
@@ -839,4 +844,150 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_customers") >= 5)
         .orderBy("r", "f", "m")
+    )
+
+
+# ------------------------------------------------------ robust MAD outliers
+
+_MAD_K = 1.4826  # consistency constant: MAD * k estimates sigma under normality
+
+_MAD_ORACLE = f"""
+WITH med AS (
+  SELECT event_type, round(median(value), 6) AS med
+  FROM events GROUP BY event_type
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, round(median(abs(value - med)), 6) AS mad
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_type,
+       count(*) AS n_events,
+       any_value(d.med) AS med,
+       any_value(a.mad) AS mad,
+       count(*) FILTER (WHERE abs(d.value - d.med) > 3 * {_MAD_K} * a.mad)
+         AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY d.event_type
+ORDER BY d.event_type
+"""
+
+
+@register("events_anomaly_mad", oracle=_MAD_ORACLE, tags=("events", "agg", "robust"))
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly census per event type: median + MAD (median absolute
+    deviation, scaled by 1.4826 to estimate sigma) flag values beyond
+    3 robust-sigmas. The robust twin of the z-score screen
+    `events_value_outliers` ships — means and stddevs are themselves
+    dragged by the outliers they're supposed to find; medians are not.
+
+    Plan: two type-cardinality aggregation rounds (median, then median of
+    absolute deviations) with the per-type statistics joined back
+    broadcast — event volume crosses the wire only as groupBy partials.
+    Exact medians, not approxQuantile: Spark's median() is
+    percentile(0.5) with the same two-middle interpolation DuckDB's
+    median() uses, so the statistic is engine-identical; both sides
+    round med/mad to 6 BEFORE the threshold comparison so the outlier
+    cut is bit-identical too."""
+    events = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    med = events.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.any_value("med").alias("med"),
+            F.any_value("mad").alias("mad"),
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * _MAD_K * F.col("mad"),
+                    1,
+                )
+            ).alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# --------------------------------------------------------- LTV Pareto curve
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS ltv
+  FROM orders GROUP BY o_custkey
+),
+tiled AS (
+  SELECT o_custkey, ltv,
+         ntile(10) OVER (ORDER BY ltv DESC, o_custkey) AS decile
+  FROM per_cust
+),
+per_decile AS (
+  SELECT decile, count(*) AS n_customers, round(sum(ltv), 2) AS revenue
+  FROM tiled GROUP BY decile
+),
+tot AS (SELECT round(sum(revenue), 2) AS total FROM per_decile)
+SELECT decile, n_customers, revenue,
+       round(sum(revenue) OVER (ORDER BY decile
+                                ROWS UNBOUNDED PRECEDING) / total * 100, 2)
+         AS cum_share_pct
+FROM per_decile, tot
+ORDER BY decile
+"""
+
+
+@register("customer_ltv_pareto", oracle=_PARETO_ORACLE, tags=("agg", "window-fn"))
+def customer_ltv_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-lifetime-value concentration (Pareto/80-20 curve): rank
+    customers into LTV deciles and report each decile's revenue plus the
+    cumulative revenue share — "the top 10% of customers carry X% of
+    revenue", the first chart every CRM review opens with.
+
+    Plan: one customer-keyed partial-agg'd shuffle reduces orders to
+    customer cardinality; the decile ntile is the only customer-
+    cardinality global window (single ordering exchange — at 100 TB the
+    same assignment comes from approx percentile boundaries + a
+    range-partitioned rank, trading one global sort for two passes); the
+    cumulative share then runs over exactly 10 decile rows. Every
+    downstream float (decile revenue, total, shares) is computed from
+    round(2)-ed inputs identically in both engines."""
+    from pyspark.sql import Window
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("ltv"))
+    )
+    tiled = per_cust.select(
+        "ltv",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("ltv").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    per_decile = tiled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("ltv"), 2).alias("revenue"),
+    )
+    tot = per_decile.agg(F.round(F.sum("revenue"), 2).alias("total"))
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        per_decile.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            "revenue",
+            F.round(F.sum("revenue").over(w) / F.col("total") * 100, 2).alias(
+                "cum_share_pct"
+            ),
+        )
+        .orderBy("decile")
     )

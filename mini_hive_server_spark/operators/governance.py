@@ -56,8 +56,12 @@ SELECT * FROM (
          count(*) FILTER (WHERE o_custkey IS NULL)
   FROM orders
   UNION ALL
+  -- distinct-subquery form, not count(DISTINCT (a, b)): DuckDB's row-struct
+  -- distinct counts partially-null structs while Spark's count_distinct(a, b)
+  -- skips them; SELECT DISTINCT groups NULL keys identically in both engines.
   SELECT 'unique_lineitem_order_line',
-         count(*) - count(DISTINCT (l_orderkey, l_linenumber))
+         count(*) - (SELECT count(*) FROM
+                     (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
   FROM lineitem
   UNION ALL
   SELECT 'unique_orders_orderkey',
@@ -118,13 +122,20 @@ def constraint_referential_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ords.agg(
             F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations")
         ).select(F.lit("not_null_orders_custkey").alias("constraint_name"), "n_violations"),
-        li.agg(
-            (
-                F.count(F.lit(1))
-                - F.count_distinct(F.col("l_orderkey"), F.col("l_linenumber"))
-            ).alias("n_violations")
-        ).select(
-            F.lit("unique_lineitem_order_line").alias("constraint_name"), "n_violations"
+        # Null-safe composite distinct: count_distinct(a, b) skips rows where
+        # ANY argument is NULL (exactly the dirty rows an audit exists to
+        # count), so the distinct count comes from a groupBy-style DISTINCT
+        # subquery — NULL keys group together, matching the oracle's
+        # SELECT DISTINCT. Two 1-row aggregates, broadcast crossJoin.
+        li.agg(F.count(F.lit(1)).alias("n_total"))
+        .crossJoin(
+            li.select("l_orderkey", "l_linenumber")
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        .select(
+            F.lit("unique_lineitem_order_line").alias("constraint_name"),
+            (F.col("n_total") - F.col("n_distinct")).alias("n_violations"),
         ),
         ords.agg(
             (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias(

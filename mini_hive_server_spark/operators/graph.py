@@ -149,3 +149,113 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank")
     ).orderBy("event_type")
+
+
+# --------------------------------------------------------- triangle count
+
+_TRI_MIN_SUPPORT = 2
+
+_TRIANGLE_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+nodes AS (
+  SELECT u AS node FROM edges UNION SELECT v FROM edges
+),
+degs AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+)
+SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       (SELECT count(*) FROM edges) AS n_edges,
+       (SELECT CAST(coalesce(sum(deg * (deg - 1) / 2), 0) AS BIGINT) FROM degs)
+         AS n_wedges,
+       (SELECT n_triangles FROM tri) AS n_triangles
+"""
+
+
+@register("graph_triangle_count", oracle=_TRIANGLE_ORACLE, tags=("graph", "join"))
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the part co-purchase graph: nodes are parts,
+    edges are part pairs co-ordered in >= 2 distinct orders (the support
+    threshold keeps the edge relation ~collision-sized: at every SF the
+    expected support-2 pair count stays near (pairs)^2 / 2 / C(|parts|,2),
+    a few thousand — the same bounding argument `orders_market_basket`
+    documents). Output is one summary row: nodes, edges, wedge count
+    (sum deg-choose-2), triangle count.
+
+    The dataflow is the standard distributed triangle enumeration: orient
+    every edge low-id -> high-id so each triangle {{a<b<c}} is generated
+    exactly once as wedge (a-b, b-c) closed by edge (a-c); wedges come
+    from one self-join on the shared middle vertex and are closed by a
+    second equi-join against the edge set. Edge orientation is the
+    classic degree-ordering trick (by id here — support-thresholded
+    degrees are near-uniform), which bounds the wedge explosion at scale;
+    all joins are equi-joins on node ids — the registry-wide plan audit
+    verifies no cartesian appears. The only corpus-sized pass is the
+    DISTINCT (order, part) projection; everything after is edge-relation
+    cardinality."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    from ..persistence import tracked_persist
+
+    edges = tracked_persist(edges)  # read 4x below (nodes, degs, wedge join x2)
+
+    nodes = edges.select(F.col("u").alias("node")).union(
+        edges.select(F.col("v").alias("node"))
+    ).distinct()
+    degs = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = degs.agg(
+        F.coalesce(
+            F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0)
+        ).cast("bigint").alias("n_wedges")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
+    )

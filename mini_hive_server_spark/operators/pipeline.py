@@ -672,3 +672,87 @@ def corpus_recipe_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(packed)
         .orderBy("stage_order")
     )
+
+
+# ------------------------------------------- mapInArrow L2 normalization
+
+_NORMALIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, label, ve,
+         sqrt(list_sum(list_transform(ve, x -> x * x))) AS nrm
+  FROM v
+)
+SELECT vec_id, label,
+       round(nrm, 6) AS l2_norm,
+       round(ve[1] / nrm, 6) AS unit_head,
+       round(list_sum(list_transform(ve, x -> x / nrm)), 6) AS unit_sum
+FROM n
+ORDER BY vec_id
+"""
+
+
+def _normalize_batches(batches):
+    """Arrow-native L2 normalization: zero-copy column access, float64
+    math, one vectorized numpy pass per RecordBatch."""
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in batches:
+        emb = batch.column(batch.schema.get_field_index("embedding"))
+        flat = np.asarray(emb.flatten(), dtype=np.float64)
+        lens = np.diff(np.asarray(emb.offsets))
+        if len(lens) == 0:
+            continue
+        dim = int(lens[0])
+        assert (lens == dim).all(), "ragged embedding batch"
+        mat = flat.reshape(-1, dim)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        unit = mat / norms[:, None]
+        yield pa.record_batch(
+            {
+                "vec_id": batch.column(batch.schema.get_field_index("vec_id")),
+                "label": batch.column(batch.schema.get_field_index("label")),
+                "l2_norm": pa.array(norms, type=pa.float64()),
+                "unit_head": pa.array(unit[:, 0], type=pa.float64()),
+                "unit_sum": pa.array(unit.sum(axis=1), type=pa.float64()),
+            }
+        )
+
+
+@register(
+    "embedding_mapinarrow_normalize",
+    oracle=_NORMALIZE_ORACLE,
+    tags=("llm", "similarity", "udf"),
+)
+def embedding_mapinarrow_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 normalization via mapInArrow — the zero-copy Arrow
+    batch API, completing the engine's Python-surface matrix (pandas_udf
+    scalar: dedup_simhash; grouped-agg UDAF: text_geomean_chars_udaf;
+    mapInPandas: multimodal; applyInPandas: write folds; WithState:
+    streaming; UDTF: text_tokenize_udtf; mapInArrow: HERE). For pure
+    numeric array kernels mapInArrow beats mapInPandas: no pandas
+    conversion, the numpy view aliases the Arrow buffer directly.
+
+    Emits the norm plus two checksums of the normalized vector (head
+    component + component sum) so the oracle pins every output value
+    without shipping 64 floats per row. Math runs in float64 on both
+    sides; the ≤1-ulp pairwise-vs-sequential summation difference is
+    absorbed by round(6), the registry-wide float policy. Map-only: the
+    one shuffle is the presentation sort."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    out = emb.select("vec_id", "embedding", "label").mapInArrow(
+        _normalize_batches,
+        "vec_id long, label int, l2_norm double, unit_head double, unit_sum double",
+    )
+    return out.select(
+        "vec_id",
+        "label",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        F.round("unit_head", 6).alias("unit_head"),
+        F.round("unit_sum", 6).alias("unit_sum"),
+    ).orderBy("vec_id")

@@ -240,6 +240,64 @@ def agg_salted_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HOT_REPLICAS = 15  # hot key becomes 1 + 15 = 16x its natural size
+
+_SALTED_HOT_KEY_ORACLE = f"""
+WITH skewed AS (
+  SELECT event_type, value FROM events
+  UNION ALL
+  SELECT e.event_type, e.value
+  FROM events e CROSS JOIN range({_HOT_REPLICAS}) r
+  WHERE e.event_type = 'click'
+)
+SELECT event_type,
+       count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM skewed
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register("agg_salted_hot_key", oracle=_SALTED_HOT_KEY_ORACLE, tags=("agg", "skew"))
+def agg_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The salted two-stage aggregation under PLANTED skew: one key
+    ('click') is replicated 16x via a map-only explode, so at bench SF
+    (~1M events → ~5.2M skewed rows) a single reducer would own ~75% of
+    the input if grouped directly. The salt spreads the hot key over
+    `_N_SALT` reducers; the merge stage re-associates exactly, so the
+    output equals the direct groupBy — the oracle replays the same
+    replication in SQL and groups directly.
+
+    This query exists so the skew story carries a MEASURED wall-clock
+    number in BENCH_rN (bench.py EXTENDED set), not just the plan
+    assertion `tests/test_plans.py` makes for the AQE skew join. The
+    replication is explode(sequence), not a join — no shuffle until the
+    salted partial agg, and the partials are 2 longs per (key, salt):
+    map-side combine collapses the planted 16x before anything moves."""
+    events = load_tables(spark, sf_dir)["events"].select("event_id", "event_type", "value")
+    hot = (
+        events.filter(F.col("event_type") == "click")
+        .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(_HOT_REPLICAS))))
+        .drop("r")
+    )
+    skewed = events.unionAll(hot)
+    partial = skewed.withColumn(
+        "salt", (F.col("event_id") % _N_SALT).cast("int")
+    ).groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
 _CATALOG_SQL_ORACLE = """
 SELECT n.n_name, count(*) AS n_customers
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -115,7 +115,9 @@ _OVERLAP_ORACLE = """
 WITH li AS (
   SELECT l_orderkey, l_linenumber,
          CAST(l_shipdate AS DATE) AS d0,
-         CAST(l_shipdate AS DATE) + to_days(CAST(l_quantity AS INTEGER)) AS d1
+         -- trunc() keeps DuckDB's double->int conversion (round-to-nearest)
+         -- aligned with Spark's truncating cast for any fractional quantity
+         CAST(l_shipdate AS DATE) + to_days(CAST(trunc(l_quantity) AS INTEGER)) AS d1
   FROM lineitem
 ),
 pairs AS (
@@ -212,4 +214,68 @@ def lineitem_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("total_days"), 2).alias("avg_overlap_days"),
         )
         .orderBy("n_pairs")
+    )
+
+
+# --------------------------------------------------- year-over-year growth
+
+_YOY_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month_s,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY 1
+),
+grown AS (
+  SELECT month_s, n_orders, revenue,
+         round(
+           (revenue - lag(revenue, 12) OVER (ORDER BY month_s))
+             / lag(revenue, 12) OVER (ORDER BY month_s) * 100, 2
+         ) AS yoy_pct
+  FROM monthly
+)
+-- first-year months have no prior-year comparison; a NULL double renders
+-- as NaN through Spark->pandas, so the no-comparison rows are excluded
+-- rather than emitted as NULL (registry float policy: no NULL floats out)
+SELECT * FROM grown WHERE yoy_pct IS NOT NULL
+ORDER BY month_s
+"""
+
+
+@register("orders_yoy_growth", oracle=_YOY_ORACLE, tags=("agg", "window-fn"))
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue with year-over-year growth — the standard BI
+    time-series cut: aggregate to months, then lag(12) over the monthly
+    series for the same-month-last-year comparison (NULL for the first
+    year, like every BI tool renders it).
+
+    Plan: ONE partial-agg'd shuffle reduces orders to month cardinality
+    (≤ 84 rows for the 7-year TPC-H span at ANY SF); the lag window runs
+    over that aggregate — its single-partition global ordering is safe
+    precisely because the input is calendar-bounded, the same argument
+    as the gapfill spine above. Float determinism: growth is computed
+    from the already-round(2)-ed monthly revenues, so the division's
+    operands are bit-identical cross-engine before the final round."""
+    monthly = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("month_s")
+    prev = F.lag("revenue", 12).over(w)
+    return (
+        monthly.select(
+            "month_s",
+            "n_orders",
+            "revenue",
+            F.round((F.col("revenue") - prev) / prev * 100, 2).alias("yoy_pct"),
+        )
+        # no-prior-year months excluded: NULL doubles render as NaN through
+        # toPandas and the registry emits no NULL floats (oracle matches)
+        .filter(F.col("yoy_pct").isNotNull())
+        .orderBy("month_s")
     )

@@ -78,146 +78,77 @@ _QUERY_MODULES = (
 
 # The driver's correctness gate compares the FIRST 50 registered queries
 # (verified round 1: CORRECTNESS_r01.json's key set == the first 50 names in
-# registration order). Rotation history: round 1 proved the
-# scan/filter/scalar/agg/join/TPC-H families 48/50 green; round 2 proved
-# mutations/top-k/composites/event-time-core/dedup/similarity/text/
-# multimodal/sources/streaming-core 46/50; round 3 proved the event-time
-# long tail, set ops, pipeline, contamination, sketches, catalog/roundtrip
-# sources, streaming re-checks, promoted oracles, and the ref_* family
-# 47/50 (the 3 non-green: two DECIMAL128-vs-int64 oracle-type artifacts,
-# both CAST-fixed this round, and rows-only similarity_ivf_ann, now
-# oracle-paired at nprobe=k). Round 4 leads with the 10 queries never yet
-# driver-checked (two of them — streaming_sessionize,
-# source_mixture_weights — carried the same latent oracle-type bug, fixed),
-# re-checks the two repaired round-3 reds, promotes the newly oracle-paired
-# IVF tier, adds this round's two new queries (the approve-submission write
-# lifecycle on reference-shaped rows; the skew-tested attribution
-# fact-fact join), re-checks the two ref_* rows whose oracles gained
-# explicit DOUBLE casts, and fills the rest re-confirming every
-# TPC-H/join query whose broadcast hints were unpinned this round plus the
-# heaviest dedup/similarity tiers. After this round every registered query
-# has a driver row at least once; cumulative target is 0 red.
-# Round 5: the driver produced no r04 artifacts, so the round-4 window was
-# never consumed and carries over intact; six re-confirmation slots whose
-# queries already have green rows (dedup_exact r2+r3, dedup_simhash r3,
-# events_tumbling_hourly r1-r3, multimodal_feature_extract r3,
-# buyer_home_dashboard r3, q12_late_lines r1) rotate out for the six new
-# round-5 curation queries (Gopher rules, boilerplate templates, bigram
-# repetition, perplexity buckets, SemDeDup clusters, z-score outliers);
-# two more re-confirmation slots (dedup_embedding_cosine r3,
-# similarity_cosine_topk r3) rotate out for the round-5 reference WRITE
-# lifecycles (task post, withdrawal approve), and two join re-checks whose
-# shapes are already re-proven on their reference-shaped twins
-# (lookup_join_defaults → ref_worker_submission_page, join_theta_balance →
-# ref_withdrawal_queue, both green r3) rotate out for the round-5 filtered
-# vector search and the dynamic-partition-overwrite incremental rollup;
-# join_chain_2hop (green r1, shape plan-tested) rotates out for the
-# left-outer stream-stream join with its flush-sentinel drain; and two
-# r1-green TPC-H re-checks (q14_promo_revenue, q16_supplier_cnt — values
-# untouched by the hint unpinning) rotate out for the round-5 LR quality
-# classifier and the grouped-agg UDAF; q20_promo_suppliers (r1 green)
-# rotates out for the one-scan composite quality report.
-# Round 6 (still ahead of the first driver consumption of this window):
-# re-confirmation slots — r1-green, value-invariant under the hint
-# unpinning, every shape plan-guard-tested (q8, q9, q10, q11, q15, q17,
-# q18, q19, q21, and argmin_cheapest_order, the Q2 twin) — rotate out
-# one-for-one for the ten round-6 additions (substring-span dedup, CDC
-# latest-wins merge, count-min heavy hitters, PQ+ADC retrieval, audio
-# chunk planning, file compaction planning, the stateful streaming CDC
-# twin, the forward as-of with tolerance, the Rabin-Karp rolling
-# fingerprint, MOSS winnowing fingerprints), none of which has ever been
-# driver-checked; q7 (r1-green) later rotates out for the CEP
-# error-burst pattern, and similarity_lsh_ann (r3-green, oracle
-# untouched since, family re-proven by the PQ/IVF tiers in this same
-# window) rotates out for its streaming twin; q1 (r1-green AND
-# smoke-checked by entry() every round) rotates out for the HLL
-# intersection estimate; q5 and q3 (r1-green, benched every round)
-# rotate out for the incremental MinHash ingest probe and the OPH
-# signature family; dedup_lsh_clusters (r3-green, and its minhash
-# underpinnings stay gated via dedup_minhash_lsh) rotates out for the
-# truncated-dimension retrieval report. The six remaining re-check
-# slots are all load-bearing (two round-4 oracle-type repairs, two
-# DOUBLE-cast ref oracles, the promoted IVF oracle, and the band-helper
-# -refactored minhash tier), so late round-6 additions past the 44
-# never-checked in-window names (currently: dedup_containment,
-# source_mixture_temperature, events_trailing_window_range,
-# ref_entity_resolution) queue
-# for the next rotation.
-# Round 7 (same driver round — the window above is still unconsumed, so it
-# stays frozen for stability and the sixteen round-7 additions join the
-# queue behind the four already waiting): events_gapfill_hourly,
-# lineitem_interval_overlap, constraint_referential_audit,
-# mutation_cascade_delete, text_bm25_topk, dedup_provenance_best,
-# sample_weighted_priority, graph_pagerank_3iter,
-# source_lang_kl_divergence, embedding_centroid_similarity,
-# similarity_hard_negatives, text_oov_rate, orders_market_basket,
-# text_bigram_lm_xent, corpus_epoch_shuffle, sketch_hll_sliding_users,
-# orders_ship_latency_percentiles, text_zipf_slope,
-# events_engagement_tiers. All are oracle-green under the local
-# driver-sim harness (type-aware compare); none needs a window slot more
-# than the 44 never-checked names already in place.
+# registration order). Full rotation history lives in COVERAGE.md
+# ("Driver-window rotation history"); this comment documents only the
+# CURRENT window's rationale.
+#
+# Round-5 window (rotated after CORRECTNESS_r04 came back 50/50 green):
+# leads with the 27 queries that have never had a driver row (all locally
+# oracle-green under the type-aware harness, tests/oracle_harness.py), so
+# after this round EVERY registered query has at least one green driver
+# row; the remaining 23 slots re-confirm the heaviest / most
+# recently-repaired tiers (the minhash families, PQ+ADC, span dedup, the
+# three reference WRITE lifecycles, the streaming stateful twins, and the
+# round-4 oracle-type repairs). Round-5 additions past these 50 queue for
+# the round-6 rotation and are listed in COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- never driver-checked (round-3 late additions) ---
-    "ref_top_workers",
-    "streaming_sessionize",  # oracle CAST-fixed (BIGINT) this round
-    "ingest_incremental_dedup",
-    "source_mixture_weights",  # oracle CAST-fixed (BIGINT/DOUBLE) this round
-    "profile_table_columns",
-    "events_retention_cohorts",
-    "events_type_transitions",
-    "events_value_regression",
-    "events_funnel_conversion",
-    "source_schema_evolution",
-    # --- round-3 reds repaired (values were already correct; oracle types) ---
-    "events_sessionize",
-    "events_rollup_two_level",
-    # --- newly oracle-paired / new this round ---
-    "similarity_ivf_ann",  # nprobe=k → brute-force oracle, no longer rows-only
-    "ref_approve_submission_batch",  # approve write lifecycle, spelling quirk
-    "events_click_attribution",  # skew-tested fact-fact join
-    "join_salted_skew",  # manual salted join == plain-join oracle
-    "source_zorder_layout",  # multi-dim layout; result-invariant oracle
-    # --- ref_* oracles that gained explicit DOUBLE casts this round ---
-    "ref_buyer_payment_history",
-    "ref_admin_platform_stats",
-    # --- TPC-H / join plans whose broadcast hints were unpinned this round
-    #     (values unchanged by plan policy; re-proven under the driver) ---
-    "dedup_minhash_oph",  # round-6 OPH signature family (never checked)
-    "ingest_incremental_minhash",  # round-6 batch-vs-corpus near-dup probe (never checked)
-    "events_cep_error_burst",  # round-6 CEP burst pattern (never checked)
-    "text_span_dedup",  # round-6 substring-span dedup (never checked)
-    "ingest_cdc_merge",  # round-6 CDC latest-wins merge (never checked)
-    "sketch_cms_heavy_hitters",  # round-6 count-min heavy hitters (never checked)
-    "similarity_pq_adc",  # round-6 PQ+ADC retrieval tier (never checked)
-    "text_quality_classifier",  # round-5 LR quality filter (never checked)
-    "multimodal_audio_chunks",  # round-6 audio chunk planning (never checked)
-    "text_geomean_chars_udaf",  # round-5 grouped-agg UDAF (never checked)
-    "source_compaction_planner",  # round-6 small-file bin-packing (never checked)
-    "streaming_cdc_merge",  # round-6 stateful streaming CDC twin (never checked)
-    "events_asof_next_error",  # round-6 forward as-of with tolerance (never checked)
-    "text_quality_report",  # round-5 one-scan composite dashboard (never checked)
-    "text_rolling_fingerprint",  # round-6 Rabin-Karp rolling fingerprint (never checked)
-    "text_winnowing_fingerprints",  # round-6 MOSS winnowing (never checked)
-    # --- new round-5 retrieval + maintenance ops (never driver-checked) ---
-    "similarity_filtered_topk",
-    "source_incremental_rollup",
-    "streaming_stream_stream_left_join",
-    # --- new round-5 curation family (never driver-checked) ---
-    "text_gopher_quality",
-    "text_boilerplate_templates",
-    "text_repetition_bigrams",
-    "text_perplexity_buckets",
-    "dedup_semantic_clusters",
-    "events_value_outliers",
-    # --- new round-5 reference write lifecycles (never driver-checked) ---
-    "ref_post_task_batch",
-    "ref_approve_withdrawal_batch",
+    # --- never driver-checked (closes the coverage debt to zero) ---
+    "classifier_calibration_bins",
+    "constraint_referential_audit",  # null-safe composite distinct this round
+    "corpus_epoch_shuffle",
+    "corpus_recipe_funnel",
+    "customers_rfm_segments",
+    "dedup_containment",
+    "dedup_provenance_best",
+    "embedding_centroid_similarity",
+    "events_engagement_tiers",
+    "events_gapfill_hourly",
+    "events_top_paths",  # gap test unix_micros-fixed this round (ADVICE r4)
+    "events_trailing_window_range",
+    "graph_pagerank_3iter",
+    "lineitem_interval_overlap",  # oracle trunc()-cast-aligned this round
+    "mutation_cascade_delete",
+    "orders_market_basket",
+    "orders_ship_latency_percentiles",
+    "ref_entity_resolution",
+    "sample_weighted_priority",
+    "similarity_hard_negatives",
+    "sketch_hll_sliding_users",
+    "source_lang_kl_divergence",
+    "source_mixture_temperature",
+    "text_bigram_lm_xent",
+    "text_bm25_topk",
+    "text_oov_rate",
+    "text_zipf_slope",
     # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
     "dedup_minhash_lsh",
-    "embedding_mrl_truncation",  # round-6 truncated-dim retrieval report (never checked)
-    "streaming_cep_error_burst",  # round-6 streaming CEP twin (never checked)
-    # --- headline kept warm ---
-    "sketch_hll_intersection",  # round-6 HLL set algebra (never checked)
+    "dedup_minhash_oph",
+    "similarity_pq_adc",
+    "text_span_dedup",
+    "text_winnowing_fingerprints",
+    "text_rolling_fingerprint",
+    "dedup_semantic_clusters",
+    # --- reference WRITE lifecycles (sequential-fold semantics) ---
+    "ref_post_task_batch",
+    "ref_approve_withdrawal_batch",
+    "ref_approve_submission_batch",
+    # --- streaming stateful twins re-confirmed ---
+    "streaming_cdc_merge",
+    "streaming_cep_error_burst",
+    "streaming_sessionize",
+    "streaming_stream_stream_left_join",
+    # --- round-5 additions (never driver-checked; each displaces one
+    #     re-confirm slot whose query was green in r4) ---
+    "agg_salted_hot_key",  # planted 16x hot key, bench-measured skew agg
+    "graph_triangle_count",  # oriented wedge-close dataflow
+    "embedding_mapinarrow_normalize",  # mapInArrow surface completion
+    "orders_yoy_growth",  # month-cardinality lag window
+    "events_anomaly_mad",  # robust median/MAD outlier census
+    "customer_ltv_pareto",  # decile concentration curve
+    # --- round-4 repairs / promotions re-confirmed ---
+    "ingest_cdc_merge",
+    "events_click_attribution",
+    "text_quality_report",
 )
 
 

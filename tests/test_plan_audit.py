@@ -29,6 +29,10 @@ from .conftest import SF_SMOKE
 # BNLJ with a provably size-bounded build side (see module docstring)
 _BNLJ_BOUNDED = {
     "buyer_home_dashboard",
+    "constraint_referential_audit",  # total x distinct: two 1-row aggregates
+    "customer_ltv_pareto",  # 10 decile rows x 1-row grand total
+    "graph_triangle_count",  # summary row: four 1-row aggregates crossed
+
     "customers_rfm_segments",
     "dashboard_multi_metric",
     "embedding_mrl_truncation",

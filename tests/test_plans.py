@@ -433,3 +433,53 @@ def test_asof_forward_is_window_not_range_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert _shuffles(plan) <= 1, plan
+
+
+def test_runtime_bloom_filter_injection(spark):
+    """Catalyst's InjectRuntimeFilter (Spark 3.3+) builds a bloom filter
+    from a SELECTIVE dim side and pushes might_contain() into the fact
+    scan of a shuffle join — the engine-native answer to 'bloom-prune the
+    probe side' (a hand-rolled bloom semi-join would fight the optimizer;
+    the 100 TB design is to let it fire). Default size thresholds
+    (creation side >= 10 MB app side) are tuned for clusters, so the
+    fixture can't trigger it naturally; this test scopes the thresholds
+    down to prove the rule fires on our join shapes, then restores every
+    conf — the session is shared."""
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        # force a shuffle join: runtime filters only help non-broadcast joins
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        from mini_hive_server_spark.catalog import load_tables
+
+        t = load_tables(spark, SF_SMOKE)
+        selective_dim = t["orders"].filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            t["lineitem"]
+            .join(selective_dim, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        phys = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in phys.lower(), (
+            "runtime bloom filter not injected:\n" + phys[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

