@@ -991,3 +991,68 @@ def customer_ltv_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --------------------------------------------------- DAU/WAU stickiness
+
+_STICKINESS_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+wau AS (
+  SELECT days.d, count(DISTINCT du.user_id) AS wau
+  FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+  GROUP BY days.d
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS day_s, dau.dau, wau.wau,
+       round(dau.dau * 1.0 / wau.wau, 4) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY day_s
+"""
+
+
+@register("events_dau_stickiness", oracle=_STICKINESS_ORACLE, tags=("events", "agg", "interval"))
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU stickiness ratio per day — the product-health headline
+    metric — computed EXACTLY (the truth tier next to the mergeable-HLL
+    rolling variant `sketch_hll_sliding_users`, which answers the same
+    question approximately from hour sketches when exact distinct is too
+    expensive to rescan).
+
+    Plan: events reduce once to the DISTINCT (day, user) relation —
+    user-by-day cardinality, the only event-volume pass. The 7-day
+    windows come from joining that relation to the DISTINCT day spine
+    under a BETWEEN predicate: the spine is calendar-bounded (one row per
+    active day regardless of SF), so the range join's broadcast side is
+    size-bounded by construction, and each (day, user) row lands in ≤ 7
+    windows — linear expansion, then one partial-agg'd distinct count per
+    window day."""
+    events = load_tables(spark, sf_dir)["events"]
+    du = events.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (
+        F.broadcast(days.withColumnRenamed("d", "wd"))
+        .join(
+            du,
+            (F.col("d") >= F.date_sub(F.col("wd"), 6))
+            & (F.col("d") <= F.col("wd")),
+        )
+        .groupBy("wd")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau["d"] == wau["wd"])
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 4).alias("stickiness"),
+        )
+        .orderBy("day_s")
+    )

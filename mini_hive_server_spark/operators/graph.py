@@ -259,3 +259,65 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(wedges))
         .crossJoin(F.broadcast(tri))
     )
+
+
+# ------------------------------------------- recursive-CTE hierarchy closure
+
+# Same recurrence, two integer-division dialects (DuckDB //, Spark div).
+_HIERARCHY_ORACLE = """
+WITH RECURSIVE chain AS (
+  SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+  FROM customer WHERE c_custkey < 10
+  UNION ALL
+  SELECT c.c_custkey, ch.root, ch.depth + 1
+  FROM customer c JOIN chain ch ON c.c_custkey // 10 = ch.node
+  WHERE c.c_custkey >= 10
+)
+SELECT depth,
+       count(*) AS n_nodes,
+       count(DISTINCT root) AS n_roots,
+       CAST(sum(node) AS BIGINT) AS key_sum
+FROM chain
+GROUP BY depth
+ORDER BY depth
+"""
+
+
+@register("sql_recursive_hierarchy", oracle=_HIERARCHY_ORACLE, tags=("graph", "sql", "iterative"))
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchy closure via WITH RECURSIVE (Spark 4.0+ native
+    recursive CTEs — the org-chart / BOM-explosion shape, run by the
+    ENGINE's fixpoint operator rather than a hand-unrolled loop like
+    `graph_pagerank_3iter`). The hierarchy is synthesized deterministically
+    from the customer keys: parent(k) = k div 10, roots are keys < 10 —
+    contiguous keys make every parent exist and bound the depth at
+    ceil(log10(max key)), so termination is structural.
+
+    Each recursive step is one equi-join of the frontier against the
+    customer relation plus a union — the identical per-iteration dataflow
+    the unrolled PageRank ships, but driven by the engine's recursion
+    (at 100 TB each step is a key-shuffled join; depth, not data volume,
+    bounds the iteration count). Output pins every node through per-depth
+    key sums."""
+    load_tables(spark, sf_dir)["customer"].createOrReplaceTempView(
+        "customer_rcte_src"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS node, c_custkey AS root, 0 AS depth
+          FROM customer_rcte_src WHERE c_custkey < 10
+          UNION ALL
+          SELECT c.c_custkey, ch.root, ch.depth + 1
+          FROM customer_rcte_src c JOIN chain ch ON c.c_custkey div 10 = ch.node
+          WHERE c.c_custkey >= 10
+        )
+        SELECT depth,
+               count(*) AS n_nodes,
+               count(DISTINCT root) AS n_roots,
+               sum(node) AS key_sum
+        FROM chain
+        GROUP BY depth
+        ORDER BY depth
+        """
+    )

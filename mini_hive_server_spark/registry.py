@@ -145,10 +145,9 @@ _DRIVER_WINDOW = (
     "orders_yoy_growth",  # month-cardinality lag window
     "events_anomaly_mad",  # robust median/MAD outlier census
     "customer_ltv_pareto",  # decile concentration curve
-    # --- round-4 repairs / promotions re-confirmed ---
-    "ingest_cdc_merge",
-    "events_click_attribution",
-    "text_quality_report",
+    "sql_recursive_hierarchy",  # native WITH RECURSIVE fixpoint
+    "events_dau_stickiness",  # exact DAU/WAU truth tier
+    "source_json_corrupt_census",  # PERMISSIVE corrupt-record quarantine
 )
 
 

@@ -604,3 +604,73 @@ def source_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# ----------------------------------------------- corrupt-record JSON census
+
+_JSON_CORRUPT_ORACLE = """
+SELECT count(*) AS n_lines,
+       count(*) FILTER (WHERE c_custkey % 7 = 3) AS n_corrupt,
+       count(*) FILTER (WHERE c_custkey % 7 != 3) AS n_valid,
+       CAST(sum(CASE WHEN c_custkey % 7 != 3 THEN c_custkey END) AS BIGINT)
+         AS valid_key_sum,
+       round(sum(CASE WHEN c_custkey % 7 != 3 THEN c_acctbal END), 2)
+         AS valid_bal_sum
+FROM customer
+"""
+
+
+@register("source_json_corrupt_census", oracle=_JSON_CORRUPT_ORACLE, tags=("source", "json"))
+def source_json_corrupt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE JSON ingestion with a corrupt-record census: a JSONL
+    file is synthesized from customers with every (key % 7 == 3) line
+    deterministically TRUNCATED mid-object, then read back with an
+    explicit schema plus `columnNameOfCorruptRecord` — malformed lines
+    surface as rows with NULL data columns and the raw text preserved in
+    `_corrupt`, instead of failing the job (FAILFAST) or vanishing
+    silently (DROPMALFORMED). Real feeds are never 100% well-formed; the
+    census IS the data-quality contract: quarantine counts + checksums
+    over the rows that survived.
+
+    The oracle replays the planting rule arithmetically over the clean
+    fixture — corrupt lines carry no parseable values, so the valid-side
+    sums must match exactly. Plan: map-only write, map-only PERMISSIVE
+    parse, one 1-row aggregate; nothing shuffles but 5 numbers."""
+    out = _tmp_dir(sf_dir, "customer_jsonl_corrupt")
+    cust = load_tables(spark, sf_dir)["customer"]
+    lines = cust.select(
+        F.when(
+            F.col("c_custkey") % 7 == 3,
+            F.concat(
+                F.lit('{"c_custkey": '),
+                F.col("c_custkey").cast("string"),
+                F.lit(', "c_name": '),  # unterminated on purpose
+            ),
+        )
+        .otherwise(
+            F.to_json(F.struct("c_custkey", "c_name", "c_acctbal"))
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("_corrupt", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(out)
+    )
+    return back.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.col("_corrupt")).alias("n_corrupt"),
+        F.count(F.col("c_custkey")).alias("n_valid"),
+        F.sum("c_custkey").alias("valid_key_sum"),
+        F.round(F.sum("c_acctbal"), 2).alias("valid_bal_sum"),
+    )

@@ -31,6 +31,7 @@ _BNLJ_BOUNDED = {
     "buyer_home_dashboard",
     "constraint_referential_audit",  # total x distinct: two 1-row aggregates
     "customer_ltv_pareto",  # 10 decile rows x 1-row grand total
+    "events_dau_stickiness",  # broadcast day spine (calendar-bounded) range join
     "graph_triangle_count",  # summary row: four 1-row aggregates crossed
 
     "customers_rfm_segments",
