@@ -1056,3 +1056,82 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_s")
     )
+
+
+# ------------------------------------------------- conversion hazard curve
+
+_HAZARD_ORACLE = """
+WITH s AS (
+  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+p AS (
+  SELECT s.user_id, s.t0, min(CAST(e.ts AS TIMESTAMP)) AS t1
+  FROM events e JOIN s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s.t0
+  GROUP BY s.user_id, s.t0
+),
+hist AS (
+  SELECT date_diff('day', CAST(t0 AS DATE), CAST(t1 AS DATE)) AS day_off,
+         count(*) AS n_converted
+  FROM p GROUP BY 1
+),
+tot AS (SELECT count(*) AS n_signup FROM s)
+SELECT day_off, n_converted,
+       CAST(sum(n_converted) OVER (ORDER BY day_off ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum_converted,
+       round(sum(n_converted) OVER (ORDER BY day_off ROWS UNBOUNDED PRECEDING)
+             * 100.0 / n_signup, 2) AS cum_pct
+FROM hist, tot
+ORDER BY day_off
+"""
+
+
+@register("events_conversion_hazard", oracle=_HAZARD_ORACLE, tags=("events", "agg", "window-fn"))
+def events_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert hazard curve: for every signed-up user, days from
+    first signup to first subsequent purchase, histogrammed by day offset
+    with the cumulative conversion share of the signup population — the
+    survival-analysis view ("X% convert within N days") behind trial-
+    length and re-engagement decisions; the funnel
+    (`events_funnel_conversion`) answers IF users convert, this answers
+    WHEN.
+
+    Plan: two event-volume passes reduce to user cardinality (per-user
+    first signup; per-user first qualifying purchase via one user-keyed
+    join), then the histogram is day-offset cardinality and the running
+    share is a window over ≤ a few hundred rows crossed with a 1-row
+    total. Day offsets measured on CAST-to-DATE in both engines
+    (calendar-day difference, not 24h-interval counts)."""
+    events = load_tables(spark, sf_dir)["events"]
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id", "t0")
+        .agg(F.min("ts").alias("t1"))
+    )
+    hist = p.groupBy(
+        F.datediff(F.to_date("t1"), F.to_date("t0")).alias("day_off")
+    ).agg(F.count(F.lit(1)).alias("n_converted"))
+    tot = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day_off").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        hist.crossJoin(F.broadcast(tot))
+        .select(
+            "day_off",
+            "n_converted",
+            F.sum("n_converted").over(w).cast("bigint").alias("cum_converted"),
+            F.round(
+                F.sum("n_converted").over(w) * 100.0 / F.col("n_signup"), 2
+            ).alias("cum_pct"),
+        )
+        .orderBy("day_off")
+    )

@@ -598,3 +598,162 @@ def sketch_hll_sliding_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_end")
     )
+
+
+# -------------------------------------------- mergeable bloom membership
+
+# 32768 bits as 1024 x 32-bit words (carried in longs so every mask is
+# positive in both engines' signed arithmetic); k=3 md5-derived probes.
+_BLOOM_BITS = 32768
+_BLOOM_K = 3
+
+_BLOOM_ORACLE = f"""
+WITH standing AS (
+  SELECT DISTINCT md5(text) AS fp, source
+  FROM documents WHERE doc_id % 10 != 0
+),
+probe AS (
+  -- every 5th doc: the odd multiples of 5 are ALSO in standing (true
+  -- members); multiples of 10 are not (bloom must say no, modulo FPs)
+  SELECT DISTINCT md5(text) AS fp
+  FROM documents WHERE doc_id % 5 = 0
+),
+ins_pos AS (
+  SELECT s.source,
+         CAST(CAST(('0x' || substr(md5(CAST(h.i AS VARCHAR) || ':' || s.fp), 1, 8))
+              AS UBIGINT) % {_BLOOM_BITS} AS BIGINT) AS pos
+  FROM standing s CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) h
+),
+shard_words AS (
+  SELECT source, pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS bits
+  FROM ins_pos GROUP BY 1, 2
+),
+merged AS (
+  SELECT word, bit_or(bits) AS bits FROM shard_words GROUP BY word
+),
+probe_pos AS (
+  SELECT p.fp,
+         CAST(CAST(('0x' || substr(md5(CAST(h.i AS VARCHAR) || ':' || p.fp), 1, 8))
+              AS UBIGINT) % {_BLOOM_BITS} AS BIGINT) AS pos
+  FROM probe p CROSS JOIN (SELECT unnest(range({_BLOOM_K})) AS i) h
+),
+verdicts AS (
+  SELECT pp.fp,
+         bool_and(coalesce((m.bits & (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INTEGER)))
+                  = (CAST(1 AS BIGINT) << CAST(pp.pos % 32 AS INTEGER)), FALSE))
+           AS maybe_member
+  FROM probe_pos pp LEFT JOIN merged m ON pp.pos // 32 = m.word
+  GROUP BY pp.fp
+),
+exact AS (
+  SELECT p.fp, EXISTS (SELECT 1 FROM standing s WHERE s.fp = p.fp) AS is_member
+  FROM probe p
+)
+SELECT count(*) AS n_probe,
+       count(*) FILTER (WHERE v.maybe_member) AS n_bloom_hits,
+       count(*) FILTER (WHERE e.is_member) AS n_exact_hits,
+       count(*) FILTER (WHERE v.maybe_member AND NOT e.is_member)
+         AS n_false_positives,
+       count(*) FILTER (WHERE e.is_member AND NOT v.maybe_member)
+         AS n_false_negatives
+FROM verdicts v JOIN exact e ON v.fp = e.fp
+"""
+
+
+def _bloom_positions(df: DataFrame, key: str) -> DataFrame:
+    """Explode each key into its k md5-derived bit positions (0..m-1).
+    md5 on both engines makes the filter BIT-IDENTICAL cross-engine."""
+    probes = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    return df.withColumn("i", F.explode(probes)).withColumn(
+        "pos",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("i").cast("string"), F.lit(":"), F.col(key))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _BLOOM_BITS
+        ),
+    )
+
+
+@register("sketch_bloom_membership", oracle=_BLOOM_ORACLE, tags=("sketch", "llm", "dedup"))
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable Bloom-filter membership — the fourth sketch family (HLL
+    counts distinct, quantile sketch ranks, CMS estimates frequency;
+    Bloom answers 'have we ingested this before?'). Per-source shard
+    filters are built over the standing corpus's content fingerprints,
+    OR-merged into one global filter, and the incremental batch (every
+    10th doc) probes it — the constant-size standing-state alternative to
+    `ingest_incremental_dedup`'s anti-join when the corpus outgrows a
+    re-scan.
+
+    Representation is relational, not opaque bytes: the filter is (word,
+    bits) rows — 1024 x 32-bit words in long arithmetic so every mask
+    stays positive under both engines' signed shifts — built by one
+    bit_or aggregate over exploded (key x 3 md5 probes) positions,
+    merged across shards by a second bit_or (associative = mergeable;
+    the same per-shard/global algebra as the HLL tier). Probing joins
+    the probe positions to the 1024-row filter and bool_ands the bit
+    tests per key. md5-derived positions make the filter bit-identical
+    cross-engine, so the oracle reproduces hits AND false positives
+    exactly; false negatives are structurally impossible and pinned at 0.
+    At 100 TB: the filter is ~4 KB per shard regardless of data volume —
+    it broadcasts; only fingerprints shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    standing = (
+        docs.filter(F.col("doc_id") % 10 != 0)
+        .select(F.md5("text").alias("fp"), "source")
+        .distinct()
+    )
+    probe = (
+        # half the probes are true members (doc_id % 10 == 5 stays in
+        # standing), half are novel (doc_id % 10 == 0)
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    # expr form: F.shiftleft only takes a literal shift amount
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))")
+    shard_words = (
+        _bloom_positions(standing, "fp")
+        .groupBy("source", F.expr("pos div 32").alias("word"))
+        .agg(F.bit_or(mask).alias("bits"))
+    )
+    merged = shard_words.groupBy("word").agg(F.bit_or("bits").alias("bits"))
+    pp = _bloom_positions(probe, "fp").withColumn("word", F.expr("pos div 32"))
+    verdicts = (
+        pp.join(F.broadcast(merged), "word", "left")
+        .select(
+            "fp",
+            F.coalesce(
+                (F.col("bits").bitwiseAND(mask) == mask), F.lit(False)
+            ).alias("bit_set"),
+        )
+        .groupBy("fp")
+        .agg(F.bool_and("bit_set").alias("maybe_member"))
+    )
+    exact = probe.join(
+        standing.select("fp").distinct(),
+        "fp",
+        "left_semi",
+    ).select("fp", F.lit(True).alias("is_member"))
+    joined = verdicts.join(exact, "fp", "left").select(
+        "maybe_member", F.coalesce("is_member", F.lit(False)).alias("is_member")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.count(F.when(F.col("maybe_member"), 1)).alias("n_bloom_hits"),
+        F.count(F.when(F.col("is_member"), 1)).alias("n_exact_hits"),
+        F.count(F.when(F.col("maybe_member") & ~F.col("is_member"), 1)).alias(
+            "n_false_positives"
+        ),
+        F.count(F.when(F.col("is_member") & ~F.col("maybe_member"), 1)).alias(
+            "n_false_negatives"
+        ),
+    )

@@ -713,3 +713,92 @@ def orders_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ------------------------------- BACKWARD as-of with tolerance (attribution)
+
+_ASOF_BWD_TOLERANCE_S = 1800  # only a click within 30 min earns credit
+
+_ASOF_BWD_TOL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS tsu
+  FROM events WHERE user_id < 5
+),
+carried AS (
+  SELECT user_id, event_id, event_type, tsu,
+         max(CASE WHEN event_type = 'click' THEN tsu END)
+           OVER (PARTITION BY user_id ORDER BY tsu, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+  FROM e
+),
+scored AS (
+  SELECT user_id, event_id, tsu, prev_click,
+         CAST(date_diff('second', prev_click, tsu) AS BIGINT) AS secs
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT user_id, event_id,
+       strftime(tsu, '{_TS_FMT_DUCK}') AS ts_s,
+       CASE WHEN secs IS NOT NULL AND secs <= {_ASOF_BWD_TOLERANCE_S}
+            THEN strftime(prev_click, '{_TS_FMT_DUCK}') ELSE 'none' END
+         AS prev_click_s,
+       CASE WHEN secs IS NOT NULL AND secs <= {_ASOF_BWD_TOLERANCE_S}
+            THEN secs ELSE -1 END AS secs_since_click
+FROM scored
+ORDER BY user_id, ts_s, event_id
+"""
+
+
+@register(
+    "events_asof_prev_click_tol",
+    oracle=_ASOF_BWD_TOL_ORACLE,
+    tags=("event-time", "window-fn", "asof"),
+)
+def events_asof_prev_click_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BACKWARD as-of join with tolerance (pandas merge_asof
+    direction='backward' + tolerance — the remaining cell of the as-of
+    matrix next to `events_asof_last_click` backward/no-tolerance and
+    `events_asof_next_error` forward/tolerance): each purchase attributes
+    to the most recent prior 'click', but only if it happened within 30
+    minutes — last-touch attribution with an expiry window, as a window
+    function instead of the join `events_click_attribution` ships.
+
+    merge_asof's tolerance contract: the NEAREST prior match either
+    qualifies or there is no match — an older within-window click must
+    not be substituted — so the tolerance applies AFTER the max-over-
+    preceding selection. Both engines measure the gap on the truncated-
+    seconds axis (unix_timestamp == date_diff('second')), the same
+    axis-parity rule `events_trailing_window_range` documents. One key
+    shuffle, one sort per user partition, never a time-range cross-join."""
+    events = load_tables(spark, sf_dir)["events"]
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("ts"))
+    ).over(w)
+    scored = (
+        events.filter(F.col("user_id") < 5)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            "ts",
+            prev_click.alias("prev_click"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .withColumn(
+            "secs", F.unix_timestamp("ts") - F.unix_timestamp("prev_click")
+        )
+    )
+    within = F.col("secs").isNotNull() & (F.col("secs") <= _ASOF_BWD_TOLERANCE_S)
+    return scored.select(
+        "user_id",
+        "event_id",
+        F.date_format("ts", _TS_FMT_SPARK).alias("ts_s"),
+        F.when(within, F.date_format("prev_click", _TS_FMT_SPARK))
+        .otherwise("none")
+        .alias("prev_click_s"),
+        F.when(within, F.col("secs")).otherwise(F.lit(-1)).alias("secs_since_click"),
+    ).orderBy("user_id", "ts_s", "event_id")

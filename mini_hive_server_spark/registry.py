@@ -125,9 +125,9 @@ _DRIVER_WINDOW = (
     "dedup_minhash_oph",
     "similarity_pq_adc",
     "text_span_dedup",
-    "text_winnowing_fingerprints",
-    "text_rolling_fingerprint",
-    "dedup_semantic_clusters",
+    "sketch_bloom_membership",  # mergeable bloom, bit-identical cross-engine
+    "events_asof_prev_click_tol",  # backward as-of + tolerance
+    "events_conversion_hazard",  # time-to-convert survival curve
     # --- reference WRITE lifecycles (sequential-fold semantics) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",

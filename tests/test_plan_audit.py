@@ -32,6 +32,7 @@ _BNLJ_BOUNDED = {
     "constraint_referential_audit",  # total x distinct: two 1-row aggregates
     "customer_ltv_pareto",  # 10 decile rows x 1-row grand total
     "events_dau_stickiness",  # broadcast day spine (calendar-bounded) range join
+    "events_conversion_hazard",  # day-offset histogram x 1-row signup total
     "graph_triangle_count",  # summary row: four 1-row aggregates crossed
 
     "customers_rfm_segments",
