@@ -374,3 +374,94 @@ def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------------- scene-cut detection
+
+_SCENE_FRAME = 16  # bytes per dense pseudo-frame (contiguous, stride == size)
+_SCENE_MAX_FRAMES = 32  # analysis window per item
+_SCENE_CUT_THRESH = 64  # |luminance delta| that counts as a cut
+
+_SCENE_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, CAST(t.i AS INTEGER) AS i,
+         list_sum(list_transform(range(1, {_SCENE_FRAME} + 1),
+                  j -> ord(substr(text,
+                                  CAST(i * {_SCENE_FRAME} + j AS INTEGER), 1))))
+           AS lum
+  FROM documents,
+       unnest(range(0, least({_SCENE_MAX_FRAMES},
+                             length(text) // {_SCENE_FRAME}))) AS t(i)
+  WHERE length(text) >= {_SCENE_FRAME}
+),
+d AS (
+  SELECT doc_id, i, lum,
+         lum - lag(lum) OVER (PARTITION BY doc_id ORDER BY i) AS delta
+  FROM f
+)
+SELECT doc_id,
+       count(*) AS n_frames,
+       count(*) FILTER (WHERE abs(delta) > {_SCENE_CUT_THRESH}) AS n_cuts,
+       CAST(sum(lum) AS BIGINT) AS total_lum
+FROM d
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_SCENE_SCHEMA = "doc_id long, n_frames long, n_cuts long, total_lum long"
+
+
+def _detect_scene_cuts(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Scene-cut kernel shape: decode frames, reduce each to a luminance
+    statistic, flag big deltas between CONSECUTIVE frames — where a real
+    video decoder + histogram-difference detector slots in. Deterministic
+    stand-in: dense contiguous byte windows, luminance = byte sum."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, nf, nc, tl = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)
+            n = min(_SCENE_MAX_FRAMES, len(b) // _SCENE_FRAME)
+            if n == 0:
+                continue
+            mat = np.frombuffer(
+                b[: n * _SCENE_FRAME], dtype=np.uint8
+            ).reshape(n, _SCENE_FRAME)
+            lum = mat.sum(axis=1, dtype=np.int64)
+            ids.append(doc_id)
+            nf.append(n)
+            nc.append(int((np.abs(np.diff(lum)) > _SCENE_CUT_THRESH).sum()))
+            tl.append(int(lum.sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(nf, dtype="int64"),
+                "n_cuts": pd.Series(nc, dtype="int64"),
+                "total_lum": pd.Series(tl, dtype="int64"),
+            }
+        )
+
+
+@register("multimodal_scene_cuts", oracle=_SCENE_ORACLE, tags=("llm", "multimodal"))
+def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over video-like payloads via mapInPandas: each
+    item's first 32 dense 16-byte pseudo-frames reduce to a luminance
+    series; a cut is a consecutive-frame delta above threshold — the
+    shot-boundary pass that decides which frames a video pipeline keeps
+    for captioning/embedding (next to `multimodal_frame_sample`, which
+    samples frames blindly at a stride). The real decoder slots into the
+    same kernel; the ASCII fixture makes luminance a text byte sum, so
+    the full path — including the numpy frame matrix and the delta
+    logic — is oracle-checked exactly.
+
+    Scale shape: map-only over the payload relation (payload never
+    shuffles); output is 4 numbers per item and the only exchange is the
+    presentation sort."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    records = attach_payload(docs)
+    return (
+        records.select("doc_id", "payload")
+        .mapInPandas(_detect_scene_cuts, schema=_SCENE_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -757,3 +757,44 @@ def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_false_negatives"
         ),
     )
+
+
+_CATALOG_VIEW_ORACLE = """
+SELECT r.r_name, count(*) AS n_nations, count(DISTINCT n.n_name) AS n_names
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name
+ORDER BY r.r_name
+"""
+
+
+@register("catalog_sql_view", oracle=_CATALOG_VIEW_ORACLE, tags=("catalog", "sql"))
+def catalog_sql_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog VIEW surface: a persistent SQL view (CREATE OR REPLACE VIEW
+    in the managed database — stored logical plan, not materialized data)
+    defined over catalogued tables and queried through the catalog-
+    qualified name, exactly how a Hive/JDBC user encapsulates a join once
+    and reuses it. Views are late-bound: this query's aggregate runs over
+    the view's plan inlined by Catalyst, so pushdown/pruning see through
+    the view boundary as if the join were written inline (at 100 TB a
+    view costs nothing — it is purely a name for a plan)."""
+    import os
+    from ..catalog import create_managed_tables
+
+    sf_name = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    db = f"mini_hive_{sf_name}"
+    create_managed_tables(spark, sf_dir, database=db, tables=("nation", "region"))
+    spark.sql(
+        f"""
+        CREATE OR REPLACE VIEW {db}.nation_regions AS
+        SELECT n.n_nationkey, n.n_name, r.r_name
+        FROM {db}.nation n JOIN {db}.region r ON n.n_regionkey = r.r_regionkey
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT r_name, count(*) AS n_nations, count(DISTINCT n_name) AS n_names
+        FROM {db}.nation_regions
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )

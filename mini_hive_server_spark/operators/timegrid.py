@@ -279,3 +279,186 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("yoy_pct").isNotNull())
         .orderBy("month_s")
     )
+
+
+# ------------------------------------------------ seasonal decomposition
+
+_DECOMP_ORACLE = """
+WITH monthly AS (
+  SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month_s,
+         CAST(substr(strftime(CAST(o_orderdate AS DATE), '%Y-%m'), 6, 2)
+              AS INTEGER) AS moy,
+         round(sum(o_totalprice), 2) AS revenue
+  FROM orders
+  GROUP BY 1, 2
+),
+seq AS (
+  SELECT month_s, moy, revenue,
+         row_number() OVER (ORDER BY month_s) AS rn,
+         count(*) OVER () AS n
+  FROM monthly
+),
+trended AS (
+  SELECT month_s, moy, revenue, rn, n,
+         round(avg(revenue) OVER (ORDER BY month_s
+                                  ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING), 2)
+           AS trend
+  FROM seq
+),
+full_win AS (
+  SELECT * FROM trended WHERE rn > 6 AND rn <= n - 6
+),
+seasonal AS (
+  SELECT moy, round(avg(revenue - trend), 2) AS seasonal
+  FROM full_win GROUP BY moy
+)
+SELECT f.month_s, f.revenue, f.trend, s.seasonal,
+       round(f.revenue - f.trend - s.seasonal, 2) AS residual
+FROM full_win f JOIN seasonal s ON f.moy = s.moy
+ORDER BY f.month_s
+"""
+
+
+@register("orders_seasonal_decompose", oracle=_DECOMP_ORACLE, tags=("agg", "window-fn"))
+def orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = centered 13-month moving average, seasonal = per-calendar-
+    month mean deviation from trend, residual = the rest — the
+    moving-average half of STL, which is what capacity planning actually
+    consumes ("December is +X above trend"). Months without a full
+    13-month window are excluded (the standard edge treatment).
+
+    Plan: orders reduce once to the ≤ 84-row monthly series (partial-agg
+    shuffle); every window after that runs over the calendar-bounded
+    aggregate — same bounded-global-window argument as
+    `orders_yoy_growth`. Each stage rounds to 2 before feeding the next,
+    so trend/seasonal/residual arithmetic is performed on bit-identical
+    operands in both engines."""
+    monthly = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month_s"),
+            F.month("o_orderdate").alias("moy"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    wseq = Window.orderBy("month_s")
+    seq = monthly.select(
+        "month_s",
+        "moy",
+        "revenue",
+        F.row_number().over(wseq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    trended = seq.withColumn(
+        "trend",
+        F.round(F.avg("revenue").over(wseq.rowsBetween(-6, 6)), 2),
+    )
+    full_win = trended.filter((F.col("rn") > 6) & (F.col("rn") <= F.col("n") - 6))
+    seasonal = full_win.groupBy("moy").agg(
+        F.round(F.avg(F.col("revenue") - F.col("trend")), 2).alias("seasonal")
+    )
+    return (
+        full_win.join(F.broadcast(seasonal), "moy")
+        .select(
+            "month_s",
+            "revenue",
+            "trend",
+            "seasonal",
+            F.round(
+                F.col("revenue") - F.col("trend") - F.col("seasonal"), 2
+            ).alias("residual"),
+        )
+        .orderBy("month_s")
+    )
+
+
+# ------------------------------------------------ CUSUM changepoint scan
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         round(avg(value), 6) AS mu
+  FROM events GROUP BY 1
+),
+centered AS (
+  SELECT d, mu, round(avg(mu) OVER (), 6) AS grand
+  FROM daily
+),
+cusum AS (
+  SELECT d, mu,
+         round(sum(mu - grand) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING), 6)
+           AS s
+  FROM centered
+),
+peak AS (
+  SELECT d AS cp_day, abs(s) AS peak_abs_s
+  FROM cusum ORDER BY abs(s) DESC, d LIMIT 1
+)
+SELECT (SELECT count(*) FROM daily) AS n_days,
+       strftime(p.cp_day, '%Y-%m-%d') AS changepoint_day,
+       round(p.peak_abs_s, 6) AS peak_abs_s,
+       (SELECT round(avg(mu), 6) FROM daily WHERE d <= p.cp_day) AS mean_before,
+       (SELECT round(avg(mu), 6) FROM daily WHERE d > p.cp_day) AS mean_after
+FROM peak p
+"""
+
+
+@register("events_changepoint_cusum", oracle=_CUSUM_ORACLE, tags=("events", "agg", "stats"))
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily mean of event values: the
+    cumulative sum of deviations from the grand mean peaks (in absolute
+    value) at the most likely level-shift day — the classic single-
+    changepoint estimator behind drift monitors ("did the metric's level
+    change, and when?"). Reports the peak day plus the mean on each side.
+
+    Plan: events reduce once to day cardinality; the CUSUM is one running
+    window over the calendar-bounded series and the peak is a 1-row
+    sort-limit with a day tiebreak. Every stage rounds to 6 before the
+    next consumes it, so the cumulative sums and the argmax comparison
+    order are engine-identical."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    from ..persistence import tracked_persist
+
+    daily = tracked_persist(daily)  # read by cusum, counts, and both side-means
+    centered = daily.withColumn(
+        "grand", F.round(F.avg("mu").over(Window.partitionBy()), 6)
+    )
+    cusum = centered.withColumn(
+        "s",
+        F.round(
+            F.sum(F.col("mu") - F.col("grand")).over(
+                Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            6,
+        ),
+    )
+    peak = (
+        cusum.select("d", F.abs("s").alias("abs_s"))
+        .orderBy(F.col("abs_s").desc(), "d")
+        .limit(1)
+        .select(F.col("d").alias("cp_day"), F.col("abs_s").alias("peak_abs_s"))
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    sided = (
+        daily.crossJoin(F.broadcast(peak))
+        .groupBy("cp_day", "peak_abs_s")
+        .agg(
+            F.round(F.avg(F.when(F.col("d") <= F.col("cp_day"), F.col("mu"))), 6).alias(
+                "mean_before"
+            ),
+            F.round(F.avg(F.when(F.col("d") > F.col("cp_day"), F.col("mu"))), 6).alias(
+                "mean_after"
+            ),
+        )
+    )
+    return n_days.crossJoin(F.broadcast(sided)).select(
+        "n_days",
+        F.date_format("cp_day", "yyyy-MM-dd").alias("changepoint_day"),
+        F.round("peak_abs_s", 6).alias("peak_abs_s"),
+        "mean_before",
+        "mean_after",
+    )

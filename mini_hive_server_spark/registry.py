@@ -122,9 +122,9 @@ _DRIVER_WINDOW = (
     "text_zipf_slope",
     # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
     "dedup_minhash_lsh",
-    "dedup_minhash_oph",
     "similarity_pq_adc",
-    "text_span_dedup",
+    "orders_seasonal_decompose",  # centered-MA trend + seasonal split
+    "events_changepoint_cusum",  # CUSUM level-shift scan
     "sketch_bloom_membership",  # mergeable bloom, bit-identical cross-engine
     "events_asof_prev_click_tol",  # backward as-of + tolerance
     "events_conversion_hazard",  # time-to-convert survival curve
@@ -135,8 +135,8 @@ _DRIVER_WINDOW = (
     # --- streaming stateful twins re-confirmed ---
     "streaming_cdc_merge",
     "streaming_cep_error_burst",
-    "streaming_sessionize",
-    "streaming_stream_stream_left_join",
+    "catalog_sql_view",  # persistent view surface over the managed catalog
+    "multimodal_scene_cuts",  # shot-boundary kernel, map-only
     # --- round-5 additions (never driver-checked; each displaces one
     #     re-confirm slot whose query was green in r4) ---
     "agg_salted_hot_key",  # planted 16x hot key, bench-measured skew agg

@@ -33,6 +33,7 @@ _BNLJ_BOUNDED = {
     "customer_ltv_pareto",  # 10 decile rows x 1-row grand total
     "events_dau_stickiness",  # broadcast day spine (calendar-bounded) range join
     "events_conversion_hazard",  # day-offset histogram x 1-row signup total
+    "events_changepoint_cusum",  # day series x 1-row peak x 1-row count
     "graph_triangle_count",  # summary row: four 1-row aggregates crossed
 
     "customers_rfm_segments",
