@@ -133,8 +133,8 @@ _DRIVER_WINDOW = (
     "ref_approve_withdrawal_batch",
     "ref_approve_submission_batch",
     # --- streaming stateful twins re-confirmed ---
-    "streaming_cdc_merge",
-    "streaming_cep_error_burst",
+    "events_variant_props",  # VARIANT semi-structured path (Spark 4)
+    "source_python_datasource",  # Python DataSource API custom reader
     "catalog_sql_view",  # persistent view surface over the managed catalog
     "multimodal_scene_cuts",  # shot-boundary kernel, map-only
     # --- round-5 additions (never driver-checked; each displaces one

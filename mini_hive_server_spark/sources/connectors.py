@@ -674,3 +674,103 @@ def source_json_corrupt_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c_custkey").alias("valid_key_sum"),
         F.round(F.sum("c_acctbal"), 2).alias("valid_bal_sum"),
     )
+
+
+# ------------------------------------------- Python DataSource API reader
+
+try:  # Spark 4+ Python DataSource API
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class SynthRangeDataSource(DataSource):
+        """Custom batch source via the Python DataSource API (Spark 4):
+        a partition-parallel deterministic row generator — the minimal
+        harness for plugging ANY Python-reachable system (REST API,
+        message queue, bespoke format) into `spark.read.format(...)`.
+        Each InputPartition reads its residue class independently, so the
+        scan parallelizes exactly like a file source's splits."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthrange"
+
+        def schema(self) -> str:
+            return "id bigint, shard int, fp string"
+
+        def reader(self, schema):
+            return _SynthRangeReader(self.options)
+
+    class _SynthRangeReader(DataSourceReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "1000"))
+            self.parts = int(options.get("partitions", "8"))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            import hashlib
+
+            shard = partition.value
+            for i in range(shard, self.n, self.parts):
+                yield (i, shard, hashlib.md5(str(i).encode()).hexdigest())
+
+    _HAS_PY_DATASOURCE = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAS_PY_DATASOURCE = False
+
+
+_PYDS_N = 5000
+_PYDS_PARTS = 8
+
+_PYDS_ORACLE = f"""
+WITH synth AS (
+  SELECT r.range AS id,
+         CAST(r.range % {_PYDS_PARTS} AS INTEGER) AS shard,
+         md5(CAST(r.range AS VARCHAR)) AS fp
+  FROM range({_PYDS_N}) r
+)
+SELECT count(*) AS n_rows,
+       count(DISTINCT shard) AS n_shards,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(('0x' || substr(fp, 1, 8)) AS UBIGINT) % 1000000007)
+            AS BIGINT) AS fp_checksum
+FROM synth
+"""
+
+
+@register("source_python_datasource", oracle=_PYDS_ORACLE, tags=("source", "udf"))
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python DataSource API end-to-end: register a custom source
+    class, `spark.read.format("synthrange")` it, and aggregate — proving
+    the engine's source surface is EXTENSIBLE from Python (Spark 4's
+    sanctioned mechanism; before it, custom sources meant JVM code). The
+    source generates each partition's residue class independently —
+    shard i yields ids ≡ i (mod partitions) — so the oracle reproduces
+    every row arithmetically from `range()` and pins the content through
+    an md5 checksum.
+
+    Scale shape: partitions() returns one InputPartition per shard and
+    executors run read() in parallel, the same split model as file
+    sources; Arrow batches carry rows JVM-side. The aggregate is one
+    1-row partial-agg. (A production reader points read() at its
+    range-sliced external system; the checksum contract stays.)"""
+    if not _HAS_PY_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError("Python DataSource API requires Spark 4+")
+    try:
+        spark.dataSource.register(SynthRangeDataSource)
+    except Exception:
+        pass  # already registered in this session
+    df = (
+        spark.read.format("synthrange")
+        .option("n", str(_PYDS_N))
+        .option("partitions", str(_PYDS_PARTS))
+        .load()
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("shard").alias("n_shards"),
+        F.sum("id").alias("id_sum"),
+        F.sum(
+            F.conv(F.substring("fp", 1, 8), 16, 10).cast("long") % 1000000007
+        ).alias("fp_checksum"),
+    )
