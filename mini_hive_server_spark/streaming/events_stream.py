@@ -863,3 +863,80 @@ def streaming_cep_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_bursts", "longest_burst", "n_recovered")
         .orderBy("user_id")
     )
+
+
+# ------------------------------------------------ sliding-window top-k
+
+_SLIDING_TOPK_ORACLE = """
+WITH ws AS (
+  SELECT CAST(ts AS TIMESTAMP) AS tsu, event_type FROM events
+),
+expanded AS (
+  -- a 2h window sliding by 1h puts every event in exactly two windows:
+  -- the one starting at its hour and the one starting an hour earlier
+  SELECT w.s AS wstart, event_type
+  FROM ws, LATERAL (
+    SELECT unnest([date_trunc('hour', tsu),
+                   date_trunc('hour', tsu) - INTERVAL 1 HOUR]) AS s
+  ) w
+),
+counts AS (
+  SELECT wstart, event_type, count(*) AS n
+  FROM expanded GROUP BY 1, 2
+),
+ranked AS (
+  SELECT wstart, event_type, n,
+         row_number() OVER (PARTITION BY wstart
+                            ORDER BY n DESC, event_type) AS rk
+  FROM counts
+)
+SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+       rk, event_type, n
+FROM ranked
+WHERE rk <= 3
+ORDER BY window_start, rk
+"""
+
+
+@register(
+    "streaming_sliding_topk",
+    oracle=_SLIDING_TOPK_ORACLE,
+    tags=("streaming", "event-time"),
+)
+def streaming_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window leaderboard on the STREAM: 2-hour windows advancing
+    hourly count events per type (`window(ts, '2 hours', '1 hour')` —
+    each event belongs to exactly two open windows, maintained
+    incrementally in the state store); after the fixture drains, the
+    top-3 types per window are ranked batch-side over the final counts —
+    the trending-now panel every event product ships.
+
+    The rank itself stays OUTSIDE the stream on purpose: a per-window
+    top-k over a streaming aggregate would need complete-mode re-emission
+    of every window on every batch; ranking the final (window, type)
+    counts — window-cardinality data — at read time is the production
+    pattern (aggregate continuously, rank at serving). The oracle expands
+    each event into its two windows arithmetically and replays the same
+    dense_rank-free row_number with the type tiebreak."""
+    from pyspark.sql import Window
+
+    stream = read_events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
+    run_to_memory(agg, "mhs_stream_sliding_topk", "complete")
+    out = spark.table("mhs_stream_sliding_topk")
+    w = Window.partitionBy("window_start").orderBy(F.col("n").desc(), "event_type")
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("window_start", "rk", "event_type", "n")
+        .orderBy("window_start", "rk")
+    )
