@@ -1135,3 +1135,81 @@ def events_conversion_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_off")
     )
+
+
+# -------------------------------------------------- cohort LTV matrix
+
+_COHORT_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, min(CAST(o_orderdate AS DATE)) AS first_d
+  FROM orders GROUP BY o_custkey
+),
+cohorted AS (
+  SELECT o.o_custkey, o.o_totalprice,
+         CAST(date_part('year', f.first_d) AS VARCHAR) || '-Q'
+           || CAST(date_part('quarter', f.first_d) AS VARCHAR) AS cohort_q,
+         (date_part('year', CAST(o.o_orderdate AS DATE)) * 4
+            + date_part('quarter', CAST(o.o_orderdate AS DATE)))
+         - (date_part('year', f.first_d) * 4
+            + date_part('quarter', f.first_d)) AS age_q
+  FROM orders o JOIN firsts f USING (o_custkey)
+)
+SELECT cohort_q, CAST(age_q AS BIGINT) AS age_q,
+       count(DISTINCT o_custkey) AS n_customers,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(round(sum(o_totalprice), 2) / count(DISTINCT o_custkey), 2)
+         AS rev_per_customer
+FROM cohorted
+GROUP BY cohort_q, age_q
+ORDER BY cohort_q, age_q
+"""
+
+
+@register("orders_cohort_ltv", oracle=_COHORT_LTV_ORACLE, tags=("agg", "join"))
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix: customers cohorted by first-order quarter, then
+    revenue per cohort per quarters-since-first — the money twin of the
+    weekly retention triangle (`events_retention_cohorts`): retention
+    counts who comes back, this measures what they spend as they age.
+
+    Plan: one customer-keyed partial agg derives first-order dates
+    (customer cardinality), one customer-keyed join tags every order with
+    its cohort (AQE picks the strategy — both sides SF-proportional, no
+    hint), and the matrix is one (cohort x age) groupBy — quarters since
+    epoch as a pure integer expression on both engines, so cohort/age
+    assignment is exact. rev_per_customer divides the pre-rounded revenue
+    so both engines divide identical operands."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_d")
+    )
+    qidx = lambda c: F.year(c) * 4 + F.quarter(c)  # noqa: E731
+    cohorted = orders.join(firsts, "o_custkey").select(
+        "o_custkey",
+        "o_totalprice",
+        F.concat(
+            F.year("first_d").cast("string"),
+            F.lit("-Q"),
+            F.quarter("first_d").cast("string"),
+        ).alias("cohort_q"),
+        (qidx(F.col("o_orderdate").cast("date")) - qidx(F.col("first_d")))
+        .cast("bigint")
+        .alias("age_q"),
+    )
+    return (
+        cohorted.groupBy("cohort_q", "age_q")
+        .agg(
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            "cohort_q",
+            "age_q",
+            "n_customers",
+            "revenue",
+            F.round(F.col("revenue") / F.col("n_customers"), 2).alias(
+                "rev_per_customer"
+            ),
+        )
+        .orderBy("cohort_q", "age_q")
+    )

@@ -1026,3 +1026,121 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "qlabel", "nid", "nlabel", "cosine")
         .orderBy("qid", F.col("cosine").desc(), "nid")
     )
+
+
+# ------------------------------------------------- unrolled k-means (Lloyd)
+
+_KM_K = 4  # seed centroids = vectors with vec_id 0..3
+
+_KMEANS_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+c0 AS (  -- iteration-0 centroids: exact copies of the first k vectors
+  SELECT vec_id AS cid, ve AS c FROM v WHERE vec_id < {_KM_K}
+),
+d1 AS (
+  SELECT v.vec_id, c0.cid,
+         round(list_sum(list_transform(list_zip(v.ve, c0.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq
+  FROM v CROSS JOIN c0
+),
+a1 AS (  -- nearest centroid, rounded-distance argmin, cid tiebreak
+  SELECT vec_id, cid, sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) AS rk
+  FROM d1
+),
+m1 AS (SELECT vec_id, cid FROM a1 WHERE rk = 1),
+comp AS (  -- per-cluster componentwise mean, rounded to 6
+  SELECT m1.cid, u.i, round(avg(v.ve[u.i]), 6) AS mu
+  FROM m1 JOIN v USING (vec_id), unnest(range(1, 65)) AS u(i)
+  GROUP BY m1.cid, u.i
+),
+c1 AS (
+  SELECT cid, list(mu ORDER BY i) AS c FROM comp GROUP BY cid
+),
+d2 AS (
+  SELECT v.vec_id, c1.cid,
+         round(list_sum(list_transform(list_zip(v.ve, c1.c),
+                        p -> (p[1] - p[2]) * (p[1] - p[2]))), 6) AS sq
+  FROM v CROSS JOIN c1
+),
+a2 AS (
+  SELECT vec_id, cid, sq,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sq, cid) AS rk
+  FROM d2
+)
+SELECT cid AS cluster,
+       count(*) AS n_vectors,
+       round(avg(sq), 4) AS inertia
+FROM a2 WHERE rk = 1
+GROUP BY cid
+ORDER BY cid
+"""
+
+
+@register("embedding_kmeans_2iter", oracle=_KMEANS_ORACLE, tags=("llm", "similarity", "iterative"))
+def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means, two unrolled iterations, on the raw DataFrame API
+    (no MLlib): assign → per-cluster componentwise mean → reassign — the
+    iterative-ML dataflow in relational form, like `graph_pagerank_3iter`
+    is for graph recurrences. This is also exactly the training loop the
+    IVF tier's coarse quantizer runs (`similarity.py` `_train_ivf`); here
+    it is a REGISTERED, oracle-paired query so the iteration algebra
+    itself is driver-gated, not just its downstream retrieval effects.
+
+    Per iteration: one broadcast of k centroid rows against the vector
+    relation (distances are codegen'd zip_with/aggregate folds, map-only),
+    one vector-cardinality argmin via a k-row window, and one
+    (cluster, dim)-keyed mean whose partial aggregation does the
+    map-side combine — at 100 TB each iteration is ONE shuffle of
+    (k x 64) partials, vectors never pairwise-join. Determinism across
+    engines: squared distances and centroid components are ROUNDED (6dp)
+    before every comparison/consumption, and the argmin breaks ties by
+    centroid id, so assignment decisions can never flip on a ulp."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("ve")
+    )
+    v = tracked_persist(v)  # scanned by both distance rounds + the mean
+    sq_expr = (
+        "round(aggregate(zip_with(ve, c, (a, b) -> (a - b) * (a - b)), "
+        "cast(0 as double), (acc, x) -> acc + x), 6)"
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        from pyspark.sql import Window
+
+        d = v.crossJoin(F.broadcast(centroids)).withColumn("sq", F.expr(sq_expr))
+        w = Window.partitionBy("vec_id").orderBy("sq", "cid")
+        return (
+            d.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "cid", "sq")
+        )
+
+    c0 = v.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("ve").alias("c")
+    )
+    m1 = assign(c0).select("vec_id", "cid")
+    comp = (
+        m1.join(v, "vec_id")
+        .select("cid", F.posexplode("ve").alias("i", "val"))
+        .groupBy("cid", "i")
+        .agg(F.round(F.avg("val"), 6).alias("mu"))
+    )
+    c1 = comp.groupBy("cid").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, mu))), s -> s.mu)"
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    return (
+        a2.groupBy(F.col("cid").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("sq"), 4).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )

@@ -462,3 +462,95 @@ def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_before",
         "mean_after",
     )
+
+
+# ---------------------------------------------- Holt linear-trend forecast
+
+_HOLT_ALPHA = 0.5  # level smoothing
+_HOLT_GAMMA = 0.3  # trend smoothing
+_HOLT_H = 3  # forecast horizon (days)
+
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         CAST(count(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+seq AS (
+  SELECT y, row_number() OVER (ORDER BY d) AS rk, count(*) OVER () AS n
+  FROM daily
+),
+rec AS (
+  SELECT rk, n, y, y AS l, CAST(0 AS DOUBLE) AS b
+  FROM seq WHERE rk = 1
+  UNION ALL
+  SELECT s.rk, s.n, s.y,
+         {_HOLT_ALPHA} * s.y + (1 - {_HOLT_ALPHA}) * (r.l + r.b),
+         {_HOLT_GAMMA} * (({_HOLT_ALPHA} * s.y + (1 - {_HOLT_ALPHA}) * (r.l + r.b)) - r.l)
+           + (1 - {_HOLT_GAMMA}) * r.b
+  FROM seq s JOIN rec r ON s.rk = r.rk + 1
+)
+SELECT n AS n_days,
+       round(l, 4) AS level,
+       round(b, 4) AS trend,
+       round(l + 1 * b, 4) AS forecast_1,
+       round(l + 2 * b, 4) AS forecast_2,
+       round(l + {_HOLT_H} * b, 4) AS forecast_3
+FROM rec WHERE rk = n
+"""
+
+_HOLT_SCHEMA = "n_days long, level double, trend double"
+
+
+def _holt_fold(pdf):
+    """Holt's linear method: level/trend double-exponential smoothing.
+    Sequential by definition (each step consumes the previous state);
+    the arithmetic is written as the EXACT expression sequence the
+    oracle's recursive CTE evaluates, so IEEE float64 results are
+    bit-identical cross-engine (same ops, same order)."""
+    pdf = pdf.sort_values("d").reset_index(drop=True)
+    ys = pdf["y"].to_list()
+    level, trend = float(ys[0]), 0.0
+    for y in ys[1:]:
+        new_level = _HOLT_ALPHA * y + (1 - _HOLT_ALPHA) * (level + trend)
+        trend = _HOLT_GAMMA * (new_level - level) + (1 - _HOLT_GAMMA) * trend
+        level = new_level
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"n_days": [len(ys)], "level": [level], "trend": [trend]}
+    )
+
+
+@register("events_forecast_holt", oracle=_HOLT_ORACLE, tags=("events", "stats", "udf"))
+def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend forecast of the daily event count: double-
+    exponential smoothing over the day series, projecting 3 days ahead —
+    the capacity-planning one-liner ("where is traffic heading"), next to
+    the seasonal decomposition (descriptive) and CUSUM (retrospective).
+
+    The smoothing recursion is inherently sequential, so it runs as the
+    sanctioned per-group Arrow fold (`_greedy_budget_fold`'s pattern from
+    the reference write lifecycles, applied to a time series): events
+    reduce to DAY cardinality first, the fold sees only that bounded
+    series, and a production variant keys by series id (one group per
+    metric — group-level parallelism, the scale-guard property test
+    covers the pattern). The oracle replays the identical recurrence as a
+    recursive CTE; both engines execute the same float64 expression
+    sequence, so the folded state matches bit-for-bit before the output
+    rounding."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("double").alias("y")
+    )
+    folded = daily.withColumn("g", F.lit(1)).groupBy("g").applyInPandas(
+        lambda pdf: _holt_fold(pdf), _HOLT_SCHEMA
+    )
+    return folded.select(
+        "n_days",
+        F.round("level", 4).alias("level"),
+        F.round("trend", 4).alias("trend"),
+        F.round(F.col("level") + 1 * F.col("trend"), 4).alias("forecast_1"),
+        F.round(F.col("level") + 2 * F.col("trend"), 4).alias("forecast_2"),
+        F.round(F.col("level") + _HOLT_H * F.col("trend"), 4).alias("forecast_3"),
+    )
