@@ -1213,3 +1213,84 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_q", "age_q")
     )
+
+
+# ------------------------------------------------------ Welch two-sample t
+
+_TTEST_ORACLE = """
+WITH g AS (
+  SELECT event_type,
+         count(*) AS n,
+         round(avg(value), 6) AS mean,
+         round(var_samp(value), 6) AS var
+  FROM events
+  WHERE event_type IN ('click', 'view')
+  GROUP BY event_type
+),
+a AS (SELECT * FROM g WHERE event_type = 'click'),
+b AS (SELECT * FROM g WHERE event_type = 'view'),
+s AS (
+  SELECT a.n AS n_a, a.mean AS mean_a, a.var AS var_a,
+         b.n AS n_b, b.mean AS mean_b, b.var AS var_b,
+         a.var / a.n + b.var / b.n AS se2
+  FROM a, b
+)
+SELECT n_a, mean_a, var_a, n_b, mean_b, var_b,
+       round((mean_a - mean_b) / sqrt(se2), 4) AS t_stat,
+       round(se2 * se2 / (var_a * var_a / (n_a * n_a * (n_a - 1))
+                          + var_b * var_b / (n_b * n_b * (n_b - 1))), 2)
+         AS welch_df,
+       abs((mean_a - mean_b) / sqrt(se2)) > 1.96 AS significant_95
+FROM s
+"""
+
+
+@register("events_abtest_ttest", oracle=_TTEST_ORACLE, tags=("events", "agg", "stats"))
+def events_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's two-sample t-test between the 'click' and 'view' value
+    populations — the A/B-experiment readout (unequal variances, so
+    Welch, not Student): group moments, the t statistic, the
+    Welch-Satterthwaite degrees of freedom, and the |t| > 1.96 call. In
+    an experimentation pipeline the two event types are the treatment
+    arms; the whole test reduces to one aggregation pass, which is why
+    A/B platforms run on SQL engines.
+
+    Plan: ONE partial-agg'd groupBy produces both arms' (n, mean, var);
+    everything after is arithmetic on two 1-row relations. Cross-engine
+    determinism: moments are rounded to 6 BEFORE the t/df arithmetic, so
+    both engines divide bit-identical operands (the significance boolean
+    compares the same rounded-input expression, not an independent
+    recomputation)."""
+    events = load_tables(spark, sf_dir)["events"]
+    g = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
+    )
+    se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        F.col("var_a") * F.col("var_a") / (F.col("n_a") * F.col("n_a") * (F.col("n_a") - 1))
+        + F.col("var_b") * F.col("var_b") / (F.col("n_b") * F.col("n_b") * (F.col("n_b") - 1))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "mean_a",
+        "var_a",
+        "n_b",
+        "mean_b",
+        "var_b",
+        F.round(t, 4).alias("t_stat"),
+        F.round(df, 2).alias("welch_df"),
+        (F.abs(t) > 1.96).alias("significant_95"),
+    )
