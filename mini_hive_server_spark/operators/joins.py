@@ -241,3 +241,56 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# ------------------------------------------------------ null-safe equi-join
+
+_NULL_SAFE_JOIN_ORACLE = """
+WITH cust AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 19 = 0 THEN NULL ELSE c_nationkey END AS nk
+  FROM customer
+),
+dim AS (
+  SELECT n_nationkey AS nk, n_name FROM nation
+  UNION ALL
+  SELECT NULL, 'UNKNOWN'
+)
+SELECT d.n_name, count(*) AS n_customers
+FROM cust c JOIN dim d ON c.nk IS NOT DISTINCT FROM d.nk
+GROUP BY d.n_name
+ORDER BY n_customers DESC, n_name
+"""
+
+
+@register("join_null_safe_eq", oracle=_NULL_SAFE_JOIN_ORACLE, tags=("join",))
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): customers whose
+    nation key is deterministically NULLed (every 19th — the dirty-FK
+    shape `constraint_referential_audit` counts) join a dimension that
+    carries an explicit NULL->'UNKNOWN' row, so unknown-origin customers
+    land in a real bucket instead of vanishing from the inner join — the
+    warehouse convention for late-arriving/unknown dimension members.
+
+    `<=>` is a TRUE equi-comparison to the planner (NULL is just another
+    key value), so this stays a hash join on nk — no fallback to a
+    nested-loop on a null-handling OR-predicate, which is what the naive
+    `c.nk = d.nk OR (c.nk IS NULL AND d.nk IS NULL)` spelling degrades
+    to. Dimension side is nation-cardinality + 1 → broadcast."""
+    cust = load_tables(spark, sf_dir)["customer"].select(
+        F.when(F.col("c_custkey") % 19 == 0, None)
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk")
+    )
+    nation = load_tables(spark, sf_dir)["nation"]
+    dim = nation.select(F.col("n_nationkey").alias("nk"), "n_name").unionAll(
+        nation.sparkSession.createDataFrame(
+            [(None, "UNKNOWN")], "nk bigint, n_name string"
+        )
+    )
+    return (
+        cust.join(F.broadcast(dim), cust["nk"].eqNullSafe(dim["nk"]))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.col("n_customers").desc(), "n_name")
+    )

@@ -802,3 +802,65 @@ def events_asof_prev_click_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("prev_click_s"),
         F.when(within, F.col("secs")).otherwise(F.lit(-1)).alias("secs_since_click"),
     ).orderBy("user_id", "ts_s", "event_id")
+
+
+# ---------------------------------------------------- rank-function family
+
+_RANK_FAMILY_ORACLE = """
+WITH per_user AS (
+  SELECT event_type, user_id, round(sum(value), 2) AS total
+  FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+  SELECT event_type, user_id, total,
+         dense_rank() OVER w AS dr,
+         round(percent_rank() OVER w, 6) AS pr,
+         round(cume_dist() OVER w, 6) AS cd,
+         nth_value(total, 2) OVER (PARTITION BY event_type
+                                   ORDER BY total DESC, user_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND UNBOUNDED FOLLOWING) AS second_best
+  FROM per_user
+  WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
+)
+SELECT event_type, user_id, total, CAST(dr AS BIGINT) AS dr, pr, cd, second_best
+FROM ranked
+WHERE dr <= 3
+ORDER BY event_type, dr, user_id
+"""
+
+
+@register("events_rank_functions", oracle=_RANK_FAMILY_ORACLE, tags=("window-fn", "agg"))
+def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full ANSI rank-function family in one leaderboard: per event
+    type, users ranked by total value with `dense_rank` (podium places),
+    `percent_rank` (relative standing), `cume_dist` (fraction at or
+    above), and `nth_value` (the runner-up's total alongside every row) —
+    the remaining window functions the registry's row_number/ntile/lag/
+    lead/range-frame queries don't cover, each with DuckDB-identical ANSI
+    semantics.
+
+    Plan: events reduce to (type, user) cardinality in one partial-agg'd
+    shuffle; all four functions share ONE window sort per type
+    (nth_value's full-partition frame rides the same ordering). Ranks
+    order by the ROUNDED total with the user tiebreak, so ordering —
+    and therefore every rank value — is engine-identical."""
+    events = load_tables(spark, sf_dir)["events"]
+    per_user = events.groupBy("event_type", "user_id").agg(
+        F.round(F.sum("value"), 2).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("total").desc(), "user_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_user.select(
+            "event_type",
+            "user_id",
+            "total",
+            F.dense_rank().over(w).cast("bigint").alias("dr"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(F.cume_dist().over(w), 6).alias("cd"),
+            F.nth_value("total", 2).over(wfull).alias("second_best"),
+        )
+        .filter(F.col("dr") <= 3)
+        .orderBy("event_type", "dr", "user_id")
+    )

@@ -36,6 +36,7 @@ _BNLJ_BOUNDED = {
     "events_changepoint_cusum",  # day series x 1-row peak x 1-row count
     "graph_triangle_count",  # summary row: four 1-row aggregates crossed
     "embedding_kmeans_2iter",  # k=4 broadcast centroid rows x vectors
+    "events_abtest_ttest",  # two 1-row arm aggregates crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
