@@ -45,6 +45,14 @@ _TZ_SENSITIVE = (
     "events_asof_next_error",
     # round 6: renders per-event timestamps alongside RANGE-frame sums
     "events_trailing_window_range",
+    # round 8: the date-arithmetic BI family — month/quarter/day bucketing
+    # and day-string rendering all shift if the session tz leaks through
+    "orders_yoy_growth",
+    "events_dau_stickiness",
+    "events_changepoint_cusum",
+    "events_asof_prev_click_tol",
+    "orders_cohort_ltv",
+    "streaming_sliding_topk",
 )
 
 
