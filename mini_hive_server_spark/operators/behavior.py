@@ -1294,3 +1294,69 @@ def events_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(df, 2).alias("welch_df"),
         (F.abs(t) > 1.96).alias("significant_95"),
     )
+
+
+# --------------------------------------------------- sample-ratio mismatch
+
+_SRM_ORACLE = """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+armed AS (
+  SELECT user_id,
+         CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+              AS UBIGINT) % 2 AS INTEGER) AS arm
+  FROM users
+),
+counts AS (
+  SELECT count(*) FILTER (WHERE arm = 0) AS n_a,
+         count(*) FILTER (WHERE arm = 1) AS n_b,
+         count(*) AS n
+  FROM armed
+)
+SELECT n_a, n_b,
+       round(((n_a - n / 2.0) * (n_a - n / 2.0)
+              + (n_b - n / 2.0) * (n_b - n / 2.0)) / (n / 2.0), 4) AS chi2,
+       ((n_a - n / 2.0) * (n_a - n / 2.0)
+        + (n_b - n / 2.0) * (n_b - n / 2.0)) / (n / 2.0) > 3.841 AS srm_detected
+FROM counts
+"""
+
+
+@register("events_abtest_srm", oracle=_SRM_ORACLE, tags=("events", "agg", "stats"))
+def events_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the A/B surface: users are
+    assigned to arms by the same deterministic md5 hash-split the engine
+    uses for train/val/test (`text_hash_split`), and a one-degree
+    chi-square against the intended 50/50 tests whether the realized
+    split drifted — THE standard validity check run before any
+    experiment readout (`events_abtest_ttest` is the readout; an SRM
+    means the readout is untrustworthy no matter its p-value).
+
+    Plan: one distinct-user pass, one 1-row conditional-count aggregate,
+    arithmetic on two integers. The md5 assignment is engine-identical,
+    so observed counts — and the chi-square computed from them — match
+    exactly (the boolean compares the same unrounded expression on both
+    sides; its operands are integers, division by n/2.0 is one IEEE op)."""
+    events = load_tables(spark, sf_dir)["events"]
+    armed = events.select("user_id").distinct().select(
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            % 2
+        ).alias("arm")
+    )
+    counts = armed.agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("n_b"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    half = F.col("n") / 2.0
+    chi2 = (
+        (F.col("n_a") - half) * (F.col("n_a") - half)
+        + (F.col("n_b") - half) * (F.col("n_b") - half)
+    ) / half
+    return counts.select(
+        "n_a",
+        "n_b",
+        F.round(chi2, 4).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )

@@ -756,3 +756,93 @@ def embedding_mapinarrow_normalize(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("unit_head", 6).alias("unit_head"),
         F.round("unit_sum", 6).alias("unit_sum"),
     ).orderBy("vec_id")
+
+
+# ---------------------------------------------------- RAG chunking pass
+
+_CHUNK_W = 48  # words per chunk
+_CHUNK_STRIDE = 32  # words between chunk starts (48-32 = 16-word overlap)
+
+_RAG_CHUNK_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, lang, {_WORDS_DUCK} AS arr FROM documents
+),
+chunks AS (
+  SELECT doc_id, lang, CAST(t.i AS INTEGER) AS chunk_idx,
+         list_slice(arr, t.i * {_CHUNK_STRIDE} + 1,
+                    t.i * {_CHUNK_STRIDE} + {_CHUNK_W}) AS cw
+  FROM w, unnest(range(0, greatest(1,
+           CAST(ceil((len(arr) - {_CHUNK_W}) / {_CHUNK_STRIDE}) AS BIGINT) + 1)))
+         AS t(i)
+  WHERE len(arr) > 0 AND t.i * {_CHUNK_STRIDE} < len(arr)
+),
+fp AS (
+  SELECT doc_id, lang, chunk_idx, len(cw) AS n_words,
+         md5(array_to_string(cw, ' ')) AS chunk_md5
+  FROM chunks
+)
+SELECT lang,
+       count(*) AS n_chunks,
+       count(DISTINCT doc_id) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       count(DISTINCT chunk_md5) AS n_unique_chunks
+FROM fp
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@register("text_rag_chunking", oracle=_RAG_CHUNK_ORACLE, tags=("llm", "text", "pipeline"))
+def text_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG corpus chunking: every document split into 48-word windows
+    advancing by 32 (16-word overlap so no answer span is cut at a
+    boundary) — the pass that turns a raw corpus into the retrieval units
+    an embedding index serves. Emitted as the per-language chunk census
+    (counts, word volume, DISTINCT chunk fingerprints — overlapping
+    windows of duplicated docs collapse, previewing the chunk-level dedup
+    a retrieval corpus needs).
+
+    Plan: map-only explode — each doc expands to ceil((len-W)/S)+1
+    chunks, ~1.5x row growth at these parameters, with only (lang,
+    16-byte md5) reaching the final partial-agg'd shuffle; the text
+    itself never moves after the explode. At 100 TB the chunk rows
+    stream straight into the embedding kernel (`mapInPandas`) and the
+    ANN index builders downstream — same movement, no extra pass."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select("doc_id", "lang", F.expr(_WORDS_SPARK).alias("arr")).filter(
+        F.size("arr") > 0
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.size("arr") - _CHUNK_W) / F.lit(_CHUNK_STRIDE)).cast("int") + 1,
+    )
+    chunks = w.select(
+        "doc_id",
+        "lang",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        "arr",
+    ).filter(F.col("chunk_idx") * _CHUNK_STRIDE < F.size("arr"))
+    fp = chunks.select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        F.expr(
+            f"slice(arr, chunk_idx * {_CHUNK_STRIDE} + 1, {_CHUNK_W})"
+        ).alias("cw"),
+    ).select(
+        "doc_id",
+        "lang",
+        "chunk_idx",
+        F.size("cw").alias("n_words"),
+        F.md5(F.array_join("cw", " ")).alias("chunk_md5"),
+    )
+    return (
+        fp.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.count_distinct("chunk_md5").alias("n_unique_chunks"),
+        )
+        .orderBy("lang")
+    )
