@@ -1360,3 +1360,93 @@ def events_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+# --------------------------------------------------------- power analysis
+
+_Z_ALPHA = 1.96  # two-sided 5%
+_Z_BETA = 0.8416  # 80% power
+
+_POWER_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         round(avg(value), 6) AS mean,
+         round(var_samp(value), 6) AS var
+  FROM events WHERE event_type IN ('click', 'view')
+  GROUP BY event_type
+),
+a AS (SELECT * FROM g WHERE event_type = 'click'),
+b AS (SELECT * FROM g WHERE event_type = 'view'),
+s AS (
+  SELECT a.n AS n_a, b.n AS n_b, a.mean AS mean_a,
+         round(sqrt(((a.n - 1) * a.var + (b.n - 1) * b.var)
+                    / (a.n + b.n - 2)), 6) AS sd_pooled
+  FROM a, b
+)
+SELECT n_a, n_b, sd_pooled,
+       round(({_Z_ALPHA} + {_Z_BETA}) * sd_pooled
+             * sqrt(1.0 / n_a + 1.0 / n_b), 4) AS mde_abs,
+       round(({_Z_ALPHA} + {_Z_BETA}) * sd_pooled
+             * sqrt(1.0 / n_a + 1.0 / n_b) / mean_a * 100, 2) AS mde_rel_pct,
+       CAST(ceil(2 * sd_pooled * sd_pooled
+                 * ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+                 / (0.05 * mean_a * 0.05 * mean_a)) AS BIGINT)
+         AS n_per_arm_for_5pct
+FROM s
+"""
+
+
+@register("events_abtest_power", oracle=_POWER_ORACLE, tags=("events", "agg", "stats"))
+def events_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis, completing the A/B trio (`_srm` checks
+    the split, `_ttest` reads the result, THIS says whether the
+    experiment could detect anything): the minimum detectable effect at
+    the current sample sizes (80% power, two-sided 5%) and the per-arm n
+    needed to detect a 5% relative lift — the pre-readout question every
+    experiment review asks first.
+
+    Plan: the same single aggregation pass as the t-test; all power
+    arithmetic runs on two 1-row relations from PRE-ROUNDED moments
+    (pooled sd rounded before reuse), so both engines evaluate identical
+    operands; ceil() of an identical double is engine-identical."""
+    events = load_tables(spark, sf_dir)["events"]
+    g = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"), F.col("var").alias("var_b")
+    )
+    z = _Z_ALPHA + _Z_BETA
+    s = a.crossJoin(F.broadcast(b)).select(
+        "n_a",
+        "n_b",
+        "mean_a",
+        F.round(
+            F.sqrt(
+                ((F.col("n_a") - 1) * F.col("var_a") + (F.col("n_b") - 1) * F.col("var_b"))
+                / (F.col("n_a") + F.col("n_b") - 2)
+            ),
+            6,
+        ).alias("sd_pooled"),
+    )
+    mde = z * F.col("sd_pooled") * F.sqrt(1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    return s.select(
+        "n_a",
+        "n_b",
+        "sd_pooled",
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("mean_a") * 100, 2).alias("mde_rel_pct"),
+        F.ceil(
+            2 * F.col("sd_pooled") * F.col("sd_pooled") * z * z
+            / (0.05 * F.col("mean_a") * 0.05 * F.col("mean_a"))
+        ).cast("bigint").alias("n_per_arm_for_5pct"),
+    )

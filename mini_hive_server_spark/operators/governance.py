@@ -220,3 +220,73 @@ def mutation_cascade_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(report("orders", ords, dead_orders))
         .orderBy("table_name")
     )
+
+
+# -------------------------------------------------- duplicate-payment scan
+
+_DUP_PAY_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_totalprice,
+         CAST(o_orderdate AS DATE) AS d
+  FROM orders
+),
+pairs AS (
+  SELECT a.o_custkey,
+         abs(date_diff('day', a.d, b.d)) AS gap_days
+  FROM o a JOIN o b
+    ON a.o_custkey = b.o_custkey
+   AND a.o_totalprice = b.o_totalprice
+   AND a.o_orderkey < b.o_orderkey
+   AND abs(date_diff('day', a.d, b.d)) <= 2
+)
+SELECT gap_days,
+       count(*) AS n_suspect_pairs,
+       count(DISTINCT o_custkey) AS n_customers
+FROM pairs
+GROUP BY gap_days
+ORDER BY gap_days
+"""
+
+
+@register("orders_duplicate_payments", oracle=_DUP_PAY_ORACLE, tags=("governance", "join", "dedup"))
+def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-charge detection: order pairs from the same customer with
+    the IDENTICAL total within 2 days — the double-submit / retry-billing
+    scan every payments platform runs (the reference IS a coin-payments
+    backend; its Stripe flow, index.js:914-960, has no such guard — a
+    double-clicked checkout charges twice). Histogrammed by day gap.
+
+    Plan: the self-join is keyed on (customer, exact amount) — a genuine
+    EQUI-join; the 2-day window is a residual predicate evaluated inside
+    each join group, and per-(customer, amount) group sizes are order
+    counts per customer (TPC-H: ~10), so pair expansion is O(1) per key
+    and one shuffle moves a 4-column pruned relation. The classic
+    fuzzy-matching escalation (amount within epsilon -> band the amount
+    like the similarity tiers band cosine space) keeps the same shape."""
+    o = load_tables(spark, sf_dir)["orders"].select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    a, b = o.alias("a"), o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.o_totalprice") == F.col("b.o_totalprice"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (
+            F.abs(F.datediff(F.col("a.d"), F.col("b.d"))) <= 2
+        ),
+    ).select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.abs(F.datediff(F.col("a.d"), F.col("b.d"))).alias("gap_days"),
+    )
+    return (
+        pairs.groupBy("gap_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_suspect_pairs"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+        )
+        .orderBy("gap_days")
+    )

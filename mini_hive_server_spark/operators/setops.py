@@ -77,3 +77,44 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         _custkeys_with_priority(t, "1-URGENT")
     )
     return e.agg(F.count(F.lit(1)).alias("n"))
+
+
+_ALL_VARIANTS_ORACLE = """
+WITH u AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+),
+h AS (
+  SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+)
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM u UNION ALL SELECT * FROM h)) AS n_union_all,
+  (SELECT count(*) FROM (SELECT * FROM u INTERSECT ALL SELECT * FROM h)) AS n_intersect_all,
+  (SELECT count(*) FROM (SELECT * FROM u EXCEPT ALL SELECT * FROM h)) AS n_except_all
+"""
+
+
+@register("set_ops_all_variants", oracle=_ALL_VARIANTS_ORACLE, tags=("setop",))
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bag-semantics (ALL) set operations in one row — UNION ALL
+    keeps every duplicate, INTERSECT ALL keeps min(multiplicity),
+    EXCEPT ALL subtracts multiplicities — completing §2.7 next to the
+    DISTINCT forms. The multiplicity rules matter for fact data: a
+    customer with 3 urgent + 2 high orders contributes 5/2/1 rows to the
+    three results respectively, which the DISTINCT forms collapse to
+    1/1/0.
+
+    Plan: UNION ALL is a free concatenation (no shuffle); the ALL
+    intersect/except compile to multiplicity-tracking hash aggregates on
+    the key — one exchange each, same movement class as the DISTINCT
+    forms."""
+    t = load_tables(spark, sf_dir)
+    u = _custkeys_with_priority(t, "1-URGENT")
+    h = _custkeys_with_priority(t, "2-HIGH")
+    n_union_all = u.unionAll(h).agg(F.count(F.lit(1)).alias("n_union_all"))
+    n_intersect_all = u.intersectAll(h).agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    n_except_all = u.exceptAll(h).agg(F.count(F.lit(1)).alias("n_except_all"))
+    return n_union_all.crossJoin(F.broadcast(n_intersect_all)).crossJoin(
+        F.broadcast(n_except_all)
+    )

@@ -37,6 +37,8 @@ _BNLJ_BOUNDED = {
     "graph_triangle_count",  # summary row: four 1-row aggregates crossed
     "embedding_kmeans_2iter",  # k=4 broadcast centroid rows x vectors
     "events_abtest_ttest",  # two 1-row arm aggregates crossed
+    "events_abtest_power",  # two 1-row arm aggregates crossed
+    "set_ops_all_variants",  # three 1-row counts crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
