@@ -1450,3 +1450,40 @@ def events_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (0.05 * F.col("mean_a") * 0.05 * F.col("mean_a"))
         ).cast("bigint").alias("n_per_arm_for_5pct"),
     )
+
+
+# ---------------------------------------------------- hour x weekday heatmap
+
+_HEATMAP_ORACLE = """
+SELECT CAST(date_part('dow', CAST(ts AS TIMESTAMP)) AS BIGINT) AS dow,
+       CAST(date_part('hour', CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour,
+       count(*) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY dow, hour
+"""
+
+
+@register("events_heatmap_hour_dow", oracle=_HEATMAP_ORACLE, tags=("events", "agg"))
+def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day x day-of-week activity heatmap — the seasonality
+    fingerprint every traffic dashboard opens with (and the axis the
+    anomaly screens condition on). One partial-agg'd shuffle to a fixed
+    168-cell grid regardless of SF.
+
+    Cross-engine gotcha pinned here: DuckDB's dow is 0-6 with Sunday=0
+    while Spark's dayofweek() is 1-7 with Sunday=1 — the Spark side
+    subtracts 1 so the axes agree."""
+    events = load_tables(spark, sf_dir)["events"]
+    return (
+        events.groupBy(
+            (F.dayofweek("ts") - 1).cast("bigint").alias("dow"),
+            F.hour("ts").cast("bigint").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )

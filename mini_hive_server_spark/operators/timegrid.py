@@ -554,3 +554,78 @@ def events_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("level") + 2 * F.col("trend"), 4).alias("forecast_2"),
         F.round(F.col("level") + _HOLT_H * F.col("trend"), 4).alias("forecast_3"),
     )
+
+
+# ---------------------------------------------------- open-order backlog
+
+_BACKLOG_ORACLE = """
+WITH complete AS (
+  SELECT o.o_orderkey, CAST(o.o_orderdate AS DATE) AS od, o.o_totalprice,
+         coalesce(max(CAST(l.l_shipdate AS DATE)), CAST(o.o_orderdate AS DATE))
+           AS done_d
+  FROM orders o LEFT JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderdate, o.o_totalprice
+),
+months AS (
+  SELECT DISTINCT date_trunc('month', od) AS m FROM complete
+)
+SELECT strftime(m.m, '%Y-%m') AS month_s,
+       count(*) AS n_open,
+       round(sum(c.o_totalprice), 2) AS open_value
+FROM months m JOIN complete c
+  ON c.od < m.m AND c.done_d >= m.m
+GROUP BY m.m
+ORDER BY month_s
+"""
+
+
+@register("orders_backlog_monthly", oracle=_BACKLOG_ORACLE, tags=("interval", "agg", "join"))
+def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog as of each month start: an order is open from
+    its order date until its last lineitem ships; the census joins the
+    month spine to the order intervals (placed-before, not-yet-done) —
+    the as-of inventory/WIP shape behind every operations dashboard
+    ("how much work was in flight on the 1st?").
+
+    Plan: one order-keyed join+agg derives each order's completion date
+    (the only fact-sized movement), then the interval census joins the
+    CALENDAR-BOUNDED month spine (≤ 84 rows at any SF, broadcast) under
+    the open-interval predicate — each order lands in (open-duration in
+    months) spine rows, a bounded expansion (TPC-H intervals span weeks
+    to months, so ~1-4 rows per order; the daily-grain variant of this
+    query multiplies that by 30, which is why the census grain is a
+    design knob). Sums are rounded once at the output."""
+    t = load_tables(spark, sf_dir)
+    complete = (
+        t["orders"]
+        .join(
+            t["lineitem"].select("l_orderkey", F.col("l_shipdate").cast("date").alias("sd")),
+            t["orders"]["o_orderkey"] == F.col("l_orderkey"),
+            "left",
+        )
+        .groupBy("o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(
+            F.coalesce(
+                F.max("sd"), F.col("o_orderdate").cast("date")
+            ).alias("done_d")
+        )
+        .select(
+            F.col("o_orderdate").cast("date").alias("od"),
+            "o_totalprice",
+            "done_d",
+        )
+    )
+    months = complete.select(F.date_trunc("month", "od").alias("m")).distinct()
+    return (
+        F.broadcast(months)
+        .join(
+            complete,
+            (F.col("od") < F.col("m")) & (F.col("done_d") >= F.col("m")),
+        )
+        .groupBy(F.date_format("m", "yyyy-MM").alias("month_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_open"),
+            F.round(F.sum("o_totalprice"), 2).alias("open_value"),
+        )
+        .orderBy("month_s")
+    )
