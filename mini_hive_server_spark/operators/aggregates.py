@@ -274,3 +274,71 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderpriority").alias("n_priorities"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ----------------------------------------------------- concentration (HHI)
+
+_HHI_ORACLE = """
+WITH rev AS (
+  SELECT s.s_nationkey, l.l_suppkey,
+         round(sum(l.l_extendedprice), 2) AS supplier_rev
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY s.s_nationkey, l.l_suppkey
+),
+shares AS (
+  SELECT s_nationkey, supplier_rev,
+         round(supplier_rev / sum(supplier_rev) OVER (PARTITION BY s_nationkey), 6)
+           AS share
+  FROM rev
+)
+SELECT n.n_name,
+       count(*) AS n_suppliers,
+       round(sum(share * share) * 10000, 2) AS hhi
+FROM shares sh JOIN nation n ON sh.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY hhi DESC, n_name
+"""
+
+
+@register("supplier_concentration_hhi", oracle=_HHI_ORACLE, tags=("agg", "window-fn"))
+def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation (sum of squared market shares x 10000 — the antitrust scale
+    where >2500 is 'highly concentrated'): the supply-risk view of the
+    same revenue relation the TPC-H analogs aggregate — one dominant
+    supplier in a nation is a single point of failure no average reveals.
+
+    Plan: lineitem reduces once to (nation, supplier) revenue via an
+    AQE-planned supplier join (partial aggs move, not line items); shares
+    are a supplier-cardinality window per nation; the HHI is a 25-row
+    output. Shares round to 6 before squaring so both engines square
+    identical operands."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    rev = (
+        t["lineitem"]
+        .join(t["supplier"], t["lineitem"]["l_suppkey"] == t["supplier"]["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("supplier_rev"))
+    )
+    shares = rev.select(
+        "s_nationkey",
+        F.round(
+            F.col("supplier_rev")
+            / F.sum("supplier_rev").over(Window.partitionBy("s_nationkey")),
+            6,
+        ).alias("share"),
+    )
+    return (
+        shares.join(
+            F.broadcast(t["nation"]),
+            shares["s_nationkey"] == t["nation"]["n_nationkey"],
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum(F.col("share") * F.col("share")) * 10000, 2).alias("hhi"),
+        )
+        .orderBy(F.col("hhi").desc(), "n_name")
+    )

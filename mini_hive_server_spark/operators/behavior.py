@@ -1487,3 +1487,92 @@ def events_heatmap_hour_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# --------------------------------------------------------- bounce rate
+
+_BOUNCE_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+         CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR epoch_us(CAST(ts AS TIMESTAMP))
+                   - epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+),
+sessions AS (
+  SELECT user_id, t,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM ordered
+),
+per_session AS (
+  SELECT user_id, sid, min(CAST(t AS DATE)) AS d, count(*) AS n_events
+  FROM sessions GROUP BY user_id, sid
+)
+SELECT strftime(d, '%Y-%m-%d') AS day_s,
+       count(*) AS n_sessions,
+       count(*) FILTER (WHERE n_events = 1) AS n_bounces,
+       round(count(*) FILTER (WHERE n_events = 1) * 100.0 / count(*), 2)
+         AS bounce_pct
+FROM per_session
+GROUP BY d
+ORDER BY day_s
+"""
+
+
+@register("events_bounce_rate", oracle=_BOUNCE_ORACLE, tags=("events", "window-fn"))
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions containing exactly one event,
+    bucketed by session start day — the engagement-quality headline next
+    to the session-count and top-paths views, built on the SAME
+    microsecond-precise gaps-and-islands sessionizer (`unix_micros`
+    matching the oracle's `epoch_us`; the boundary-precision class the
+    round-4 ADVICE flagged is pinned once here and everywhere).
+
+    Plan: one user-keyed window pass sessionizes, one (user, session)
+    groupBy reduces to session cardinality, and the daily census is a
+    day-cardinality aggregate — events shuffle once."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+                > 1_800_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sessions = flagged.withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "sid").agg(
+        F.min(F.to_date("ts")).alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        per_session.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.count(F.when(F.col("n_events") == 1, 1)).alias("n_bounces"),
+            F.round(
+                F.count(F.when(F.col("n_events") == 1, 1)) * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("bounce_pct"),
+        )
+        .orderBy("day_s")
+    )
