@@ -342,3 +342,74 @@ def supplier_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("hhi").desc(), "n_name")
     )
+
+
+# ------------------------------------------------------------- churn census
+
+_CHURN_ORACLE = """
+WITH horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS d_max FROM orders),
+last_order AS (
+  SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d
+  FROM orders GROUP BY o_custkey
+),
+flagged AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN lo.o_custkey IS NULL THEN 'never_ordered'
+              WHEN date_diff('day', lo.last_d, h.d_max) > 365 THEN 'churned'
+              ELSE 'active' END AS status,
+         c.c_acctbal
+  FROM customer c
+  LEFT JOIN last_order lo ON c.c_custkey = lo.o_custkey
+  CROSS JOIN horizon h
+)
+SELECT c_mktsegment, status,
+       count(*) AS n_customers,
+       round(avg(c_acctbal), 2) AS avg_acctbal
+FROM flagged
+GROUP BY c_mktsegment, status
+ORDER BY c_mktsegment, status
+"""
+
+
+@register("customers_churn_census", oracle=_CHURN_ORACLE, tags=("agg", "join"))
+def customers_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn census: customers bucketed active / churned (no order in the
+    365 days before the data horizon) / never-ordered, per market
+    segment with average account balance — the lifecycle complement to
+    RFM (`customers_rfm_segments` scores the engaged; this one counts
+    the leavers and the never-activated, who RFM's order-derived
+    quintiles cannot see at all).
+
+    Plan: orders reduce once to per-customer last-order dates, customers
+    left-join that customer-cardinality relation (AQE strategy, both
+    sides SF-proportional), the horizon is a broadcast 1-row aggregate,
+    and the census is a (segment x 3) groupBy. Day arithmetic on CAST
+    dates — exact in both engines."""
+    t = load_tables(spark, sf_dir)
+    horizon = t["orders"].agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("d_max")
+    )
+    last_order = t["orders"].groupBy("o_custkey").agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_d")
+    )
+    flagged = (
+        t["customer"]
+        .join(last_order, t["customer"]["c_custkey"] == last_order["o_custkey"], "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            "c_mktsegment",
+            F.when(F.col("o_custkey").isNull(), "never_ordered")
+            .when(F.datediff(F.col("d_max"), F.col("last_d")) > 365, "churned")
+            .otherwise("active")
+            .alias("status"),
+            "c_acctbal",
+        )
+    )
+    return (
+        flagged.groupBy("c_mktsegment", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"),
+        )
+        .orderBy("c_mktsegment", "status")
+    )

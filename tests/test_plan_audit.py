@@ -40,6 +40,7 @@ _BNLJ_BOUNDED = {
     "events_abtest_power",  # two 1-row arm aggregates crossed
     "set_ops_all_variants",  # three 1-row counts crossed
     "orders_backlog_monthly",  # broadcast month spine (calendar-bounded) interval join
+    "customers_churn_census",  # 1-row horizon aggregate crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
