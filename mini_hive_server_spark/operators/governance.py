@@ -290,3 +290,74 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_days")
     )
+
+
+# ------------------------------------------------ differential privacy
+
+_DP_EPSILON = 0.5  # privacy budget; Laplace scale b = sensitivity/eps = 2.0
+
+_DP_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_true FROM documents GROUP BY lang
+),
+seeded AS (
+  SELECT lang, n_true,
+         CAST(('0x' || substr(md5('dp:' || lang), 1, 8)) AS UBIGINT)
+           / 4294967296.0 AS u
+  FROM counts
+),
+noised AS (
+  SELECT lang, n_true, u,
+         round(-(1.0 / {_DP_EPSILON})
+               * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noise
+  FROM seeded
+)
+SELECT lang, n_true, noise,
+       round(n_true + noise, 4) AS n_noisy,
+       CAST({_DP_EPSILON} AS DOUBLE) AS epsilon
+FROM noised
+ORDER BY lang
+"""
+
+
+@register("privacy_dp_lang_counts", oracle=_DP_ORACLE, tags=("governance", "privacy"))
+def privacy_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private per-language counts: the Laplace mechanism
+    (sensitivity 1 for a counting query, scale 1/epsilon) applied to the
+    language census — the release pattern for sharing corpus statistics
+    without exposing any single document's membership. The noise draw is
+    SEEDED (inverse-CDF over an md5-derived uniform per group), which is
+    how production DP systems make releases reproducible/auditable — and
+    what makes this oracle-EXACT: both engines derive the identical
+    uniform, apply the identical inverse CDF, and round identically.
+    (True n_true is emitted alongside for the oracle check; a real
+    release drops that column — the mechanism, not the redaction, is
+    what is under test.)
+
+    Plan: one partial-agg'd census, map-side noise arithmetic on the
+    lang-cardinality result. Composes with any census in the registry:
+    the mechanism is a projection."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dp:"), F.col("lang"))), 1, 8), 16, 10)
+        .cast("double")
+        / F.lit(4294967296.0)
+    )
+    noise = F.round(
+        -(1.0 / _DP_EPSILON)
+        * F.when(u >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(1.0 - 2.0 * F.abs(u - 0.5)),
+        4,
+    )
+    return (
+        counts.select(
+            "lang",
+            "n_true",
+            noise.alias("noise"),
+            F.round(F.col("n_true") + noise, 4).alias("n_noisy"),
+            F.lit(_DP_EPSILON).alias("epsilon"),
+        )
+        .orderBy("lang")
+    )
