@@ -413,3 +413,56 @@ def customers_churn_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "status")
     )
+
+
+# ------------------------------------------------------- log2 histogram
+
+_VALUE_HIST_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(log2(o_totalprice)) AS BIGINT) AS bucket,
+         o_totalprice
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT count(*) AS n FROM b)
+SELECT bucket,
+       power(2.0, bucket) AS bucket_low,
+       count(*) AS n_orders,
+       round(count(*) * 100.0 / tot.n, 2) AS pct
+FROM b, tot
+GROUP BY bucket, tot.n
+ORDER BY bucket
+"""
+
+
+@register("orders_value_histogram", oracle=_VALUE_HIST_ORACLE, tags=("agg",))
+def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed order-value histogram: the generic distribution
+    primitive for heavy-tailed money/size columns (linear buckets put
+    ~everything in one bin; doubling buckets read as orders of
+    magnitude). Complements the exact/approx percentile tiers with the
+    full-shape view monitoring dashboards plot.
+
+    Plan: bucket assignment is a map-side floor(log2(x)); the histogram
+    is one partial-agg'd groupBy to ~a dozen bucket rows crossed with the
+    1-row total. floor(log2()) on identical doubles is engine-identical
+    (both evaluate IEEE log2 then floor — any representable input maps to
+    the same bucket unless log2 lands EXACTLY on an integer boundary,
+    which only powers of two do, and both engines return exact integers
+    for those)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    b = orders.filter(F.col("o_totalprice") > 0).select(
+        F.floor(F.log2("o_totalprice")).cast("bigint").alias("bucket")
+    )
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        b.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket")).alias("bucket_low"),
+            "n_orders",
+            F.round(F.col("n_orders") * 100.0 / F.col("n"), 2).alias("pct"),
+        )
+        .orderBy("bucket")
+    )

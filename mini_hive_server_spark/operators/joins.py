@@ -294,3 +294,45 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy(F.col("n_customers").desc(), "n_name")
     )
+
+
+# ---------------------------------------------------- LATERAL correlated top-k
+
+_LATERAL_ORACLE = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n JOIN LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name LIMIT 3
+) t ON true
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
+@register("sql_lateral_topk", oracle=_LATERAL_ORACLE, tags=("join", "sql"))
+def sql_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via SQL LATERAL (correlated table subquery): the
+    top-3 customers by balance per nation, written the way an ANSI-SQL
+    user writes it — a correlated ORDER BY/LIMIT subquery in the FROM
+    clause — rather than the window-function form `topk_per_group` ships.
+    Same answer, two dialect surfaces; Catalyst decorrelates the LATERAL
+    into the identical rank-then-filter plan, so neither spelling costs
+    more (one customer-keyed exchange, per-partition top-k, no global
+    sort).
+
+    Both engines support LATERAL natively (Spark 3.2+/DuckDB), and the
+    tie-broken ORDER BY makes the k rows deterministic."""
+    t = load_tables(spark, sf_dir)
+    t["nation"].createOrReplaceTempView("lateral_nation_v")
+    t["customer"].createOrReplaceTempView("lateral_customer_v")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM lateral_nation_v n JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM lateral_customer_v c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 3
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )

@@ -41,6 +41,7 @@ _BNLJ_BOUNDED = {
     "set_ops_all_variants",  # three 1-row counts crossed
     "orders_backlog_monthly",  # broadcast month spine (calendar-bounded) interval join
     "customers_churn_census",  # 1-row horizon aggregate crossed
+    "orders_value_histogram",  # bucket rows x 1-row total
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
