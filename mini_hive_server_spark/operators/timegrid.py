@@ -629,3 +629,60 @@ def orders_backlog_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_s")
     )
+
+
+# ------------------------------------------------ daily-series autocorrelation
+
+_AUTOCORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         round(avg(value), 6) AS mu
+  FROM events GROUP BY 1
+),
+lagged AS (
+  SELECT d, mu,
+         lag(mu, 1) OVER (ORDER BY d) AS mu_lag1,
+         lag(mu, 7) OVER (ORDER BY d) AS mu_lag7
+  FROM daily
+)
+SELECT count(*) AS n_days,
+       round(corr(mu, mu_lag1), 6) AS autocorr_lag1,
+       round(corr(mu, mu_lag7), 6) AS autocorr_lag7,
+       round(corr(mu, mu_lag7), 6) > round(corr(mu, mu_lag1), 6)
+         AS weekly_seasonality
+FROM lagged
+"""
+
+
+@register("events_autocorr_daily", oracle=_AUTOCORR_ORACLE, tags=("events", "stats"))
+def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the daily value series at lags 1 and 7 — the
+    seasonality DETECTOR that decides whether the decomposition
+    (`orders_seasonal_decompose`) and the forecast horizon (`events_
+    forecast_holt`) should carry a weekly term: lag-7 beating lag-1 is
+    the weekly-rhythm signature.
+
+    Plan: events reduce once to day cardinality; the lags are one window
+    over the calendar-bounded series and corr() is a single moment
+    aggregate (NULL lag rows at the head drop out of corr identically in
+    both engines). Inputs are pre-rounded daily means, and the seasonality
+    boolean compares the two ROUNDED correlations, so the verdict cannot
+    flip on a ulp."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(F.to_date("ts").alias("d")).agg(
+        F.round(F.avg("value"), 6).alias("mu")
+    )
+    w = Window.orderBy("d")
+    lagged = daily.select(
+        "mu",
+        F.lag("mu", 1).over(w).alias("mu_lag1"),
+        F.lag("mu", 7).over(w).alias("mu_lag7"),
+    )
+    c1 = F.round(F.corr("mu", "mu_lag1"), 6)
+    c7 = F.round(F.corr("mu", "mu_lag7"), 6)
+    return lagged.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        c1.alias("autocorr_lag1"),
+        c7.alias("autocorr_lag7"),
+        (c7 > c1).alias("weekly_seasonality"),
+    )

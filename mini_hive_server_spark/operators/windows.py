@@ -864,3 +864,62 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dr") <= 3)
         .orderBy("event_type", "dr", "user_id")
     )
+
+
+# ----------------------------------------------------- monthly SLA attainment
+
+_SLA_DAYS = 30  # order -> ship SLA
+
+_SLA_TREND_ORACLE = f"""
+WITH lat AS (
+  SELECT strftime(CAST(o.o_orderdate AS DATE), '%Y-%m') AS month_s,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT month_s,
+       count(*) AS n_lines,
+       count(*) FILTER (WHERE days <= {_SLA_DAYS}) AS n_within_sla,
+       round(count(*) FILTER (WHERE days <= {_SLA_DAYS}) * 100.0 / count(*), 2)
+         AS sla_pct
+FROM lat
+GROUP BY month_s
+ORDER BY month_s
+"""
+
+
+@register("orders_sla_attainment_monthly", oracle=_SLA_TREND_ORACLE, tags=("agg", "join"))
+def orders_sla_attainment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly SLA attainment trend: share of lineitems shipped within 30
+    days of their order, per order month — the time axis the SLO
+    percentile digest (`orders_ship_latency_percentiles`) lacks: the
+    percentiles say how bad the tail is NOW, this says whether attainment
+    is drifting.
+
+    Plan: one order-keyed join (AQE strategy; the pruned 2-column order
+    side), then a month-cardinality conditional aggregate — latency never
+    materializes beyond the map side. Integer day arithmetic on CAST
+    dates."""
+    t = load_tables(spark, sf_dir)
+    lat = t["lineitem"].join(
+        t["orders"].select("o_orderkey", "o_orderdate"),
+        t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+    ).select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month_s"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days"),
+    )
+    return (
+        lat.groupBy("month_s")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.count(F.when(F.col("days") <= _SLA_DAYS, 1)).alias("n_within_sla"),
+            F.round(
+                F.count(F.when(F.col("days") <= _SLA_DAYS, 1)) * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("sla_pct"),
+        )
+        .orderBy("month_s")
+    )
