@@ -321,3 +321,75 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY depth
         """
     )
+
+
+# ------------------------------------------------- degree distribution
+
+_DEGREE_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+degs AS (
+  SELECT node, count(*) AS deg
+  FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY node
+)
+SELECT CAST(floor(log2(deg)) AS BIGINT) AS deg_bucket,
+       count(*) AS n_nodes,
+       CAST(min(deg) AS BIGINT) AS min_deg,
+       CAST(max(deg) AS BIGINT) AS max_deg
+FROM degs
+GROUP BY 1
+ORDER BY deg_bucket
+"""
+
+
+@register("graph_degree_distribution", oracle=_DEGREE_ORACLE, tags=("graph", "agg"))
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed degree distribution of the part co-purchase graph
+    (same support-2 edge relation as `graph_triangle_count`) — the first
+    question asked of any graph before running algorithms on it: is the
+    degree distribution flat (safe to partition by vertex) or power-law
+    (the top hub will melt a reducer and the triangle/PageRank passes
+    need the degree-ordering / salting treatments this engine already
+    applies)?
+
+    Plan: identical edge build (the one corpus-sized pass is the DISTINCT
+    projection), then degree counting is one node-cardinality aggregate
+    and the histogram is a dozen bucket rows."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    degs = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    return (
+        degs.groupBy(F.floor(F.log2("deg")).cast("bigint").alias("deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("deg").cast("bigint").alias("min_deg"),
+            F.max("deg").cast("bigint").alias("max_deg"),
+        )
+        .orderBy("deg_bucket")
+    )

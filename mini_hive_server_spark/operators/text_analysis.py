@@ -678,3 +678,103 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_slope(y, x)"), 6).alias("zipf_slope"),
         F.round(F.expr("regr_r2(y, x)"), 6).alias("r2"),
     )
+
+
+# ------------------------------------------------ Heaps-law vocabulary growth
+
+_HEAPS_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+firsts AS (
+  SELECT term, min(doc_id) AS first_id FROM w GROUP BY term
+),
+doc_tokens AS (
+  SELECT doc_id, count(*) AS n_tok FROM w GROUP BY doc_id
+),
+mx AS (SELECT max(doc_id) AS max_id FROM documents),
+grid AS (
+  SELECT CAST(t.i AS INTEGER) AS pt,
+         CAST(floor(mx.max_id * t.i / 10.0) AS BIGINT) AS boundary
+  FROM mx, unnest(range(1, 11)) AS t(i)
+),
+points AS (
+  SELECT g.pt,
+         (SELECT CAST(sum(n_tok) AS BIGINT) FROM doc_tokens d
+          WHERE d.doc_id <= g.boundary) AS n_tokens,
+         (SELECT count(*) FROM firsts f WHERE f.first_id <= g.boundary)
+           AS vocab
+  FROM grid g
+)
+SELECT count(*) AS n_points,
+       round(regr_slope(ln(CAST(vocab AS DOUBLE)),
+                        ln(CAST(n_tokens AS DOUBLE))), 6) AS heaps_beta,
+       round(exp(regr_intercept(ln(CAST(vocab AS DOUBLE)),
+                                ln(CAST(n_tokens AS DOUBLE)))), 4) AS heaps_k,
+       round(regr_r2(ln(CAST(vocab AS DOUBLE)),
+                     ln(CAST(n_tokens AS DOUBLE))), 6) AS r2
+FROM points
+WHERE n_tokens > 0 AND vocab > 0
+"""
+
+
+@register("text_heaps_law", oracle=_HEAPS_ORACLE, tags=("llm", "text", "stats"))
+def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth (V = K·N^beta): distinct-type
+    count versus token count at 10 cumulative corpus prefixes, fit by OLS
+    in log-log space — the corpus-health companion to the Zipf slope
+    (`text_zipf_slope`): natural text grows vocabulary at beta ≈ 0.4-0.6;
+    template spam (beta→0) and noise (beta→1) both betray themselves
+    here.
+
+    Plan shape matters: the naive form rescans the corpus per prefix
+    (10x). Instead ONE tokenization pass yields each term's FIRST doc id
+    and each doc's token count; every prefix's (N, V) is then a pair of
+    filtered counts over those word/doc-cardinality relations against a
+    broadcast 10-row boundary grid, and the regression is one moment
+    aggregate over 10 points — the regr_* family on identical
+    pre-computed log operands in both engines."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(
+        "doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("term")
+    )
+    firsts = w.groupBy("term").agg(F.min("doc_id").alias("first_id"))
+    doc_tokens = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    mx = docs.agg(F.max("doc_id").alias("max_id"))
+    grid = (
+        mx.select(
+            F.explode(F.sequence(F.lit(1), F.lit(10))).alias("pt"), "max_id"
+        )
+        .select(
+            "pt",
+            F.floor(F.col("max_id") * F.col("pt") / 10.0).cast("bigint").alias(
+                "boundary"
+            ),
+        )
+    )
+    n_at = (
+        F.broadcast(grid)
+        .join(doc_tokens, doc_tokens["doc_id"] <= F.col("boundary"))
+        .groupBy("pt")
+        .agg(F.sum("n_tok").cast("bigint").alias("n_tokens"))
+    )
+    v_at = (
+        F.broadcast(grid)
+        .join(firsts, firsts["first_id"] <= F.col("boundary"))
+        .groupBy("pt")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    points = n_at.join(v_at, "pt").filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    )
+    logs = points.select(
+        F.log(F.col("vocab").cast("double")).alias("lv"),
+        F.log(F.col("n_tokens").cast("double")).alias("ln_"),
+    )
+    return logs.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.expr("regr_slope(lv, ln_)"), 6).alias("heaps_beta"),
+        F.round(F.exp(F.expr("regr_intercept(lv, ln_)")), 4).alias("heaps_k"),
+        F.round(F.expr("regr_r2(lv, ln_)"), 6).alias("r2"),
+    )

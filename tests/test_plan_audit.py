@@ -42,6 +42,7 @@ _BNLJ_BOUNDED = {
     "orders_backlog_monthly",  # broadcast month spine (calendar-bounded) interval join
     "customers_churn_census",  # 1-row horizon aggregate crossed
     "orders_value_histogram",  # bucket rows x 1-row total
+    "text_heaps_law",  # broadcast 10-row boundary grid range join
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
