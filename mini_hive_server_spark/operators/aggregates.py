@@ -466,3 +466,62 @@ def orders_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------- Gini coefficient
+
+_GINI_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT rev,
+         row_number() OVER (ORDER BY rev, o_custkey) AS i,
+         count(*) OVER () AS n,
+         sum(rev) OVER () AS total
+  FROM per_cust
+)
+SELECT CAST(max(n) AS BIGINT) AS n_customers,
+       round(sum((2.0 * i - n - 1) * rev) / (max(n) * max(total)), 6) AS gini
+FROM ranked
+"""
+
+
+@register("orders_gini_coefficient", oracle=_GINI_ORACLE, tags=("agg", "window-fn", "stats"))
+def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the single-number
+    inequality summary completing the concentration toolkit (the Pareto
+    curve shows WHERE revenue concentrates, HHI scores supplier markets,
+    Gini scores the whole customer distribution on [0, 1]), via the
+    rank-form identity G = sum((2i - n - 1)·x_(i)) / (n · sum x).
+
+    Plan: one customer-keyed partial agg, one customer-cardinality global
+    ordering (the same single-exchange rank every ntile query pays; at
+    100 TB the two-pass range-partitioned rank replaces it), then one
+    moment aggregate. Revenues are rounded before ranking so rank order
+    and every product term are engine-identical; the tie order is pinned
+    by the customer-key tiebreak."""
+    from pyspark.sql import Window
+
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.orderBy("rev", "o_custkey")
+    wall = Window.partitionBy()
+    ranked = per_cust.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        F.sum("rev").over(wall).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(
+            F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("rev"))
+            / (F.max("n") * F.max("total")),
+            6,
+        ).alias("gini"),
+    )

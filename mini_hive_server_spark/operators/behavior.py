@@ -1576,3 +1576,66 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_s")
     )
+
+
+# ------------------------------------------------------ behavioral entropy
+
+_ENTROPY_ORACLE = """
+WITH tc AS (
+  SELECT user_id, event_type, count(*) AS n
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (
+  SELECT user_id, sum(n) AS total FROM tc GROUP BY user_id
+),
+ent AS (
+  SELECT tc.user_id,
+         round(-sum((tc.n * 1.0 / t.total) * ln(tc.n * 1.0 / t.total)), 6)
+           AS entropy
+  FROM tc JOIN tot t ON tc.user_id = t.user_id
+  GROUP BY tc.user_id
+)
+SELECT CAST(floor(entropy / 0.25) AS BIGINT) AS entropy_band,
+       count(*) AS n_users,
+       round(min(entropy), 6) AS min_entropy,
+       round(max(entropy), 6) AS max_entropy
+FROM ent
+GROUP BY 1
+ORDER BY entropy_band
+"""
+
+
+@register("events_behavior_entropy", oracle=_ENTROPY_ORACLE, tags=("events", "agg", "stats"))
+def events_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral entropy census: Shannon entropy of each user's
+    event-type distribution, banded into 0.25-nat buckets — the
+    diversity-of-behavior segmentation (entropy ~0 = single-action bots
+    and scrapers; high entropy = engaged explorers) that powers both
+    abuse screens and engagement models, complementing the volume-based
+    tiers (`events_engagement_tiers`) with a SHAPE-based one.
+
+    Plan: two partial-agg'd groupBys reduce events to (user, type) then
+    user cardinality; entropy is map-side arithmetic; the band census is
+    a dozen rows. The band floor runs on the pre-rounded entropy so
+    banding cannot flip on a ulp."""
+    events = load_tables(spark, sf_dir)["events"]
+    tc = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    tot = Window.partitionBy("user_id")
+    ent = (
+        tc.withColumn("p", F.col("n") / F.sum("n").over(tot))
+        .groupBy("user_id")
+        .agg(F.round(-F.sum(F.col("p") * F.log("p")), 6).alias("entropy"))
+    )
+    return (
+        ent.groupBy(
+            F.floor(F.col("entropy") / 0.25).cast("bigint").alias("entropy_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("entropy"), 6).alias("min_entropy"),
+            F.round(F.max("entropy"), 6).alias("max_entropy"),
+        )
+        .orderBy("entropy_band")
+    )
