@@ -1019,3 +1019,69 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ------------------------------------------------- lexicon safety screen
+
+# Tiny deterministic screening lexicon (stands in for a real blocklist;
+# the operator shape — broadcast IN-list inside codegen, per-doc counts,
+# per-source census — is what scales, not the list).
+_UNSAFE_TERMS = ("attack", "exploit", "weapon", "poison", "kill")
+
+_SAFETY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, source,
+         count(*) FILTER (WHERE term IN {tuple(_UNSAFE_TERMS)}) AS n_hits,
+         count(*) AS n_tokens
+  FROM w GROUP BY doc_id, source
+)
+SELECT source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE n_hits > 0) AS n_flagged,
+       CAST(sum(n_hits) AS BIGINT) AS total_hits,
+       round(sum(n_hits) * 10000.0 / sum(n_tokens), 4) AS hits_per_10k_tokens
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_safety_screen", oracle=_SAFETY_ORACLE, tags=("llm", "text", "curation"))
+def text_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based content-safety screen: per-source census of documents
+    containing blocklisted terms, with hit density per 10k tokens — the
+    first-pass moderation filter every training-data pipeline runs before
+    the expensive classifier tier (the same cheap-rules-then-model
+    escalation as `text_quality_classifier` over the Gopher rules). The
+    5-term lexicon is a stand-in; the operator shape is what matters and
+    it scales unchanged with a 50k-term list (broadcast hash set inside
+    codegen'd IN, still map-only).
+
+    Plan: one tokenization explode, per-doc conditional counts, and a
+    source-cardinality census — the only shuffle carries (doc, 2 counts)
+    partials."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    w = docs.select(
+        "doc_id", "source", F.explode(F.expr(_WORDS_SPARK)).alias("term")
+    )
+    per_doc = w.groupBy("doc_id", "source").agg(
+        F.count(F.when(F.col("term").isin(*_UNSAFE_TERMS), 1)).alias("n_hits"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("n_hits") > 0, 1)).alias("n_flagged"),
+            F.sum("n_hits").cast("bigint").alias("total_hits"),
+            F.round(
+                F.sum("n_hits") * 10000.0 / F.sum("n_tokens"), 4
+            ).alias("hits_per_10k_tokens"),
+        )
+        .orderBy("source")
+    )

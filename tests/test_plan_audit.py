@@ -43,6 +43,7 @@ _BNLJ_BOUNDED = {
     "customers_churn_census",  # 1-row horizon aggregate crossed
     "orders_value_histogram",  # bucket rows x 1-row total
     "text_heaps_law",  # broadcast 10-row boundary grid range join
+    "events_abtest_cuped",  # 1-row bounds + 1-row theta crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
