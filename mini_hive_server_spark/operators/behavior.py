@@ -1750,3 +1750,139 @@ def events_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("arm")
     )
+
+
+# -------------------------------------------------------- velocity flags
+
+_VELOCITY_N = 5  # events within the window that trip the flag
+_VELOCITY_WINDOW_S = 60
+
+_VELOCITY_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         CAST(epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS BIGINT)
+           AS tse
+  FROM events
+),
+counted AS (
+  SELECT user_id,
+         count(*) OVER (PARTITION BY user_id ORDER BY tse
+                        RANGE BETWEEN {_VELOCITY_WINDOW_S} PRECEDING
+                              AND CURRENT ROW) AS n_in_window
+  FROM e
+),
+per_user AS (
+  SELECT user_id, max(n_in_window) AS peak_rate,
+         count(*) AS n_events
+  FROM counted GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(*) FILTER (WHERE peak_rate >= {_VELOCITY_N}) AS n_flagged,
+       CAST(max(peak_rate) AS BIGINT) AS max_peak_rate,
+       round(avg(peak_rate), 4) AS avg_peak_rate
+FROM per_user
+"""
+
+
+@register("events_velocity_flags", oracle=_VELOCITY_ORACLE, tags=("events", "window-fn"))
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Velocity-rule screen: users whose event rate ever reached 5+ events
+    inside any trailing 60-second window — the burst/fraud/bot rule every
+    abuse system runs first (the streaming CEP tier catches PATTERNS;
+    this catches RATE). Reported as the population census with peak
+    rates.
+
+    Plan: one user-keyed RANGE-frame window over the truncated-seconds
+    axis (the same axis-parity rule `events_trailing_window_range`
+    documents — both engines count an event's window on floored epoch
+    seconds), then a user-cardinality max and a 1-row census. One
+    exchange total."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    e = events.select(
+        "user_id", F.unix_timestamp("ts").alias("tse")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("tse")
+        .rangeBetween(-_VELOCITY_WINDOW_S, Window.currentRow)
+    )
+    counted = e.select(
+        "user_id", F.count(F.lit(1)).over(w).alias("n_in_window")
+    )
+    per_user = counted.groupBy("user_id").agg(
+        F.max("n_in_window").alias("peak_rate"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count(F.when(F.col("peak_rate") >= _VELOCITY_N, 1)).alias("n_flagged"),
+        F.max("peak_rate").cast("bigint").alias("max_peak_rate"),
+        F.round(F.avg("peak_rate"), 4).alias("avg_peak_rate"),
+    )
+
+
+# --------------------------------------------------- value-tier migration
+
+_MIGRATION_ORACLE = """
+WITH yearly AS (
+  SELECT o_custkey,
+         date_part('year', CAST(o_orderdate AS DATE)) AS yr,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders
+  GROUP BY 1, 2
+),
+tiered AS (
+  SELECT o_custkey, yr,
+         ntile(4) OVER (PARTITION BY yr ORDER BY rev DESC, o_custkey) AS tier
+  FROM yearly
+)
+SELECT CAST(a.yr AS BIGINT) AS from_year,
+       a.tier AS from_tier, b.tier AS to_tier,
+       count(*) AS n_customers
+FROM tiered a JOIN tiered b
+  ON a.o_custkey = b.o_custkey AND b.yr = a.yr + 1
+GROUP BY a.yr, a.tier, b.tier
+ORDER BY from_year, from_tier, to_tier
+"""
+
+
+@register("customers_tier_migration", oracle=_MIGRATION_ORACLE, tags=("agg", "window-fn", "join"))
+def customers_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-tier migration matrix: customers quartiled by revenue within
+    each year, then counted across consecutive-year tier transitions —
+    the dynamic view RFM's static snapshot (`customers_rfm_segments`)
+    lacks: churn risk is not being in tier 4, it is FALLING to tier 4.
+
+    Plan: orders reduce to (customer, year) revenue; the quartile is one
+    ntile per year partition over that customer-cardinality relation; the
+    migration join is customer-keyed self-join of adjacent years (both
+    sides already aggregates) and the matrix is ≤ years x 16 rows.
+    Pre-rounded revenues + key tiebreaks make tier assignment
+    engine-identical."""
+    from pyspark.sql import Window
+
+    yearly = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy(
+            "o_custkey", F.year(F.col("o_orderdate").cast("date")).alias("yr")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("yr").orderBy(F.col("rev").desc(), "o_custkey")
+    tiered = yearly.select("o_custkey", "yr", F.ntile(4).over(w).alias("tier"))
+    a, b = tiered.alias("a"), tiered.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.yr") == F.col("a.yr") + 1),
+        )
+        .groupBy(
+            F.col("a.yr").cast("bigint").alias("from_year"),
+            F.col("a.tier").alias("from_tier"),
+            F.col("b.tier").alias("to_tier"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("from_year", "from_tier", "to_tier")
+    )
