@@ -778,3 +778,82 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.expr("regr_intercept(lv, ln_)")), 4).alias("heaps_k"),
         F.round(F.expr("regr_r2(lv, ln_)"), 6).alias("r2"),
     )
+
+
+# ------------------------------------------------ Flesch-Kincaid readability
+
+_FK_ORACLE = """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         greatest(len(regexp_split_to_array(trim(text), '[.!?]+\\s*')), 1)
+           AS n_sentences,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS n_syllables
+  FROM documents
+  WHERE length(trim(text)) > 0
+),
+graded AS (
+  SELECT source,
+         round(0.39 * (n_words * 1.0 / n_sentences)
+               + 11.8 * (n_syllables * 1.0 / n_words) - 15.59, 6) AS fk_grade
+  FROM per_doc
+)
+SELECT source,
+       count(*) AS n_docs,
+       round(avg(fk_grade), 4) AS avg_grade,
+       round(min(fk_grade), 4) AS min_grade,
+       round(max(fk_grade), 4) AS max_grade
+FROM graded
+GROUP BY source
+ORDER BY source
+"""
+
+
+@register("text_readability_fk", oracle=_FK_ORACLE, tags=("llm", "text", "curation"))
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level readability per source: 0.39·(words/
+    sentences) + 11.8·(syllables/words) − 15.59, with syllables
+    approximated as vowel-group count (the standard cheap proxy) — the
+    curation signal that separates encyclopedic prose from listicles and
+    OCR soup, complementing the Gopher length/stopword rules with a
+    STRUCTURE-sensitive score used by reading-level data mixes.
+
+    Plan: all three counts are regexp expressions inside codegen —
+    map-only; the census is one source-cardinality aggregate. Both
+    engines compute counts from identical regex semantics (split on
+    sentence punctuation, vowel-group extraction) and grade arithmetic
+    runs on identical integers."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.length(F.trim("text")) > 0
+    )
+    per_doc = docs.select(
+        "source",
+        F.greatest(
+            F.size(F.split(F.trim("text"), r"[.!?]+\s*")), F.lit(1)
+        ).alias("n_sentences"),
+        F.size(F.expr(_WORDS_SPARK)).alias("n_words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")),
+            F.lit(1),
+        ).alias("n_syllables"),
+    )
+    graded = per_doc.select(
+        "source",
+        F.round(
+            0.39 * (F.col("n_words") / F.col("n_sentences"))
+            + 11.8 * (F.col("n_syllables") / F.col("n_words"))
+            - 15.59,
+            6,
+        ).alias("fk_grade"),
+    )
+    return (
+        graded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("fk_grade"), 4).alias("avg_grade"),
+            F.round(F.min("fk_grade"), 4).alias("min_grade"),
+            F.round(F.max("fk_grade"), 4).alias("max_grade"),
+        )
+        .orderBy("source")
+    )

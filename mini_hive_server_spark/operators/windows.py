@@ -923,3 +923,80 @@ def orders_sla_attainment_monthly(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("month_s")
     )
+
+
+# -------------------------------------------- supplier lead-time consistency
+
+_LEADTIME_ORACLE = """
+WITH lat AS (
+  SELECT l.l_suppkey,
+         date_diff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+per_supp AS (
+  SELECT l_suppkey, count(*) AS n_shipments,
+         round(avg(days), 6) AS mean_days,
+         round(stddev_samp(days), 6) AS sd_days
+  FROM lat GROUP BY l_suppkey
+  HAVING count(*) >= 20
+)
+SELECT s.s_name, p.n_shipments, p.mean_days, p.sd_days,
+       round(p.sd_days / p.mean_days, 6) AS cv
+FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
+ORDER BY cv, s.s_name
+LIMIT 15
+"""
+
+
+@register("supplier_leadtime_consistency", oracle=_LEADTIME_ORACLE, tags=("agg", "join"))
+def supplier_leadtime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier lead-time consistency scorecard: coefficient of variation
+    (sd/mean) of order→ship days per supplier, most-consistent-first —
+    procurement cares about PREDICTABILITY as much as speed (a supplier
+    averaging 20±2 days beats one averaging 15±15), which no mean-only
+    ranking captures. Suppliers under 20 shipments are excluded (their
+    cv is noise).
+
+    Plan: one order-keyed join (pruned columns), one supplier-cardinality
+    moment aggregate, a broadcast-joined name lookup, and a top-15 with
+    the name tiebreak. cv divides two pre-rounded moments — identical
+    operands in both engines."""
+    t = load_tables(spark, sf_dir)
+    lat = (
+        t["lineitem"]
+        .join(
+            t["orders"].select("o_orderkey", "o_orderdate"),
+            t["lineitem"]["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .select(
+            "l_suppkey",
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("days"),
+        )
+    )
+    per_supp = (
+        lat.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipments"),
+            F.round(F.avg("days"), 6).alias("mean_days"),
+            F.round(F.stddev_samp("days"), 6).alias("sd_days"),
+        )
+        .filter(F.col("n_shipments") >= 20)
+    )
+    return (
+        per_supp.join(
+            t["supplier"].select("s_suppkey", "s_name"),
+            per_supp["l_suppkey"] == F.col("s_suppkey"),
+        )
+        .select(
+            "s_name",
+            "n_shipments",
+            "mean_days",
+            "sd_days",
+            F.round(F.col("sd_days") / F.col("mean_days"), 6).alias("cv"),
+        )
+        .orderBy("cv", "s_name")
+        .limit(15)
+    )
