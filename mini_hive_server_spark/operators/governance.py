@@ -361,3 +361,64 @@ def privacy_dp_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ------------------------------------------------------ Benford's-law audit
+
+_BENFORD_ORACLE = """
+WITH digits AS (
+  SELECT CAST(floor(o_totalprice / power(10.0, floor(log10(o_totalprice))))
+              AS BIGINT) AS d
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT count(*) AS n FROM digits),
+obs AS (
+  SELECT d, count(*) AS n_obs FROM digits GROUP BY d
+)
+SELECT obs.d AS digit,
+       n_obs,
+       round(n_obs * 1.0 / tot.n, 6) AS p_observed,
+       round(log10(1.0 + 1.0 / obs.d), 6) AS p_benford,
+       round(abs(n_obs * 1.0 / tot.n - log10(1.0 + 1.0 / obs.d)), 6)
+         AS abs_dev
+FROM obs, tot
+ORDER BY digit
+"""
+
+
+@register("orders_benford_audit", oracle=_BENFORD_ORACLE, tags=("governance", "agg", "stats"))
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: observed
+    first-significant-digit frequencies against the log10(1 + 1/d)
+    expectation — the forensic-accounting screen for fabricated or
+    systematically-generated amounts (real transactional money follows
+    Benford closely; invented numbers and uniform generators do not —
+    which the FIXTURE's uniform generator itself demonstrates: this
+    audit flags synthetic data as synthetic, reported via abs_dev).
+
+    Plan: the digit map is floor(v / 10^floor(log10 v)) inside codegen —
+    map-only; the census is a 9-row groupBy crossed with the 1-row
+    total. Deviations compare quantities computed from identical
+    integers and IEEE log10 on both engines, rounded before output."""
+    orders = load_tables(spark, sf_dir)["orders"].filter(F.col("o_totalprice") > 0)
+    digits = orders.select(
+        F.floor(
+            F.col("o_totalprice")
+            / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+        ).cast("bigint").alias("d")
+    )
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    obs = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n_obs"))
+    p_obs = F.col("n_obs") / F.col("n")
+    p_ben = F.log10(1.0 + 1.0 / F.col("d"))
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("d").alias("digit"),
+            "n_obs",
+            F.round(p_obs, 6).alias("p_observed"),
+            F.round(p_ben, 6).alias("p_benford"),
+            F.round(F.abs(p_obs - p_ben), 6).alias("abs_dev"),
+        )
+        .orderBy("digit")
+    )

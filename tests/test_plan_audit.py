@@ -44,6 +44,7 @@ _BNLJ_BOUNDED = {
     "orders_value_histogram",  # bucket rows x 1-row total
     "text_heaps_law",  # broadcast 10-row boundary grid range join
     "events_abtest_cuped",  # 1-row bounds + 1-row theta crossed
+    "orders_benford_audit",  # 9 digit rows x 1-row total
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
