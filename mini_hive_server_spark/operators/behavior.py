@@ -1886,3 +1886,60 @@ def customers_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("from_year", "from_tier", "to_tier")
     )
+
+
+# ------------------------------------------------ new vs returning users
+
+_NEW_RETURNING_ORACLE = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS first_d
+  FROM events GROUP BY user_id
+),
+daily AS (
+  SELECT DISTINCT e.user_id,
+         CAST(CAST(e.ts AS TIMESTAMP) AS DATE) AS d
+  FROM events e
+)
+SELECT strftime(d.d, '%Y-%m-%d') AS day_s,
+       count(*) AS n_active,
+       count(*) FILTER (WHERE d.d = f.first_d) AS n_new,
+       count(*) FILTER (WHERE d.d > f.first_d) AS n_returning,
+       round(count(*) FILTER (WHERE d.d > f.first_d) * 100.0 / count(*), 2)
+         AS returning_pct
+FROM daily d JOIN first_seen f ON d.user_id = f.user_id
+GROUP BY d.d
+ORDER BY day_s
+"""
+
+
+@register("events_new_vs_returning", oracle=_NEW_RETURNING_ORACLE, tags=("events", "agg"))
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: each active day's users
+    partitioned by whether it is their FIRST day — the acquisition-vs-
+    retention decomposition of the DAU curve that turns "traffic is up"
+    into "because acquisition spiked" or "because retention improved"
+    (the per-day marginal of the cohort retention triangle).
+
+    Plan: same two user-cardinality relations as the retention matrix
+    (per-user first day; distinct day-user activity), one user-keyed
+    join, one day-cardinality census — events never join events."""
+    events = load_tables(spark, sf_dir)["events"]
+    first_seen = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_d")
+    )
+    daily = events.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        daily.join(first_seen, "user_id")
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day_s"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.count(F.when(F.col("d") == F.col("first_d"), 1)).alias("n_new"),
+            F.count(F.when(F.col("d") > F.col("first_d"), 1)).alias("n_returning"),
+            F.round(
+                F.count(F.when(F.col("d") > F.col("first_d"), 1)) * 100.0
+                / F.count(F.lit(1)),
+                2,
+            ).alias("returning_pct"),
+        )
+        .orderBy("day_s")
+    )
