@@ -1943,3 +1943,62 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_s")
     )
+
+
+# ------------------------------------------------- inter-event gap histogram
+
+_GAP_HIST_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+  FROM events
+)
+SELECT CAST(floor(log2(gap_us / 1000000.0)) AS BIGINT) AS gap_bucket_log2s,
+       count(*) AS n_gaps,
+       round(min(gap_us) / 1000000.0, 3) AS min_gap_s,
+       round(max(gap_us) / 1000000.0, 3) AS max_gap_s
+FROM gaps
+WHERE gap_us IS NOT NULL AND gap_us > 0
+GROUP BY 1
+ORDER BY gap_bucket_log2s
+"""
+
+
+@register("events_gap_histogram", oracle=_GAP_HIST_ORACLE, tags=("events", "window-fn"))
+def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap distribution (log2-second buckets of the time
+    between a user's consecutive events) — the histogram that JUSTIFIES
+    the session threshold: human activity gaps are bimodal (within-visit
+    seconds-to-minutes vs between-visit hours), and the 30-minute cut
+    every sessionizer in this engine uses sits in the valley. Run this
+    before trusting any session metric on a new corpus.
+
+    Plan: one user-keyed lag window (microsecond precision, the
+    sessionizer's axis), then a map-side log2 bucket and a dozen-row
+    census. Gaps measured in integer microseconds on both engines;
+    bucket floors operate on identical quotients."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        (
+            F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+        ).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull() & (F.col("gap_us") > 0))
+    return (
+        gaps.groupBy(
+            F.floor(F.log2(F.col("gap_us") / 1000000.0))
+            .cast("bigint")
+            .alias("gap_bucket_log2s")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(F.min("gap_us") / 1000000.0, 3).alias("min_gap_s"),
+            F.round(F.max("gap_us") / 1000000.0, 3).alias("max_gap_s"),
+        )
+        .orderBy("gap_bucket_log2s")
+    )
