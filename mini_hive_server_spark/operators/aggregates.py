@@ -525,3 +525,66 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ------------------------------------------------------ realized-price margin
+
+_MARGIN_ORACLE = """
+WITH px AS (
+  SELECT p.p_type, p.p_retailprice,
+         l.l_extendedprice / l.l_quantity AS unit_price
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_quantity > 0
+)
+SELECT p_type,
+       count(*) AS n_lines,
+       round(avg(p_retailprice), 2) AS avg_retail,
+       round(avg(unit_price), 2) AS avg_realized,
+       round((round(avg(unit_price), 2) - round(avg(p_retailprice), 2))
+             * 100.0 / round(avg(p_retailprice), 2), 2) AS margin_pct
+FROM px
+GROUP BY p_type
+ORDER BY margin_pct DESC, p_type
+"""
+
+
+@register("parts_realized_margin", oracle=_MARGIN_ORACLE, tags=("agg", "join"))
+def parts_realized_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realized-price margin per part type: average transacted unit price
+    (extendedprice / quantity) against the catalog retail price — the
+    pricing-power view (which product lines sell above list, which get
+    discounted into the floor) that closes the loop between the part
+    dimension's list prices and the fact table's realized revenue.
+
+    Plan: one part-keyed join (AQE strategy), one type-cardinality
+    aggregate; unit price is a per-row division (identical IEEE op both
+    engines) and the margin ratio is computed from the PRE-ROUNDED
+    averages so both engines divide the same operands."""
+    t = load_tables(spark, sf_dir)
+    px = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .join(t["part"], t["lineitem"]["l_partkey"] == t["part"]["p_partkey"])
+        .select(
+            "p_type",
+            "p_retailprice",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    agg = px.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_retail"),
+        F.round(F.avg("unit_price"), 2).alias("avg_realized"),
+    )
+    return agg.select(
+        "p_type",
+        "n_lines",
+        "avg_retail",
+        "avg_realized",
+        F.round(
+            (F.col("avg_realized") - F.col("avg_retail"))
+            * 100.0
+            / F.col("avg_retail"),
+            2,
+        ).alias("margin_pct"),
+    ).orderBy(F.col("margin_pct").desc(), "p_type")
