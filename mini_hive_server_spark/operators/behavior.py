@@ -2002,3 +2002,85 @@ def events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_bucket_log2s")
     )
+
+
+# ------------------------------------------------------------ one-way ANOVA
+
+_ANOVA_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         round(avg(value), 6) AS mean,
+         round(var_samp(value), 6) AS var
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total, count(*) AS k,
+         round(sum(n * mean) / sum(n), 6) AS grand_mean
+  FROM g
+),
+ss AS (
+  SELECT round(sum(g.n * (g.mean - t.grand_mean) * (g.mean - t.grand_mean)), 6)
+           AS ss_between,
+         round(sum((g.n - 1) * g.var), 6) AS ss_within,
+         max(t.k) AS k, max(t.n_total) AS n_total
+  FROM g CROSS JOIN tot t
+)
+SELECT k AS n_groups, n_total,
+       ss_between, ss_within,
+       round((ss_between / (k - 1)) / (ss_within / (n_total - k)), 4) AS f_stat,
+       (ss_between / (k - 1)) / (ss_within / (n_total - k)) > 2.37
+         AS significant_05
+FROM ss
+"""
+
+
+@register("events_anova_oneway", oracle=_ANOVA_ORACLE, tags=("events", "agg", "stats"))
+def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across ALL event types: does mean value differ
+    anywhere among the k groups? — the >2-group omnibus test the
+    pairwise Welch t-test can't answer without multiple-comparison
+    inflation. F = (SS_between/(k-1)) / (SS_within/(N-k)); 2.37 is the
+    F(4, inf) 5% critical value for the fixture's five types.
+
+    Plan: the whole test reduces to ONE partial-agg'd groupBy producing
+    per-group (n, mean, var) — the sums of squares are arithmetic over k
+    rows crossed with a 1-row total. Moments are pre-rounded, both SS
+    terms re-rounded before the ratio, so the F statistic and the
+    significance call compare identical operands cross-engine."""
+    events = load_tables(spark, sf_dir)["events"]
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.var_samp("value"), 6).alias("var"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).alias("k"),
+        F.round(F.sum(F.col("n") * F.col("mean")) / F.sum("n"), 6).alias(
+            "grand_mean"
+        ),
+    )
+    ss = g.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                F.col("n")
+                * (F.col("mean") - F.col("grand_mean"))
+                * (F.col("mean") - F.col("grand_mean"))
+            ),
+            6,
+        ).alias("ss_between"),
+        F.round(F.sum((F.col("n") - 1) * F.col("var")), 6).alias("ss_within"),
+        F.max("k").alias("k"),
+        F.max("n_total").alias("n_total"),
+    )
+    f = (F.col("ss_between") / (F.col("k") - 1)) / (
+        F.col("ss_within") / (F.col("n_total") - F.col("k"))
+    )
+    return ss.select(
+        F.col("k").alias("n_groups"),
+        "n_total",
+        "ss_between",
+        "ss_within",
+        F.round(f, 4).alias("f_stat"),
+        (f > 2.37).alias("significant_05"),
+    )

@@ -45,6 +45,7 @@ _BNLJ_BOUNDED = {
     "text_heaps_law",  # broadcast 10-row boundary grid range join
     "events_abtest_cuped",  # 1-row bounds + 1-row theta crossed
     "orders_benford_audit",  # 9 digit rows x 1-row total
+    "events_anova_oneway",  # k group rows x 1-row total
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
