@@ -2084,3 +2084,90 @@ def events_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f, 4).alias("f_stat"),
         (f > 2.37).alias("significant_05"),
     )
+
+
+# ----------------------------------------------------------- burstiness
+
+_BURSTINESS_ORACLE = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(CAST(ts AS TIMESTAMP))
+           - lag(epoch_us(CAST(ts AS TIMESTAMP)))
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS gap_us
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         round(avg(gap_us / 1000000.0), 6) AS mu,
+         round(stddev_samp(gap_us / 1000000.0), 6) AS sigma,
+         count(*) AS n_gaps
+  FROM gaps WHERE gap_us IS NOT NULL
+  GROUP BY user_id
+  HAVING count(*) >= 5
+),
+scored AS (
+  SELECT user_id,
+         round((sigma - mu) / (sigma + mu), 6) AS b
+  FROM per_user
+)
+SELECT CAST(floor((b + 1.0) / 0.25) AS BIGINT) AS b_band,
+       count(*) AS n_users,
+       round(min(b), 6) AS min_b,
+       round(max(b), 6) AS max_b
+FROM scored
+GROUP BY 1
+ORDER BY b_band
+"""
+
+
+@register("events_burstiness_index", oracle=_BURSTINESS_ORACLE, tags=("events", "stats", "window-fn"))
+def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index census (Goh & Barabási 2008): B = (sigma - mu) /
+    (sigma + mu) of each user's inter-event gaps — B near -1 is
+    metronome-regular (schedulers, heartbeat bots), near 0 is Poisson
+    (organic arrivals), toward +1 is bursty (humans) — the
+    temporal-signature screen completing the behavioral triptych with
+    entropy (WHAT mix) and velocity (HOW fast); users under 5 gaps are
+    excluded as unestimable.
+
+    Plan: the same single user-keyed lag window as the gap histogram,
+    then user-cardinality moments and a 8-band census. mu/sigma are
+    pre-rounded before the B ratio, and the band floor runs on the
+    rounded B, so banding is engine-identical."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = events.select(
+        "user_id",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w))
+            / 1000000.0
+        ).alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.round(F.avg("gap_s"), 6).alias("mu"),
+            F.round(F.stddev_samp("gap_s"), 6).alias("sigma"),
+            F.count(F.lit(1)).alias("n_gaps"),
+        )
+        .filter(F.col("n_gaps") >= 5)
+    )
+    scored = per_user.select(
+        F.round(
+            (F.col("sigma") - F.col("mu")) / (F.col("sigma") + F.col("mu")), 6
+        ).alias("b")
+    )
+    return (
+        scored.groupBy(
+            F.floor((F.col("b") + 1.0) / 0.25).cast("bigint").alias("b_band")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("b"), 6).alias("min_b"),
+            F.round(F.max("b"), 6).alias("max_b"),
+        )
+        .orderBy("b_band")
+    )
