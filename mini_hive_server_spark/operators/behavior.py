@@ -2171,3 +2171,57 @@ def events_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("b_band")
     )
+
+
+# -------------------------------------------------- repeat-purchase curve
+
+_REPEAT_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT count(*) AS n_customers FROM per_cust),
+ks AS (SELECT unnest(range(1, 11)) AS k)
+SELECT CAST(ks.k AS BIGINT) AS k,
+       count(*) AS n_with_k_orders,
+       round(count(*) * 100.0 / tot.n_customers, 2) AS pct_of_buyers
+FROM ks JOIN per_cust p ON p.n_orders >= ks.k
+CROSS JOIN tot
+GROUP BY ks.k, tot.n_customers
+ORDER BY k
+"""
+
+
+@register("orders_repeat_purchase_curve", oracle=_REPEAT_ORACLE, tags=("agg",))
+def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve: share of buyers who placed at least k orders,
+    for k = 1..10 — the loyalty decay curve ("what fraction ever come
+    back, and back again") that anchors retention economics; its slope is
+    the single most-quoted number in repeat-commerce decks.
+
+    Plan: one customer-keyed partial agg, then a 10-row threshold grid
+    joins the customer-cardinality counts under >= (each customer lands
+    in n_orders rows of the curve, bounded by the max k) and a 1-row
+    total normalizes — the same bounded broadcast-spine shape as the
+    DAU/WAU windows."""
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    tot = per_cust.agg(F.count(F.lit(1)).alias("n_customers"))
+    ks = per_cust.sparkSession.range(1, 11).select(F.col("id").alias("k"))
+    return (
+        F.broadcast(ks)
+        .join(per_cust, per_cust["n_orders"] >= F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_with_k_orders"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_with_k_orders",
+            F.round(
+                F.col("n_with_k_orders") * 100.0 / F.col("n_customers"), 2
+            ).alias("pct_of_buyers"),
+        )
+        .orderBy("k")
+    )

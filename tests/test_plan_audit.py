@@ -46,6 +46,7 @@ _BNLJ_BOUNDED = {
     "events_abtest_cuped",  # 1-row bounds + 1-row theta crossed
     "orders_benford_audit",  # 9 digit rows x 1-row total
     "events_anova_oneway",  # k group rows x 1-row total
+    "orders_repeat_purchase_curve",  # broadcast 10-row threshold grid
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
