@@ -2225,3 +2225,59 @@ def orders_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# -------------------------------------------------- user-activity Zipf fit
+
+_USER_ZIPF_ORACLE = """
+WITH per_user AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rk
+  FROM per_user
+),
+top AS (SELECT * FROM ranked WHERE rk <= 100)
+SELECT count(*) AS n_points,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+         AS zipf_slope,
+       round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6) AS r2,
+       round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rk AS DOUBLE))), 6)
+         > -0.5 AS near_uniform
+FROM top
+"""
+
+
+@register("events_user_activity_zipf", oracle=_USER_ZIPF_ORACLE, tags=("events", "stats"))
+def events_user_activity_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf fit over user-activity ranks: OLS slope of log(events) on
+    log(rank) for the top-100 users — the workload-skew fingerprint that
+    decides partitioning strategy BEFORE queries melt (slope near -1 =
+    power-law users, the hot-key world the salted/AQE-skew operators
+    exist for; near 0 = uniform, plain hash partitioning is fine). The
+    per-user twin of the corpus `text_zipf_slope` and the graph degree
+    histogram: the same heavy-tail question asked of all three data
+    axes.
+
+    Plan: one user-cardinality count, one top-100 rank with key
+    tiebreaks, one regr_* moment aggregate over 100 identical log
+    operands."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "user_id")
+    top = per_user.select(
+        "n", F.row_number().over(w).alias("rk")
+    ).filter(F.col("rk") <= 100)
+    logs = top.select(
+        F.log(F.col("n").cast("double")).alias("lf"),
+        F.log(F.col("rk").cast("double")).alias("lr"),
+    )
+    slope = F.round(F.expr("regr_slope(lf, lr)"), 6)
+    return logs.agg(
+        F.count(F.lit(1)).alias("n_points"),
+        slope.alias("zipf_slope"),
+        F.round(F.expr("regr_r2(lf, lr)"), 6).alias("r2"),
+        (slope > -0.5).alias("near_uniform"),
+    )
