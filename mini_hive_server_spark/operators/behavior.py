@@ -2281,3 +2281,44 @@ def events_user_activity_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("regr_r2(lf, lr)"), 6).alias("r2"),
         (slope > -0.5).alias("near_uniform"),
     )
+
+
+# -------------------------------------------------- event-type mix trend
+
+_MIX_TREND_ORACLE = """
+WITH m AS (
+  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m') AS month_s,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT month_s, event_type, n,
+       round(n * 100.0 / sum(n) OVER (PARTITION BY month_s), 2) AS share_pct
+FROM m
+ORDER BY month_s, event_type
+"""
+
+
+@register("events_type_mix_trend", oracle=_MIX_TREND_ORACLE, tags=("events", "agg", "window-fn"))
+def events_type_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly event-type mix: each type's share of the month's volume —
+    the composition-drift trend behind "traffic is flat but purchases'
+    share halved"; the time-series complement of the point-in-time KL
+    divergence screen (`source_lang_kl_divergence` asks how far two
+    distributions sit apart; this shows the mix MOVING).
+
+    Plan: one partial-agg'd groupBy to (month x type) cardinality, one
+    share window over that aggregate. Shares are integer-count ratios —
+    identical division operands in both engines."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    m = events.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month_s"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("month_s")
+    return m.select(
+        "month_s",
+        "event_type",
+        "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 2).alias("share_pct"),
+    ).orderBy("month_s", "event_type")
