@@ -496,32 +496,30 @@ def orders_gini_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     Gini scores the whole customer distribution on [0, 1]), via the
     rank-form identity G = sum((2i - n - 1)·x_(i)) / (n · sum x).
 
-    Plan: one customer-keyed partial agg, one customer-cardinality global
-    ordering (the same single-exchange rank every ntile query pays; at
-    100 TB the two-pass range-partitioned rank replaces it), then one
-    moment aggregate. Revenues are rounded before ranking so rank order
-    and every product term are engine-identical; the tie order is pinned
-    by the customer-key tiebreak."""
-    from pyspark.sql import Window
+    Plan: one customer-keyed partial agg, then `ranking.global_row_number`
+    — range-partitioned exact rank (the total row count rides the same
+    broadcast offsets join), so NO customer-cardinality single-partition
+    sort or unpartitioned window — then one moment aggregate (which also
+    folds sum(rev), replacing the old `sum OVER ()` global window).
+    Revenues are rounded before ranking so rank order and every product
+    term are engine-identical; the tie order is pinned by the
+    customer-key tiebreak; round(6) after the division absorbs the
+    summation-order ulp."""
+    from .ranking import global_row_number
 
     per_cust = (
         load_tables(spark, sf_dir)["orders"]
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
     )
-    w = Window.orderBy("rev", "o_custkey")
-    wall = Window.partitionBy()
-    ranked = per_cust.select(
-        "rev",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(wall).alias("n"),
-        F.sum("rev").over(wall).alias("total"),
+    ranked = global_row_number(
+        per_cust, ["rev", "o_custkey"], rank_col="i", total_col="n"
     )
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.round(
             F.sum((2.0 * F.col("i") - F.col("n") - 1) * F.col("rev"))
-            / (F.max("n") * F.max("total")),
+            / (F.max("n") * F.sum("rev")),
             6,
         ).alias("gini"),
     )

@@ -600,29 +600,28 @@ def events_engagement_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundaries are deterministic.
 
     Plan: ONE partial-agg'd groupBy(user) is the only data-sized
-    shuffle; the horizon is a 1-row broadcast; the ntile window runs
-    over USER-cardinality rows (at 100 TB swap for pre-computed count
-    quantiles + a map-side bucket join if even the user relation is too
-    wide for one sort). avg over integer inputs rounds at 2."""
+    shuffle; the horizon is a 1-row broadcast; the quartile assignment
+    is `ranking.global_ntile` — range-partitioned exact rank + integer
+    bucket arithmetic, so the user-cardinality relation is NEVER pulled
+    through a single-partition sort (same cells as window ntile,
+    bit-for-bit). avg over integer inputs rounds at 2."""
+    from .ranking import global_ntile
+
     events = load_tables(spark, sf_dir)["events"]
     span = events.agg(F.max("ts").alias("t_max"))
     per_user = events.groupBy("user_id").agg(
         F.max("ts").alias("last_seen"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("n_events").desc(), "user_id")
-    tiered = (
-        per_user.crossJoin(F.broadcast(span))
-        .select(
-            "n_events",
-            F.floor(
-                (F.unix_timestamp("t_max") - F.unix_timestamp("last_seen"))
-                / 3600
-            ).cast("bigint").alias("recency_h"),
-            F.ntile(4).over(w).alias("tier"),
-        )
+    tiered = global_ntile(
+        per_user, 4, [F.col("n_events").desc(), "user_id"], "tier"
+    ).crossJoin(F.broadcast(span)).select(
+        "n_events",
+        F.floor(
+            (F.unix_timestamp("t_max") - F.unix_timestamp("last_seen"))
+            / 3600
+        ).cast("bigint").alias("recency_h"),
+        "tier",
     )
     return (
         tiered.groupBy("tier")
@@ -797,12 +796,14 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mathematically 2-decimal and round(…,2) is exact and engine-
     identical (the gap-fill argument); every ntile ordering is
     totalized by custkey. Plan: one groupBy(custkey) partial agg is the
-    only order-volume shuffle; the three quintile windows and the cell
-    census run over CUSTOMER-cardinality rows (at 100 TB: replace the
-    global ntile sort with precomputed quantile cut-points + a map-side
-    bucket join, same cells)."""
+    only order-volume shuffle; each of the three quintile scores is a
+    `ranking.global_ntile` — range-partitioned exact rank, so NO
+    customer-cardinality relation ever crosses a single-partition sort
+    (the old form paid three sequential global-sort exchanges); the
+    (R,F,M) cell census is an ordinary distributed groupBy."""
+    from .ranking import global_ntile
+
     orders = load_tables(spark, sf_dir)["orders"]
-    from pyspark.sql import Window
 
     horizon = orders.agg(
         F.max(F.col("o_orderdate").cast("date")).alias("d_max")
@@ -822,18 +823,17 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    scored = per_cust.select(
-        "recency_d",
-        "frequency",
-        "monetary",
-        F.ntile(5).over(Window.orderBy("recency_d", "o_custkey")).alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("frequency").desc(), "o_custkey"))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-        .alias("m"),
-    )
+    scored = global_ntile(
+        global_ntile(
+            global_ntile(per_cust, 5, ["recency_d", "o_custkey"], "r"),
+            5,
+            [F.col("frequency").desc(), "o_custkey"],
+            "f",
+        ),
+        5,
+        [F.col("monetary").desc(), "o_custkey"],
+        "m",
+    ).select("recency_d", "frequency", "monetary", "r", "f", "m")
     return (
         scored.groupBy("r", "f", "m")
         .agg(
@@ -953,26 +953,25 @@ def customer_ltv_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue", the first chart every CRM review opens with.
 
     Plan: one customer-keyed partial-agg'd shuffle reduces orders to
-    customer cardinality; the decile ntile is the only customer-
-    cardinality global window (single ordering exchange — at 100 TB the
-    same assignment comes from approx percentile boundaries + a
-    range-partitioned rank, trading one global sort for two passes); the
-    cumulative share then runs over exactly 10 decile rows. Every
-    downstream float (decile revenue, total, shares) is computed from
-    round(2)-ed inputs identically in both engines."""
+    customer cardinality; the decile assignment is
+    `ranking.global_ntile` — range-partitioned exact rank + bucket
+    arithmetic, no customer-cardinality single-partition sort; the
+    cumulative share then runs over exactly 10 decile rows (that tiny
+    window IS single-partition, bounded at 10 rows by construction).
+    Every downstream float (decile revenue, total, shares) is computed
+    from round(2)-ed inputs identically in both engines."""
     from pyspark.sql import Window
+
+    from .ranking import global_ntile
 
     per_cust = (
         load_tables(spark, sf_dir)["orders"]
         .groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("ltv"))
     )
-    tiled = per_cust.select(
-        "ltv",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("ltv").desc(), "o_custkey"))
-        .alias("decile"),
-    )
+    tiled = global_ntile(
+        per_cust, 10, [F.col("ltv").desc(), "o_custkey"], "decile"
+    ).select("ltv", "decile")
     per_decile = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("ltv"), 2).alias("revenue"),
@@ -2259,17 +2258,23 @@ def events_user_activity_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram: the same heavy-tail question asked of all three data
     axes.
 
-    Plan: one user-cardinality count, one top-100 rank with key
-    tiebreaks, one regr_* moment aggregate over 100 identical log
-    operands."""
+    Plan: one user-cardinality count, then orderBy+limit FIRST — Spark
+    plans TakeOrderedAndProject, a true distributed top-k (per-partition
+    heaps, no global sort) — and only the 100 survivors are ranked by a
+    window (single-partition but bounded at 100 rows post-limit; same
+    pattern as text_zipf_slope). One regr_* moment aggregate over 100
+    identical log operands closes it."""
     from pyspark.sql import Window
 
     events = load_tables(spark, sf_dir)["events"]
     per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.col("n").desc(), "user_id")
-    top = per_user.select(
-        "n", F.row_number().over(w).alias("rk")
-    ).filter(F.col("rk") <= 100)
+    top = (
+        per_user.orderBy(F.col("n").desc(), "user_id")
+        .limit(100)
+        .select("n", "user_id")
+        .select("n", F.row_number().over(w).alias("rk"))
+    )
     logs = top.select(
         F.log(F.col("n").cast("double")).alias("lf"),
         F.log(F.col("rk").cast("double")).alias("lr"),

@@ -1,10 +1,20 @@
 """The driver's correctness gate runs 50 queries sequentially in one
 session without clearing cache; query-internal persist() blocks must not
-accumulate across invocations (persistence.py's tracked-release contract)."""
+accumulate across invocations (persistence.py's tracked-release contract).
+
+De-flaked (round 6): the old form asserted the SESSION-GLOBAL cached-RDD
+count hit exactly 0, which raced (a) residual cached blocks left by
+earlier test files in the shared session and (b) Spark's asynchronous
+`unpersist` drain. The test now (1) clears the session cache in its
+arrange step, (2) asserts on the tracker's own live set — the contract
+the engine actually controls — and (3) polls the global count with a
+timeout to absorb the async drain instead of sampling it once."""
 
 from __future__ import annotations
 
-from mini_hive_server_spark import registry
+import time
+
+from mini_hive_server_spark import persistence, registry
 
 from .conftest import SF_SMOKE
 
@@ -13,17 +23,39 @@ def _n_cached_rdds(spark) -> int:
     return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
 
+def _drain_to(spark, target: int, timeout_s: float = 30.0) -> int:
+    """Poll the session-global cached-RDD count until it reaches
+    ``target`` or the timeout passes (unpersist is asynchronous)."""
+    deadline = time.monotonic() + timeout_s
+    n = _n_cached_rdds(spark)
+    while n > target and time.monotonic() < deadline:
+        time.sleep(0.2)
+        n = _n_cached_rdds(spark)
+    return n
+
+
 def test_tracked_persists_do_not_accumulate(spark):
+    # Arrange: start from a clean MemoryStore — earlier test files in the
+    # shared session may have cached blocks (Spark ML internals etc.)
+    # that are not this contract's concern.
+    persistence.release_tracked()
+    spark.catalog.clearCache()
+    assert _drain_to(spark, 0) == 0, "cache did not drain after clearCache"
+
     qs = registry.queries()
     # Each of these persists at least one intermediate internally.
     persisting = ["dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_cosine"]
-    counts = []
     for name in persisting:
         qs[name](spark, SF_SMOKE).count()
-        counts.append(_n_cached_rdds(spark))
-    # Invocation N releases N-1's blocks: the live set must not grow with
-    # the number of queries run (it is bounded by ONE query's working set).
-    assert max(counts) <= max(counts[:1]) , counts
-    # and a subsequent non-persisting query clears the tail entirely
+        # Invocation N released N-1's blocks on entry, so the tracker —
+        # the set the engine controls — holds only THIS query's working
+        # set, and the global count drains to exactly that (async).
+        live = len(persistence._LIVE)
+        assert 1 <= live <= 4, (name, live)
+        n = _drain_to(spark, live)
+        assert n <= live, (name, n, live)
+    # A subsequent non-persisting query releases the tail; the global
+    # count then drains to 0 (async, so poll).
     qs["text_token_count"](spark, SF_SMOKE).count()
-    assert _n_cached_rdds(spark) == 0
+    assert len(persistence._LIVE) == 0, "tracker retained blocks"
+    assert _drain_to(spark, 0) == 0, "tracked blocks not released"

@@ -14,6 +14,16 @@ register. Every non-streaming query's formatted plan is checked for
   -subquery analogs (q11/q22 thresholds). Anything else — a new query
   that lets an SF-proportional relation reach an NLJ — fails here
   before it ships.
+* Exchange SinglePartition feeding a Sort or Window — the global-sort
+  shape (`Window.orderBy` with no partitionBy) that pulls EVERY row of
+  the windowed relation through one partition. Allowed ONLY where the
+  windowed relation is size-bounded BY CONSTRUCTION at any scale
+  factor: calendar-bounded series (months/days of the fixture's time
+  span), post-limit survivors (top-k already taken by a distributed
+  TakeOrderedAndProject), or metadata-cardinality rows (file groups).
+  SF-proportional relations (events, orders, users, customers, docs)
+  must instead use `operators/ranking.py`'s range-partitioned exact
+  rank/ntile — same numbers, no single-partition exchange.
 
 The per-query plan tests in test_plans.py pin STRONGER shapes for the
 heavy tiers (equi-join pairing, shuffle budgets, broadcast direction);
@@ -80,9 +90,46 @@ _BNLJ_BOUNDED = {
 }
 
 
-def test_no_unbounded_nested_loop_anywhere(spark):
+# Single-partition Sort/Window over a size-bounded-BY-CONSTRUCTION
+# relation (see module docstring). Anything unlisted fails the audit.
+_SINGLE_PARTITION_BOUNDED = {
+    "orders_seasonal_decompose",  # month-cardinality series (calendar-bounded)
+    "events_changepoint_cusum",  # day-cardinality series (calendar-bounded)
+    "events_conversion_hazard",  # day-offset histogram (calendar-bounded)
+    "orders_yoy_growth",  # month-cardinality lag series (calendar-bounded)
+    "customer_ltv_pareto",  # cum-share window over exactly 10 decile rows
+    "events_autocorr_daily",  # day-cardinality series (calendar-bounded)
+    "source_compaction_planner",  # file-group rows (metadata-cardinality)
+}
+
+_NODE_HEAD = ("Sort [", "Window [", "WindowGroupLimit [")
+
+
+def _single_partition_sorted(plan: str) -> bool:
+    """True if an `Exchange SinglePartition` directly feeds a Sort or
+    Window node (scanning the 2 tree lines above the exchange; node-head
+    match so SortAggregate's single-partition FINAL step — a bounded
+    1-row grand aggregate — is not a false positive)."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        for above in lines[max(0, i - 2):i]:
+            head = above.replace(":", " ").replace("+-", " ").replace("*(", "(").strip()
+            head = head.lstrip("(0123456789) ")
+            if head.startswith(_NODE_HEAD):
+                return True
+    return False
+
+
+def test_no_scale_killer_plan_shapes_anywhere(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
+    )
+    # simple mode keeps `Exchange SinglePartition` inline in the tree
+    # (formatted moves the partitioning to the details section)
+    simple = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
     )
     offenders = []
     for name, spec in registry.all_specs().items():
@@ -90,8 +137,17 @@ def test_no_unbounded_nested_loop_anywhere(spark):
             continue  # streams execute at call time; covered by their own tests
         df = spec.fn(spark, SF_SMOKE)
         plan = df._jdf.queryExecution().explainString(mode)
+        plan_simple = df._jdf.queryExecution().explainString(simple)
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BOUNDED:
             offenders.append(f"{name}: unlisted BroadcastNestedLoopJoin")
+        if (
+            _single_partition_sorted(plan_simple)
+            and name not in _SINGLE_PARTITION_BOUNDED
+        ):
+            offenders.append(
+                f"{name}: unlisted single-partition Sort/Window "
+                "(use operators/ranking.py for SF-proportional relations)"
+            )
     assert not offenders, offenders

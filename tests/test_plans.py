@@ -483,3 +483,45 @@ def test_runtime_bloom_filter_injection(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def _plan_simple(spark, name: str) -> str:
+    df = QS[name](spark, SF_SMOKE)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_distributed_ntile_family_no_global_sort(spark):
+    """The repaired ntile/rank family (ranking.global_ntile /
+    global_row_number): no `Exchange SinglePartition` may feed a Sort or
+    Window anywhere in the plan — the customer/user-cardinality relation
+    ranks via range partitioning + broadcast prefix-sum offsets. The
+    only SinglePartition exchanges allowed are bounded aggregates (the
+    P-row offsets fold, grand totals) and, for customer_ltv_pareto, the
+    10-decile-row cumulative-share window."""
+    from .test_plan_audit import _single_partition_sorted
+
+    for name in (
+        "customers_rfm_segments",
+        "events_engagement_tiers",
+        "orders_gini_coefficient",
+        "events_user_activity_zipf",
+    ):
+        plan = _plan_simple(spark, name)
+        assert not _single_partition_sorted(plan), f"{name}:\n{plan}"
+        # and the distributed machinery is actually present: a range
+        # exchange on the ranking keys (zipf instead plans a distributed
+        # TakeOrderedAndProject top-k before its bounded 100-row window)
+        if name == "events_user_activity_zipf":
+            assert "TakeOrderedAndProject" in plan, plan
+        else:
+            assert "rangepartitioning" in plan, plan
+
+
+def test_rfm_ranks_via_broadcast_offsets(spark):
+    """All three RFM quintiles join their prefix-sum offsets broadcast
+    (map-side), never shuffled."""
+    plan = _plan(spark, "customers_rfm_segments")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
