@@ -253,7 +253,8 @@ def orders_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-charge detection: order pairs from the same customer with
     the IDENTICAL total within 2 days — the double-submit / retry-billing
     scan every payments platform runs (the reference IS a coin-payments
-    backend; its Stripe flow, index.js:914-960, has no such guard — a
+    backend; its Stripe flow — intent at index.js:259-274, record at
+    index.js:292-310 — has no such guard: a
     double-clicked checkout charges twice). Histogrammed by day gap.
 
     Plan: the self-join is keyed on (customer, exact amount) — a genuine

@@ -816,10 +816,11 @@ ranked AS (
          dense_rank() OVER w AS dr,
          round(percent_rank() OVER w, 6) AS pr,
          round(cume_dist() OVER w, 6) AS cd,
-         nth_value(total, 2) OVER (PARTITION BY event_type
+         coalesce(nth_value(total, 2) OVER (PARTITION BY event_type
                                    ORDER BY total DESC, user_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND UNBOUNDED FOLLOWING) AS second_best
+                                        AND UNBOUNDED FOLLOWING), -1.0)
+           AS second_best
   FROM per_user
   WINDOW w AS (PARTITION BY event_type ORDER BY total DESC, user_id)
 )
@@ -859,7 +860,13 @@ def events_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dense_rank().over(w).cast("bigint").alias("dr"),
             F.round(F.percent_rank().over(w), 6).alias("pr"),
             F.round(F.cume_dist().over(w), 6).alias("cd"),
-            F.nth_value("total", 2).over(wfull).alias("second_best"),
+            # coalesce to -1.0: a single-user event_type partition has no
+            # runner-up, and a NULL double violates the registry's
+            # no-NULL-floats-out rule (NULL doubles render as NaN through
+            # toPandas; same convention as events_asof_prev_click_tol)
+            F.coalesce(
+                F.nth_value("total", 2).over(wfull), F.lit(-1.0)
+            ).alias("second_best"),
         )
         .filter(F.col("dr") <= 3)
         .orderBy("event_type", "dr", "user_id")

@@ -82,72 +82,71 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-5 window (rotated after CORRECTNESS_r04 came back 50/50 green):
-# leads with the 27 queries that have never had a driver row (all locally
-# oracle-green under the type-aware harness, tests/oracle_harness.py), so
-# after this round EVERY registered query has at least one green driver
-# row; the remaining 23 slots re-confirm the heaviest / most
-# recently-repaired tiers (the minhash families, PQ+ADC, span dedup, the
-# three reference WRITE lifecycles, the streaming stateful twins, and the
-# round-4 oracle-type repairs). Round-5 additions past these 50 queue for
-# the round-6 rotation and are listed in COVERAGE.md.
+# Round-6 window (rotated after CORRECTNESS_r05 came back 50/50 green):
+# leads with the 41 round-5 additions that have never had a driver row
+# (the COVERAGE.md round-6 queue; all locally oracle-green), so after
+# this round EVERY registered query again has at least one green driver
+# row. The 9 re-confirm slots gate (a) the three ntile queries whose
+# plans were rebuilt this round on ranking.global_ntile — same cells,
+# distributed rank — plus (b) the heaviest dedup/ANN tiers and (c) the
+# three reference WRITE lifecycles. Round-6 additions past these 50
+# queue for round 7 in COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- never driver-checked (closes the coverage debt to zero) ---
-    "classifier_calibration_bins",
-    "constraint_referential_audit",  # null-safe composite distinct this round
-    "corpus_epoch_shuffle",
-    "corpus_recipe_funnel",
+    # --- A/B experimentation suite (driver-proved as a family) ---
+    "events_abtest_ttest",
+    "events_abtest_srm",
+    "events_abtest_power",
+    "events_abtest_cuped",  # covariance-of-rounded-operands determinism
+    # --- never driver-checked round-5 additions (rest of the queue) ---
+    "customers_churn_census",
+    "customers_tier_migration",
+    "embedding_kmeans_2iter",
+    "events_anova_oneway",
+    "events_autocorr_daily",
+    "events_behavior_entropy",
+    "events_bounce_rate",
+    "events_burstiness_index",
+    "events_forecast_holt",
+    "events_gap_histogram",
+    "events_heatmap_hour_dow",
+    "events_new_vs_returning",
+    "events_rank_functions",  # nth_value runner-up coalesced to -1.0 this round
+    "events_type_mix_trend",
+    "events_user_activity_zipf",  # repaired: distributed top-k before rank
+    "events_velocity_flags",
+    "graph_degree_distribution",
+    "join_null_safe_eq",
+    "orders_backlog_monthly",
+    "orders_benford_audit",
+    "orders_cohort_ltv",
+    "orders_duplicate_payments",
+    "orders_gini_coefficient",  # repaired: ranking.global_row_number
+    "orders_repeat_purchase_curve",
+    "orders_sla_attainment_monthly",
+    "orders_value_histogram",
+    "parts_realized_margin",
+    "privacy_dp_lang_counts",
+    "set_ops_all_variants",
+    "sql_lateral_topk",
+    "streaming_sliding_topk",
+    "supplier_concentration_hhi",
+    "supplier_leadtime_consistency",
+    "text_heaps_law",
+    "text_rag_chunking",
+    "text_readability_fk",
+    "text_safety_screen",
+    # --- re-confirm: ntile family rebuilt on ranking.global_ntile ---
     "customers_rfm_segments",
-    "dedup_containment",
-    "dedup_provenance_best",
-    "embedding_centroid_similarity",
     "events_engagement_tiers",
-    "events_gapfill_hourly",
-    "events_top_paths",  # gap test unix_micros-fixed this round (ADVICE r4)
-    "events_trailing_window_range",
-    "graph_pagerank_3iter",
-    "lineitem_interval_overlap",  # oracle trunc()-cast-aligned this round
-    "mutation_cascade_delete",
-    "orders_market_basket",
-    "orders_ship_latency_percentiles",
-    "ref_entity_resolution",
-    "sample_weighted_priority",
-    "similarity_hard_negatives",
-    "sketch_hll_sliding_users",
-    "source_lang_kl_divergence",
-    "source_mixture_temperature",
-    "text_bigram_lm_xent",
-    "text_bm25_topk",
-    "text_oov_rate",
-    "text_zipf_slope",
-    # --- heaviest tiers re-confirmed (keep the costliest paths gated) ---
+    "customer_ltv_pareto",
+    # --- re-confirm: heaviest dedup/ANN tiers stay gated ---
     "dedup_minhash_lsh",
+    "dedup_minhash_oph",
     "similarity_pq_adc",
-    "orders_seasonal_decompose",  # centered-MA trend + seasonal split
-    "events_changepoint_cusum",  # CUSUM level-shift scan
-    "sketch_bloom_membership",  # mergeable bloom, bit-identical cross-engine
-    "events_asof_prev_click_tol",  # backward as-of + tolerance
-    "events_conversion_hazard",  # time-to-convert survival curve
-    # --- reference WRITE lifecycles (sequential-fold semantics) ---
+    # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",
     "ref_approve_submission_batch",
-    # --- streaming stateful twins re-confirmed ---
-    "events_variant_props",  # VARIANT semi-structured path (Spark 4)
-    "source_python_datasource",  # Python DataSource API custom reader
-    "catalog_sql_view",  # persistent view surface over the managed catalog
-    "multimodal_scene_cuts",  # shot-boundary kernel, map-only
-    # --- round-5 additions (never driver-checked; each displaces one
-    #     re-confirm slot whose query was green in r4) ---
-    "agg_salted_hot_key",  # planted 16x hot key, bench-measured skew agg
-    "graph_triangle_count",  # oriented wedge-close dataflow
-    "embedding_mapinarrow_normalize",  # mapInArrow surface completion
-    "orders_yoy_growth",  # month-cardinality lag window
-    "events_anomaly_mad",  # robust median/MAD outlier census
-    "customer_ltv_pareto",  # decile concentration curve
-    "sql_recursive_hierarchy",  # native WITH RECURSIVE fixpoint
-    "events_dau_stickiness",  # exact DAU/WAU truth tier
-    "source_json_corrupt_census",  # PERMISSIVE corrupt-record quarantine
 )
 
 

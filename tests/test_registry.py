@@ -78,8 +78,9 @@ def test_oracle_outputs_carry_no_widened_types():
 def test_every_query_checked_windowed_or_queued():
     """Coverage-debt ledger: every registered query must be (a) already
     driver-checked in a past round's CORRECTNESS JSON, (b) in the current
-    driver window, or (c) explicitly listed in COVERAGE.md's round-6
-    queue. A query that is none of the three is silent coverage debt —
+    driver window, or (c) explicitly listed in COVERAGE.md's
+    next-rotation queue. A query that is none of the three is silent
+    coverage debt —
     exactly the class VERDICT r4 flagged (27 queries had quietly
     accumulated without a driver row)."""
     import json
@@ -92,7 +93,10 @@ def test_every_query_checked_windowed_or_queued():
         checked |= set(json.load(open(f)).keys())
     window = set(registry._DRIVER_WINDOW)
     cov = (root / "COVERAGE.md").read_text()
-    m = re.search(r"Round-\d+ queue.*?:\*\*(.*?)\.", cov, re.S)
+    # capture to the first blank line (or EOF), NOT the first literal
+    # '.' — a period inside the queue list (e.g. "sf0.01" in an
+    # annotation) must not silently truncate the queued-name set
+    m = re.search(r"Round-\d+ queue.*?:\*\*(.*?)(?:\n\n|\Z)", cov, re.S)
     assert m, "COVERAGE.md queue block not found"
     queued = set(re.findall(r"`([a-z_0-9]+)`", m.group(1)))
     orphans = [
