@@ -61,6 +61,11 @@ EXTENDED = (
     "agg_salted_two_stage",
     "agg_salted_hot_key",
     "events_click_attribution",
+    # Round-6 additions: the repaired global-rank family stays a measured
+    # number (per-query timings remain comparable; the extended subtotal
+    # widens by these two — compare per-query, not subtotal, across r5/r6)
+    "customers_rfm_segments",  # 3× ntile now via ranking.global_ntile
+    "events_user_activity_zipf",  # top-k via TakeOrderedAndProject
 )
 
 HEADLINE = HEADLINE10 + EXTENDED
@@ -129,6 +134,14 @@ def main() -> None:
         total += best
         print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
 
+    experiments = {}
+    try:
+        experiments = _ntile_scale_experiment(spark, sf_dir)
+        for k, v in experiments.items():
+            print(f"# experiment {k}: {v:.3f}s", file=sys.stderr)
+    except Exception:
+        print(f"# ntile experiment failed:\n{traceback.format_exc()}", file=sys.stderr)
+
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -146,9 +159,58 @@ def main() -> None:
             ),
         },
     }
+    if experiments:
+        out["experiments"] = experiments
     if failed:
         out["failed"] = failed
     print(json.dumps(out))
+
+
+def _ntile_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Before/after pair for the round-6 ntile repair, measured — the
+    single-partition `Window.orderBy` ntile vs `ranking.global_ntile`
+    (range-partitioned exact rank) on the SAME synthetic per-customer
+    aggregate, at 10× and 100× the fixture's customer cardinality (the
+    cardinalities a 100 TB run would push through this operator; no sf1
+    fixture exists, so the widened relation is generated in-memory with
+    deterministic hash-derived values). Both variants compute identical
+    buckets; the timing delta is purely the plan shape."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.ranking import global_ntile
+
+    base = load_tables(spark, sf_dir)["customer"].count()
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n = base * mult
+        synth = spark.range(n).select(
+            F.col("id").alias("custkey"),
+            (F.pmod(F.xxhash64(F.col("id")), F.lit(1_000_000)) / 100.0).alias(
+                "monetary"
+            ),
+        )
+        order = [F.col("monetary").desc(), "custkey"]
+        variants = {
+            f"ntile_{mult}x_window": lambda: synth.select(
+                F.ntile(5).over(Window.orderBy(*order)).alias("b")
+            ),
+            f"ntile_{mult}x_distributed": lambda: global_ntile(
+                synth, 5, order, "b"
+            ),
+        }
+        for key, build in variants.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                build().groupBy("b").count().count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[key] = round(best, 3)
+    return out
 
 
 if __name__ == "__main__":
