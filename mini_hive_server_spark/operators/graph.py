@@ -30,6 +30,35 @@ from ..registry import register
 _DAMPING = 0.85
 _N_ITER = 3
 
+
+def _transition_graph(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The event-type transition graph both PageRank variants run on:
+    out-edge relation (src, dst, w) with per-src weights normalized to 1,
+    and the node relation. One window (lag) + one partial-agg'd groupBy
+    over events; everything downstream is node/edge cardinality."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    raw_edges = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wsrc = Window.partitionBy("src")
+    edges = raw_edges.select(
+        "src",
+        "dst",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(wsrc).cast("double")
+        ).alias("w"),
+    )
+    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    return edges, nodes
+
 _PAGERANK_ORACLE = f"""
 WITH seq AS (
   SELECT user_id, event_type,
@@ -103,27 +132,7 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     only in accumulation order (≤1e-15 relative), absorbed by the final
     round(…, 6)."""
     events = load_tables(spark, sf_dir)["events"]
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "event_type", F.lag("event_type").over(w).alias("prev_type")
-    )
-    raw_edges = (
-        seq.filter(F.col("prev_type").isNotNull())
-        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    wsrc = Window.partitionBy("src")
-    edges = raw_edges.select(
-        "src",
-        "dst",
-        (
-            F.col("n").cast("double")
-            / F.sum("n").over(wsrc).cast("double")
-        ).alias("w"),
-    )
-    nodes = events.select(F.col("event_type").alias("node")).distinct()
+    edges, nodes = _transition_graph(events)
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
 
     pr = nodes.crossJoin(F.broadcast(nn)).select(
@@ -148,6 +157,82 @@ def graph_pagerank_3iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.select(
         F.col("node").alias("event_type"), F.round("pr", 6).alias("pagerank")
+    ).orderBy("event_type")
+
+
+# ------------------------------------------- PageRank, iterate-until-ε
+
+_PR_EPS = 1e-6
+_PR_MAX_ITER = 64
+
+
+@register("graph_pagerank_converged", tags=("graph", "iterative"))
+def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank iterated to a FIXPOINT (max |Δpr| < 1e-6, capped at 64
+    rounds) — the general iterative-dataflow pattern the fixed-depth twin
+    (`graph_pagerank_3iter`, the oracle anchor) unrolls: a driver-side
+    loop whose body is the same join-aggregate step, with a scalar delta
+    check per round and `localCheckpoint` truncating lineage so round k's
+    plan does not embed rounds 1..k-1 (without it Catalyst re-optimizes a
+    plan that doubles per iteration). This is the shape iterate-until-
+    convergence runs at billion-node scale: per round, one key-shuffled
+    join + one partial-agg'd aggregate + one 1-row delta action; the
+    driver touches only scalars, never data.
+
+    Registered WITHOUT a SQL oracle — the first rows-only query in the
+    registry: a data-dependent stopping rule cannot be expressed as a
+    DuckDB query (recursive CTEs forbid the aggregate in the recursive
+    term, and any fixed unroll computes a DIFFERENT number than an
+    ε-stopped loop). Instead `tests/test_llm_ops.py` pins (a) agreement
+    with an independently-iterated reference to 1e-6, (b) the fixpoint
+    residual, and (c) rank-sum ≈ 1 conservation.
+
+    Resource bound: edges/nodes are tracked-persisted (released at the
+    next registered query); each round's localCheckpoint leaves one
+    node-cardinality block — total live blocks ≤ n_iterations × |nodes|
+    rows, KBs here and MBs even on a billion-node graph's rank relation
+    partitions, well under executor storage."""
+    from ..persistence import tracked_persist
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges, nodes = _transition_graph(events)
+    edges = tracked_persist(edges)
+    nodes = tracked_persist(nodes)
+    n_nodes = nodes.count()  # scalar — the loop's only driver-side values
+    teleport = (1.0 - _DAMPING) / n_nodes
+
+    pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    n_iter, delta = 0, float("inf")
+    while n_iter < _PR_MAX_ITER and delta > _PR_EPS:
+        contrib = (
+            pr.join(edges, pr["node"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("c"))
+        )
+        new_pr = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + _DAMPING * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            new_pr.select("node", F.col("pr").alias("pr_new"))
+            .join(pr.select("node", F.col("pr").alias("pr_old")), "node")
+            .agg(F.max(F.abs(F.col("pr_new") - F.col("pr_old"))).alias("d"))
+            .first()[0]
+        ) or 0.0
+        pr = new_pr
+        n_iter += 1
+    return pr.select(
+        F.col("node").alias("event_type"),
+        F.round("pr", 6).alias("pagerank"),
+        F.lit(n_iter).cast("int").alias("n_iterations"),
+        F.lit(delta <= _PR_EPS).alias("converged"),
     ).orderBy("event_type")
 
 

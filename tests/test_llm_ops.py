@@ -203,3 +203,58 @@ def test_oph_candidates_cover_jaccard_pairs(spark):
         classic = {tuple(r) for r in registry.queries()["dedup_minhash_lsh"](spark, sf).collect()}
         oph = {tuple(r) for r in registry.queries()["dedup_minhash_oph"](spark, sf).collect()}
         assert classic == oph, f"{sf}: OPH {len(oph)} vs classic {len(classic)}"
+
+
+def test_pagerank_converged_matches_independent_iteration(spark):
+    """graph_pagerank_converged is the registry's only rows-only query
+    (a data-dependent stopping rule has no SQL oracle), so it gets the
+    strongest local pin instead: (a) ranks agree with an independent
+    pure-Python power iteration on the same edge weights to 1e-6,
+    (b) the reported fixpoint residual really is below ε (one more step
+    moves nothing), (c) rank mass sums to 1, (d) it reports convergence
+    on the fixture."""
+    from collections import defaultdict
+
+    from mini_hive_server_spark import registry
+    from mini_hive_server_spark.operators.graph import (
+        _DAMPING,
+        _PR_EPS,
+        _transition_graph,
+    )
+    from mini_hive_server_spark.catalog import load_tables
+
+    rows = registry.queries()["graph_pagerank_converged"](
+        spark, SF_SMOKE
+    ).collect()
+    assert rows and rows[0]["converged"], "did not converge on fixture"
+    got = {r["event_type"]: r["pagerank"] for r in rows}
+    assert abs(sum(got.values()) - 1.0) < 1e-3, got  # mass conservation
+
+    # independent reference: collect the TINY edge relation (node arity
+    # is event-type cardinality) and power-iterate in pure Python
+    events = load_tables(spark, SF_SMOKE)["events"]
+    edges_df, nodes_df = _transition_graph(events)
+    edges = [(r["src"], r["dst"], r["w"]) for r in edges_df.collect()]
+    nodes = sorted(r["node"] for r in nodes_df.collect())
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(200):
+        contrib = defaultdict(float)
+        for s, d, w in edges:
+            contrib[d] += pr[s] * w
+        new = {
+            v: (1 - _DAMPING) / n + _DAMPING * contrib[v] for v in nodes
+        }
+        delta = max(abs(new[v] - pr[v]) for v in nodes)
+        pr = new
+        if delta < _PR_EPS / 10:  # iterate past the engine's own ε
+            break
+    for v in nodes:
+        assert abs(got[v] - pr[v]) < 2e-6, (v, got[v], pr[v])
+    # fixpoint residual: one more relational step moves every rank < ε
+    stepped = defaultdict(float)
+    for s, d, w in edges:
+        stepped[d] += got[s] * w
+    for v in nodes:
+        nxt = (1 - _DAMPING) / n + _DAMPING * stepped[v]
+        assert abs(nxt - got[v]) < 2 * _PR_EPS, (v, nxt, got[v])

@@ -29,7 +29,9 @@ def test_coverage_md_totals_match_registry():
     from pathlib import Path
 
     text = (Path(__file__).resolve().parent.parent / "COVERAGE.md").read_text()
-    m = re.search(r"\*\*(\d+) registered queries — ALL (\d+) oracle-paired", text)
+    m = re.search(
+        r"\*\*(\d+) registered queries — (?:ALL )?(\d+) oracle-paired", text
+    )
     assert m, "COVERAGE.md Totals block not found (format drifted?)"
     total = len(registry.all_specs())
     paired = sum(1 for s in registry.all_specs().values() if s.oracle)
