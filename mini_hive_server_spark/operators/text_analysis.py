@@ -857,3 +857,88 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ----------------------------------------------- quality-decile token census
+
+_QUALITY_DECILES_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w, n_chars FROM documents
+),
+q AS (
+  SELECT doc_id, n_chars,
+         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+               * 1.0 / len(w), 4)
+           + round(len(list_distinct(w)) * 1.0 / len(w), 4) AS score
+  FROM t
+),
+tiled AS (
+  SELECT n_chars, score,
+         ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile
+  FROM q
+)
+SELECT decile,
+       count(*) AS n_docs,
+       round(avg(score), 4) AS avg_score,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM tiled
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+@register("documents_quality_deciles", oracle=_QUALITY_DECILES_ORACLE, tags=("llm", "text", "agg"))
+def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-decile census of the corpus: every document scored by the
+    cheap composite (stopword ratio + type-token ratio, the same signals
+    `text_quality_score` emits per-doc), ranked into EXACT deciles, and
+    each decile's document count and character mass reported — the
+    "what does dropping the bottom k% actually cost in tokens" question
+    a curation budget starts from.
+
+    This is the documents-table anchor for `ranking.global_ntile`: the
+    decile assignment is the range-partitioned exact rank (no
+    corpus-cardinality single-partition sort — at 100 TB the score
+    relation is per-document and would melt a window ntile), and the
+    cells are bit-identical to the oracle's window ntile because ties on
+    the round(4)-ed score are totalized by doc_id.
+
+    Plan: one map-only scoring pass (higher-order array functions, zero
+    Python), one range exchange + pid-window + broadcast-offsets join
+    from global_ntile, one 10-row census aggregate. The score sums two
+    individually round(4)-ed IEEE divisions, so both engines rank
+    identical doubles."""
+    from .ranking import global_ntile
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "text", "n_chars")).select(
+        "doc_id", "n_chars", F.expr(_WORDS_SPARK).alias("w")
+    )
+    n_words = F.size(F.col("w"))
+    scored = t.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.round(
+                F.size(F.expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+                * F.lit(1.0)
+                / n_words,
+                4,
+            )
+            + F.round(
+                F.size(F.array_distinct(F.col("w"))) * F.lit(1.0) / n_words, 4
+            )
+        ).alias("score"),
+    )
+    tiled = global_ntile(
+        scored, 10, [F.col("score").desc(), "doc_id"], "decile"
+    )
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("decile")
+    )

@@ -173,3 +173,51 @@ def test_sequential_fold_hot_key_scale_guard(spark):
     # job overhead dominates), absolute < 30s.
     assert t_big < max(8 * t_small, 10.0), (t_small, t_big)
     assert t_big < 30.0, t_big
+
+
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=5),  # heavy ties guaranteed
+        min_size=0,
+        max_size=40,
+    ),
+    n_buckets=st.integers(min_value=1, max_value=7),
+)
+@_settings
+def test_global_ntile_equals_window_ntile(spark, rows, n_buckets):
+    """ranking.global_ntile must equal Spark's own window ntile for ANY
+    data — including all-tied values, N < n buckets, and single rows —
+    because the repaired statistics queries claim bit-identical cells.
+    The order is totalized by the unique id tiebreak (the helper's
+    documented requirement)."""
+    from pyspark.sql import Window
+
+    from mini_hive_server_spark.operators.ranking import (
+        global_ntile,
+        global_row_number,
+    )
+
+    if not rows:
+        return
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rows)], "id long, v long"
+    ).repartition(5)
+    order = [F.col("v").desc(), "id"]
+    ref = {
+        r.id: (r.b, r.rk)
+        for r in df.select(
+            "id",
+            F.ntile(n_buckets).over(Window.orderBy(*order)).alias("b"),
+            F.row_number().over(Window.orderBy(*order)).alias("rk"),
+        ).collect()
+    }
+    got_b = {
+        r.id: r.b
+        for r in global_ntile(df, n_buckets, order, "b").collect()
+    }
+    ranked = global_row_number(df, order, rank_col="rk", total_col="tot")
+    got_r = {r.id: r.rk for r in ranked.collect()}
+    tots = {r.tot for r in ranked.collect()}
+    assert got_b == {k: b for k, (b, _) in ref.items()}
+    assert got_r == {k: rk for k, (_, rk) in ref.items()}
+    assert tots == {len(rows)}
