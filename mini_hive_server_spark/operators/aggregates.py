@@ -586,3 +586,80 @@ def parts_realized_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("margin_pct"),
     ).orderBy(F.col("margin_pct").desc(), "p_type")
+
+
+# ------------------------------------------ broadcast cut-point bucketing
+
+_CUTPOINT_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, round(sum(o_totalprice), 2) AS m
+  FROM orders GROUP BY o_custkey
+),
+cuts AS (
+  SELECT quantile_cont(m, 0.25) AS c1,
+         quantile_cont(m, 0.5)  AS c2,
+         quantile_cont(m, 0.75) AS c3
+  FROM per_cust
+)
+SELECT CASE WHEN m <= c1 THEN 1 WHEN m <= c2 THEN 2
+            WHEN m <= c3 THEN 3 ELSE 4 END AS bucket,
+       count(*) AS n_customers,
+       round(min(m), 2) AS min_m,
+       round(max(m), 2) AS max_m
+FROM per_cust, cuts
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register(
+    "orders_value_quartiles_cutpoint",
+    oracle=_CUTPOINT_ORACLE,
+    tags=("agg", "stats"),
+)
+def orders_value_quartiles_cutpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value quartiles via BROADCAST CUT-POINTS — the map-side
+    bucketing pattern that complements `ranking.global_ntile`: compute
+    the three quartile boundaries once (a 1-row aggregate), broadcast
+    them, and assign buckets with a CASE — zero sorts of the customer
+    relation anywhere, one aggregate pass + one map-side pass. The
+    semantic difference from ntile is deliberate and documented: buckets
+    are VALUE-based, so tied values always share a bucket and bucket
+    populations may be uneven; use this tier when bucket-boundary
+    stability matters more than equal counts, ntile when the reverse.
+
+    Oracle exactness: Spark's `percentile` and DuckDB's `quantile_cont`
+    both interpolate linearly at index q·(n-1) over identical round(2)
+    money values, so the cut-points are bit-identical doubles (verified)
+    and the boundary comparisons agree exactly. At 100 TB the exact
+    percentile's aggregation state is a value→count map bounded by the
+    DISTINCT rounded-cent values (money domain, not row count); for
+    unbounded domains the same plan runs on `approx_percentile` with
+    identical shape."""
+    per_cust = (
+        load_tables(spark, sf_dir)["orders"]
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("m"))
+    )
+    cuts = per_cust.agg(
+        F.expr("percentile(m, 0.25)").alias("c1"),
+        F.expr("percentile(m, 0.5)").alias("c2"),
+        F.expr("percentile(m, 0.75)").alias("c3"),
+    )
+    bucket = (
+        F.when(F.col("m") <= F.col("c1"), 1)
+        .when(F.col("m") <= F.col("c2"), 2)
+        .when(F.col("m") <= F.col("c3"), 3)
+        .otherwise(4)
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(cuts))
+        .select("m", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("m"), 2).alias("min_m"),
+            F.round(F.max("m"), 2).alias("max_m"),
+        )
+        .orderBy("bucket")
+    )

@@ -57,6 +57,7 @@ _BNLJ_BOUNDED = {
     "orders_benford_audit",  # 9 digit rows x 1-row total
     "events_anova_oneway",  # k group rows x 1-row total
     "orders_repeat_purchase_curve",  # broadcast 10-row threshold grid
+    "orders_value_quartiles_cutpoint",  # 1-row quartile cut-points crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
