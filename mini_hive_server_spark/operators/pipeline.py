@@ -846,3 +846,74 @@ def text_rag_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------- sequence packing (token bins)
+
+_SEQ_LEN = 2048
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ntok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, ntok,
+         sum(ntok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT CAST((cum - ntok) // {_SEQ_LEN} AS BIGINT) AS bin_id,
+       count(*) AS n_docs,
+       CAST(sum(ntok) AS BIGINT) AS bin_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@register("corpus_pack_sequences", oracle=_PACK_ORACLE, tags=("llm", "pipeline"))
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concat-then-chunk regime: documents in stable
+    doc_id order are laid end-to-end on the token axis and cut into
+    fixed 2048-token training bins; a document's bin is where its
+    FIRST token lands (the standard pretraining packing — contrast with
+    first-fit bin packing, which reorders documents to minimize padding
+    and breaks epoch-order reproducibility). Output is the per-bin
+    census: documents starting in the bin, their token mass, and the
+    doc-id span — what a data-loader shard manifest contains.
+
+    This is `ranking.global_cumsum`'s anchor: the running token total is
+    the distributed prefix-sum (range partition on doc_id → local window
+    sum → broadcast per-partition offsets), so NO corpus-cardinality
+    single-partition window exists anywhere — at 100 TB the token
+    position of every document is assigned in two bounded-memory passes.
+    Token counts are integer whitespace-token counts, so the running sum
+    is exact in both engines; bin arithmetic is integral (`div`)."""
+    from .ranking import global_cumsum
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "text")).select(
+        "doc_id",
+        F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+        .cast("bigint")
+        .alias("ntok"),
+    )
+    c = global_cumsum(t, ["doc_id"], "ntok", cumsum_col="cum")
+    return (
+        c.select(
+            "doc_id",
+            "ntok",
+            F.expr(f"(cum - ntok) div {_SEQ_LEN}").alias("bin_id"),
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )

@@ -39,7 +39,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "global_ntile"]
+__all__ = ["global_row_number", "global_ntile", "global_cumsum"]
 
 _PID = "__rng_pid"
 _LRK = "__rng_lrk"
@@ -151,3 +151,69 @@ def global_ntile(
         f"div greatest(__nt_n div {n}, 1)) + 1 END AS INT)"
     )
     return ranked.withColumn(bucket_col, bucket).drop("__nt_rk", "__nt_n")
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    cumsum_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact INCLUSIVE running sum of ``value_col`` over the total order
+    ``order_cols`` — the distributed prefix-sum: the same
+    range-partition / local-window / broadcast-offsets skeleton as
+    ``global_row_number``, with the offsets carrying per-partition VALUE
+    sums instead of row counts. Exact for integral values (the intended
+    domain: token counts, byte sizes); float inputs would re-associate
+    the summation order.
+
+    Same requirements and the same persist-for-determinism rationale as
+    ``global_row_number`` (see its docstring)."""
+    from ..persistence import tracked_persist
+
+    cols = _cols(order_cols)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    ranged = tracked_persist(
+        df.repartitionByRange(num_partitions, *cols).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+    local = ranged.withColumn(
+        "__cs_local",
+        F.sum(value_col).over(
+            Window.partitionBy(_PID)
+            .orderBy(*cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sums = ranged.groupBy(_PID).agg(
+        F.sum(value_col).cast("bigint").alias("_vsum")
+    )
+    packed = sums.agg(F.collect_list(F.struct(_PID, "_vsum")).alias("pc"))
+    offsets = packed.select(
+        F.explode(
+            F.transform(
+                "pc",
+                lambda x: F.struct(
+                    x[_PID].alias(_PID),
+                    F.aggregate(
+                        F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, y: acc + y["_vsum"],
+                    ).alias(_OFF),
+                ),
+            )
+        ).alias("o")
+    ).select(f"o.{_PID}", f"o.{_OFF}")
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(
+            cumsum_col,
+            (F.col(_OFF) + F.col("__cs_local")).cast("bigint"),
+        )
+        .drop(_PID, "__cs_local", _OFF)
+    )

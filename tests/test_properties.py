@@ -221,3 +221,37 @@ def test_global_ntile_equals_window_ntile(spark, rows, n_buckets):
     assert got_b == {k: b for k, (b, _) in ref.items()}
     assert got_r == {k: rk for k, (_, rk) in ref.items()}
     assert tots == {len(rows)}
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=100), min_size=1, max_size=40
+    )
+)
+@_settings
+def test_global_cumsum_equals_window_sum(spark, vals):
+    """ranking.global_cumsum must equal the single-partition window
+    running sum exactly for any integral input (zeros included) — the
+    sequence-packing query's bin assignment depends on every prefix."""
+    from pyspark.sql import Window
+
+    from mini_hive_server_spark.operators.ranking import global_cumsum
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(5)
+    ref = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            F.sum("v")
+            .over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("c"),
+        ).collect()
+    }
+    got = {r.id: r.cum for r in global_cumsum(df, ["id"], "v").collect()}
+    assert got == ref
