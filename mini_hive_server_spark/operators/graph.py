@@ -188,11 +188,16 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual, and (c) rank-sum ≈ 1 conservation.
 
     Resource bound: edges/nodes are tracked-persisted (released at the
-    next registered query); each round's localCheckpoint leaves one
-    node-cardinality block — total live blocks ≤ n_iterations × |nodes|
-    rows, KBs here and MBs even on a billion-node graph's rank relation
-    partitions, well under executor storage."""
-    from ..persistence import tracked_persist
+    next registered query); round k's localCheckpoint block is
+    unpersisted as soon as round k+1's is eagerly materialized (the new
+    blocks no longer reference the old), so at most TWO node-cardinality
+    checkpoint blocks are ever live. The final round's block must
+    outlive this function (the returned DataFrame reads it and, unlike a
+    persist, a truncated lineage cannot recompute), so it is registered
+    with `tracked_release` — freed when the next registered query
+    starts, the same sequential materialize-then-advance contract the
+    driver, tests, and bench all follow."""
+    from ..persistence import tracked_persist, tracked_release
 
     events = load_tables(spark, sf_dir)["events"]
     edges, nodes = _transition_graph(events)
@@ -201,7 +206,14 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_nodes = nodes.count()  # scalar — the loop's only driver-side values
     teleport = (1.0 - _DAMPING) / n_nodes
 
+    def _ckpt_rdd(df: DataFrame):
+        # the RDD localCheckpoint persisted: the LogicalRDD's backing rdd
+        # (queryExecution.toRdd() would return a DERIVED RDD whose
+        # unpersist is a no-op — verified against getPersistentRDDs)
+        return df._jdf.queryExecution().analyzed().rdd()
+
     pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
+    prev_ckpt = None
     n_iter, delta = 0, float("inf")
     while n_iter < _PR_MAX_ITER and delta > _PR_EPS:
         contrib = (
@@ -218,7 +230,7 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + _DAMPING * F.coalesce("c", F.lit(0.0))
                 ).alias("pr"),
             )
-            .localCheckpoint()
+            .localCheckpoint()  # eager: round k's blocks exist from here
         )
         delta = (
             new_pr.select("node", F.col("pr").alias("pr_new"))
@@ -226,8 +238,14 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max(F.abs(F.col("pr_new") - F.col("pr_old"))).alias("d"))
             .first()[0]
         ) or 0.0
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(False)  # round k-1's blocks are now dead
+        prev_ckpt = _ckpt_rdd(new_pr)
         pr = new_pr
         n_iter += 1
+    if prev_ckpt is not None:
+        final_ckpt = prev_ckpt
+        tracked_release(lambda: final_ckpt.unpersist(False))
     return pr.select(
         F.col("node").alias("event_type"),
         F.round("pr", 6).alias("pagerank"),

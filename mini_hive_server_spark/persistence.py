@@ -21,17 +21,27 @@ memory manager, and dead cached blocks evict live ones or spill to disk.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame
 
-_LIVE: list[DataFrame] = []
+_LIVE: list[Callable[[], None]] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() a query-internal intermediate, registering it for release
     when the NEXT registered query starts (see module docstring)."""
     p = df.persist()
-    _LIVE.append(p)
+    _LIVE.append(p.unpersist)
     return p
+
+
+def tracked_release(unpersist_fn: Callable[[], None]) -> None:
+    """Register an arbitrary cleanup for the next release cycle — used for
+    blocks the DataFrame API cannot unpersist itself (localCheckpoint
+    RDDs: `catalog.clearCache` only drops InMemoryRelations, so an
+    iterative query's final checkpoint would otherwise outlive it)."""
+    _LIVE.append(unpersist_fn)
 
 
 def release_tracked() -> None:
@@ -39,6 +49,6 @@ def release_tracked() -> None:
     Correctness-neutral: unpersisted plans simply recompute if re-executed."""
     while _LIVE:
         try:
-            _LIVE.pop().unpersist()
+            _LIVE.pop()()
         except Exception:
             pass  # session already stopped — blocks died with it

@@ -34,13 +34,24 @@ def _drain_to(spark, target: int, timeout_s: float = 30.0) -> int:
     return n
 
 
+def _clear_all_persistent(spark) -> None:
+    """clearCache drops only InMemoryRelations; blocks persisted at the
+    RDD layer (localCheckpoint lineage truncation, ML internals) survive
+    it. Unpersist EVERY persistent RDD, synchronously, via the
+    JavaSparkContext registry."""
+    spark.catalog.clearCache()
+    # py4j exposes the java Map as a dict-like view of JavaRDDs
+    for jrdd in list(spark.sparkContext._jsc.getPersistentRDDs().values()):
+        jrdd.unpersist(True)
+
+
 def test_tracked_persists_do_not_accumulate(spark):
     # Arrange: start from a clean MemoryStore — earlier test files in the
-    # shared session may have cached blocks (Spark ML internals etc.)
-    # that are not this contract's concern.
+    # shared session may have cached blocks (checkpoint RDDs, Spark ML
+    # internals) that are not this contract's concern.
     persistence.release_tracked()
-    spark.catalog.clearCache()
-    assert _drain_to(spark, 0) == 0, "cache did not drain after clearCache"
+    _clear_all_persistent(spark)
+    assert _drain_to(spark, 0) == 0, "cache did not drain after clear"
 
     qs = registry.queries()
     # Each of these persists at least one intermediate internally.
