@@ -2272,7 +2272,6 @@ def events_user_activity_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         per_user.orderBy(F.col("n").desc(), "user_id")
         .limit(100)
-        .select("n", "user_id")
         .select("n", F.row_number().over(w).alias("rk"))
     )
     logs = top.select(

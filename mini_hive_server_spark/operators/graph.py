@@ -184,8 +184,9 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB query (recursive CTEs forbid the aggregate in the recursive
     term, and any fixed unroll computes a DIFFERENT number than an
     ε-stopped loop). Instead `tests/test_llm_ops.py` pins (a) agreement
-    with an independently-iterated reference to 1e-6, (b) the fixpoint
-    residual, and (c) rank-sum ≈ 1 conservation.
+    with an independently-iterated reference within the guaranteed
+    ε·d/(1-d) stopping bound, (b) the fixpoint residual, and (c)
+    rank-sum ≈ 1 conservation.
 
     Resource bound: edges/nodes are tracked-persisted (released at the
     next registered query); round k's localCheckpoint block is
@@ -204,6 +205,15 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tracked_persist(edges)
     nodes = tracked_persist(nodes)
     n_nodes = nodes.count()  # scalar — the loop's only driver-side values
+    if n_nodes == 0:
+        # degrade like the fixed-depth twin: empty graph -> empty result
+        # (the eager teleport division below would otherwise raise)
+        return nodes.select(
+            F.col("node").alias("event_type"),
+            F.lit(0.0).alias("pagerank"),
+            F.lit(0).cast("int").alias("n_iterations"),
+            F.lit(True).alias("converged"),
+        )
     teleport = (1.0 - _DAMPING) / n_nodes
 
     def _ckpt_rdd(df: DataFrame):

@@ -1,24 +1,26 @@
-"""Distributed exact global rank / ntile — no single-partition sorts.
+"""Distributed exact global rank / ntile / prefix-sum — no single-partition
+sorts.
 
 An unpartitioned ``Window.orderBy(...)`` forces EVERY row through one
 partition's sort (``Exchange SinglePartition`` → ``Sort`` → ``Window`` in
 the plan) — the one shape in an otherwise distributed plan that cannot
 survive a 100× scale-up of the windowed relation. These helpers produce
-the SAME numbers (exact ``row_number`` / ``ntile`` semantics, bit-for-bit
-against a single-sort engine like the DuckDB oracle) from a fully
-distributed plan:
+the SAME numbers (exact ``row_number`` / ``ntile`` / running-sum
+semantics, bit-for-bit against a single-sort engine like the DuckDB
+oracle) from a fully distributed plan:
 
 1. ``repartitionByRange`` on the order keys — a parallel range exchange
    (sampled bounds), so partition *p* holds a contiguous slice of the
    total order and every row in partition *p* sorts before every row in
    partition *p+1*;
-2. a ``row_number`` window PARTITIONED by the captured range-partition id
-   — P independent in-memory/spillable sorts, never a global one;
-3. per-partition row counts (P rows, partition-count-bounded — NOT
-   SF-proportional) folded into prefix-sum offsets with higher-order
-   array functions, so no driver collect and no window over the counts;
-4. a broadcast equi-join shipping ``(pid → offset, total)`` back to the
-   ranked rows: ``global row_number = offset + local row_number``.
+2. a window PARTITIONED by the captured range-partition id — P
+   independent in-memory/spillable sorts, never a global one;
+3. a per-partition aggregate (row counts for rank, value sums for
+   prefix-sum; P rows, partition-count-bounded — NOT SF-proportional)
+   folded into prefix offsets with higher-order array functions, so no
+   driver collect and no window over the aggregates;
+4. a broadcast equi-join shipping ``(pid → offset[, total])`` back to
+   the locally-ranked rows: ``global value = offset + local value``.
 
 Requirements: ``order_cols`` must define a TOTAL order (append a unique
 key as tiebreaker — every caller here does). Rows with equal full sort
@@ -42,13 +44,79 @@ from pyspark.sql import functions as F
 __all__ = ["global_row_number", "global_ntile", "global_cumsum"]
 
 _PID = "__rng_pid"
-_LRK = "__rng_lrk"
 _OFF = "__rng_off"
 _TOT = "__rng_tot"
 
 
 def _cols(order_cols) -> list[Column]:
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
+
+
+def _ranged(df: DataFrame, cols: list[Column], num_partitions: int | None) -> DataFrame:
+    """Range-repartition on the order keys, capture the partition id, and
+    tracked-persist the result.
+
+    The persist is REQUIRED for correctness, not a cache hint: the
+    locally-windowed rows and the per-partition aggregates below are two
+    consumers of the same range exchange, and repartitionByRange samples
+    its bounds with a per-RDD seed — two independent re-executions (the
+    aggregate subtree would otherwise be column-pruned into a separate
+    scan) could pick DIFFERENT boundaries, mismatching offsets against
+    pids. The persisted relation is the caller's per-entity aggregate
+    (users / customers / documents), already orders of magnitude smaller
+    than the raw facts; MEMORY_AND_DISK spills if it doesn't fit. It
+    also folds the two passes into one scan."""
+    from ..persistence import tracked_persist
+
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    return tracked_persist(
+        df.repartitionByRange(num_partitions, *cols).withColumn(
+            _PID, F.spark_partition_id()
+        )
+    )
+
+
+def _prefix_offsets(
+    ranged: DataFrame, per_partition: Column, with_total: bool
+) -> DataFrame:
+    """(pid → sum of ``per_partition`` over all LOWER pids)[, total] — the
+    prefix fold over the P-row per-partition aggregate. P is bounded by
+    parallelism, not data: one ObjectHashAggregate over P rows, zero
+    driver collects, zero windows."""
+    packed = (
+        ranged.groupBy(_PID)
+        .agg(per_partition.alias("_m"))
+        .agg(F.collect_list(F.struct(_PID, "_m")).alias("pc"))
+    )
+    sel = [
+        F.explode(
+            F.transform(
+                "pc",
+                lambda x: F.struct(
+                    x[_PID].alias(_PID),
+                    F.aggregate(
+                        F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, y: acc + y["_m"],
+                    ).alias(_OFF),
+                ),
+            )
+        ).alias("o")
+    ]
+    out_cols = [f"o.{_PID}", f"o.{_OFF}"]
+    if with_total:
+        sel.append(
+            F.aggregate(
+                F.col("pc"),
+                F.lit(0).cast("bigint"),
+                lambda acc, y: acc + y["_m"],
+            ).alias(_TOT)
+        )
+        out_cols.append(_TOT)
+    return packed.select(*sel).select(*out_cols)
 
 
 def global_row_number(
@@ -62,64 +130,20 @@ def global_row_number(
     order) with no single-partition exchange; optionally attaches the
     total row count as ``total_col`` (same broadcast join, no extra
     cross join). See module docstring for the plan shape."""
-    from ..persistence import tracked_persist
-
     cols = _cols(order_cols)
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    # tracked_persist is REQUIRED for correctness, not a cache hint: the
-    # ranked rows and the per-partition counts below are two consumers of
-    # the same range exchange, and repartitionByRange samples its bounds
-    # with a per-RDD seed — two independent re-executions (the counts
-    # subtree would otherwise be column-pruned into a separate scan) could
-    # pick DIFFERENT boundaries, mismatching offsets against pids. The
-    # persisted relation is the caller's per-entity aggregate (users /
-    # customers), already orders of magnitude smaller than the raw facts;
-    # MEMORY_AND_DISK spills if it doesn't fit. It also folds the two
-    # passes into one scan.
-    ranged = tracked_persist(
-        df.repartitionByRange(num_partitions, *cols).withColumn(
-            _PID, F.spark_partition_id()
-        )
-    )
+    ranged = _ranged(df, cols, num_partitions)
     local = ranged.withColumn(
-        _LRK, F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
+        "__rng_lrk", F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
     )
-    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_cnt"))
-    # P = num_partitions rows: bounded by parallelism, not data. Prefix
-    # sums via higher-order functions — one ObjectHashAggregate over P
-    # rows, zero driver collects, zero windows.
-    packed = counts.agg(F.collect_list(F.struct(_PID, "_cnt")).alias("pc"))
-    offsets = packed.select(
-        F.explode(
-            F.transform(
-                "pc",
-                lambda x: F.struct(
-                    x[_PID].alias(_PID),
-                    F.aggregate(
-                        F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, y: acc + y["_cnt"],
-                    ).alias(_OFF),
-                ),
-            )
-        ).alias("o"),
-        F.aggregate(
-            F.col("pc"),
-            F.lit(0).cast("bigint"),
-            lambda acc, y: acc + y["_cnt"],
-        ).alias(_TOT),
-    ).select(f"o.{_PID}", f"o.{_OFF}", _TOT)
-    out = (
-        local.join(F.broadcast(offsets), _PID)
-        .withColumn(rank_col, (F.col(_OFF) + F.col(_LRK)).cast("bigint"))
+    offsets = _prefix_offsets(
+        ranged, F.count(F.lit(1)).cast("bigint"), with_total=bool(total_col)
     )
-    drop = [_PID, _LRK, _OFF] + ([] if total_col else [_TOT])
+    out = local.join(F.broadcast(offsets), _PID).withColumn(
+        rank_col, (F.col(_OFF) + F.col("__rng_lrk")).cast("bigint")
+    )
     if total_col:
         out = out.withColumnRenamed(_TOT, total_col)
-    return out.drop(*drop)
+    return out.drop(_PID, "__rng_lrk", _OFF)
 
 
 def global_ntile(
@@ -161,27 +185,13 @@ def global_cumsum(
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact INCLUSIVE running sum of ``value_col`` over the total order
-    ``order_cols`` — the distributed prefix-sum: the same
-    range-partition / local-window / broadcast-offsets skeleton as
-    ``global_row_number``, with the offsets carrying per-partition VALUE
+    ``order_cols`` — the distributed prefix-sum: the same skeleton as
+    ``global_row_number`` with the offsets carrying per-partition VALUE
     sums instead of row counts. Exact for integral values (the intended
     domain: token counts, byte sizes); float inputs would re-associate
-    the summation order.
-
-    Same requirements and the same persist-for-determinism rationale as
-    ``global_row_number`` (see its docstring)."""
-    from ..persistence import tracked_persist
-
+    the summation order."""
     cols = _cols(order_cols)
-    if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-    ranged = tracked_persist(
-        df.repartitionByRange(num_partitions, *cols).withColumn(
-            _PID, F.spark_partition_id()
-        )
-    )
+    ranged = _ranged(df, cols, num_partitions)
     local = ranged.withColumn(
         "__cs_local",
         F.sum(value_col).over(
@@ -190,30 +200,13 @@ def global_cumsum(
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    sums = ranged.groupBy(_PID).agg(
-        F.sum(value_col).cast("bigint").alias("_vsum")
+    offsets = _prefix_offsets(
+        ranged, F.sum(value_col).cast("bigint"), with_total=False
     )
-    packed = sums.agg(F.collect_list(F.struct(_PID, "_vsum")).alias("pc"))
-    offsets = packed.select(
-        F.explode(
-            F.transform(
-                "pc",
-                lambda x: F.struct(
-                    x[_PID].alias(_PID),
-                    F.aggregate(
-                        F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, y: acc + y["_vsum"],
-                    ).alias(_OFF),
-                ),
-            )
-        ).alias("o")
-    ).select(f"o.{_PID}", f"o.{_OFF}")
     return (
         local.join(F.broadcast(offsets), _PID)
         .withColumn(
-            cumsum_col,
-            (F.col(_OFF) + F.col("__cs_local")).cast("bigint"),
+            cumsum_col, (F.col(_OFF) + F.col("__cs_local")).cast("bigint")
         )
         .drop(_PID, "__cs_local", _OFF)
     )

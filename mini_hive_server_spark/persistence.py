@@ -46,7 +46,15 @@ def tracked_release(unpersist_fn: Callable[[], None]) -> None:
 
 def release_tracked() -> None:
     """Unpersist every tracked intermediate from prior query invocations.
-    Correctness-neutral: unpersisted plans simply recompute if re-executed."""
+
+    Contract (round 6): a query's returned DataFrame must be materialized
+    BEFORE the next registered query is built — the sequential
+    materialize-then-advance pattern the driver, tests, and bench all
+    follow. Plain persists would merely recompute if collected late, but
+    two tracked classes are no longer re-executable: ranking.py's ranged
+    relation (a recompute re-samples range bounds, the determinism
+    hazard its docstring describes) and iterative queries' checkpoint
+    blocks (truncated lineage cannot recompute at all)."""
     while _LIVE:
         try:
             _LIVE.pop()()
