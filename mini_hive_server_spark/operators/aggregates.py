@@ -663,3 +663,71 @@ def orders_value_quartiles_cutpoint(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("bucket")
     )
+
+
+# ------------------------------------------------------ winsorized moments
+
+_WINSOR_ORACLE = """
+WITH cuts AS (
+  SELECT quantile_cont(o_totalprice, 0.01) AS p01,
+         quantile_cont(o_totalprice, 0.99) AS p99
+  FROM orders
+)
+SELECT count(*) AS n_orders,
+       round(max(p01), 2) AS p01,
+       round(max(p99), 2) AS p99,
+       round(avg(o_totalprice), 2) AS mean_raw,
+       round(avg(least(greatest(o_totalprice, p01), p99)), 2)
+         AS mean_winsorized,
+       count(*) FILTER (WHERE o_totalprice < p01) AS n_clipped_low,
+       count(*) FILTER (WHERE o_totalprice > p99) AS n_clipped_high
+FROM orders, cuts
+"""
+
+
+@register("orders_winsorized_stats", oracle=_WINSOR_ORACLE, tags=("agg", "stats"))
+def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized moments of order value: clip at the exact p01/p99
+    percentiles and report the mean before/after plus the clip census —
+    the outlier-robust summary a revenue KPI needs before a single fat-
+    finger order moves the average (the same robustness job
+    `events_anomaly_mad` does with median/MAD, here in the
+    percentile-clip form feature pipelines standardize on).
+
+    Plan: the cut-points are ONE 1-row exact-percentile aggregate
+    broadcast back over the fact table (the `orders_value_quartiles_
+    cutpoint` pattern — no sort of the data anywhere), then one final
+    aggregate; two passes total, both full-width map-only + partial agg.
+    Cross-engine exactness: Spark `percentile` and DuckDB `quantile_cont`
+    interpolate identically (verified bit-equal), `least/greatest` are
+    order-preserving on identical doubles, and round(2) absorbs the
+    summation-order ulp of the two avgs."""
+    orders = load_tables(spark, sf_dir)["orders"]
+
+    def count_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    cuts = orders.agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("p01"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("p99"),
+    )
+    return (
+        orders.crossJoin(F.broadcast(cuts))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("p01"), 2).alias("p01"),
+            F.round(F.max("p99"), 2).alias("p99"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_raw"),
+            F.round(
+                F.avg(
+                    F.least(
+                        F.greatest(F.col("o_totalprice"), F.col("p01")),
+                        F.col("p99"),
+                    )
+                ),
+                2,
+            ).alias("mean_winsorized"),
+            count_if(F.col("o_totalprice") < F.col("p01")).alias("n_clipped_low"),
+            count_if(F.col("o_totalprice") > F.col("p99")).alias("n_clipped_high"),
+        )
+    )

@@ -917,3 +917,104 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_id")
     )
+
+
+# ------------------------------------------ leakage-safe train/val split
+
+_SPLIT_LEAK_ORACLE = """
+WITH f AS (
+  SELECT doc_id, md5(text) AS fp,
+         CAST(('0x' || substr(md5(md5(text)), 1, 8)) AS UBIGINT) % 100 AS gb,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+           % 100 AS nb
+  FROM documents
+),
+per_fp AS (
+  SELECT fp,
+         count(*) FILTER (WHERE gb < 90) AS g_tr,
+         count(*) FILTER (WHERE gb >= 90) AS g_ho,
+         count(*) FILTER (WHERE nb < 90) AS d_tr,
+         count(*) FILTER (WHERE nb >= 90) AS d_ho
+  FROM f GROUP BY fp
+),
+s AS (
+  SELECT 'grouped' AS strategy, g_tr AS n_tr, g_ho AS n_ho FROM per_fp
+  UNION ALL
+  SELECT 'naive', d_tr, d_ho FROM per_fp
+)
+SELECT strategy,
+       CAST(sum(n_tr) AS BIGINT) AS n_train,
+       CAST(sum(n_ho) AS BIGINT) AS n_holdout,
+       count(*) AS n_fingerprints,
+       count(*) FILTER (WHERE n_tr > 0 AND n_ho > 0) AS leaked_fingerprints
+FROM s
+GROUP BY strategy
+ORDER BY strategy
+"""
+
+
+@register("corpus_split_no_leakage", oracle=_SPLIT_LEAK_ORACLE, tags=("llm", "pipeline", "dedup"))
+def corpus_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split, measured against the naive one:
+    assigning a document's side by a hash of its CONTENT fingerprint
+    (md5(text)) guarantees exact duplicates can never straddle the split
+    — `leaked_fingerprints` is structurally 0 — while the naive
+    by-doc-id split leaks every duplicated fingerprint whose copies hash
+    to different sides (the quiet eval-contamination path: a val doc
+    whose twin sat in train). One output row per strategy makes the
+    difference a measured number, not a claim. The same grouping key
+    generalizes to near-dup cluster ids (`dedup_lsh_clusters`) for
+    fuzzy-leakage-safe splits.
+
+    md5 (not xxhash64) keeps the bucket arithmetic engine-identical, the
+    same trick as `text_hash_split`. Plan: one map-only pass derives
+    fingerprint + both buckets, ONE fingerprint-keyed partial-agg'd
+    shuffle, a bounded 2-way explode, and a 2-row census — at 100 TB the
+    fingerprint exchange is the only data movement."""
+    docs = load_tables(spark, sf_dir)["documents"]
+
+    def bucket(col):
+        return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long") % 100
+
+    def count_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    f = docs.select(
+        F.md5("text").alias("fp"),
+        bucket(F.md5("text")).alias("gb"),
+        bucket(F.col("doc_id").cast("string")).alias("nb"),
+    )
+    per_fp = f.groupBy("fp").agg(
+        count_if(F.col("gb") < 90).alias("g_tr"),
+        count_if(F.col("gb") >= 90).alias("g_ho"),
+        count_if(F.col("nb") < 90).alias("d_tr"),
+        count_if(F.col("nb") >= 90).alias("d_ho"),
+    )
+    s = per_fp.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("grouped").alias("strategy"),
+                    F.col("g_tr").alias("n_tr"),
+                    F.col("g_ho").alias("n_ho"),
+                ),
+                F.struct(
+                    F.lit("naive").alias("strategy"),
+                    F.col("d_tr").alias("n_tr"),
+                    F.col("d_ho").alias("n_ho"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    return (
+        s.groupBy("strategy")
+        .agg(
+            F.sum("n_tr").cast("bigint").alias("n_train"),
+            F.sum("n_ho").cast("bigint").alias("n_holdout"),
+            F.count(F.lit(1)).alias("n_fingerprints"),
+            count_if((F.col("n_tr") > 0) & (F.col("n_ho") > 0)).alias(
+                "leaked_fingerprints"
+            ),
+        )
+        .orderBy("strategy")
+    )

@@ -58,6 +58,7 @@ _BNLJ_BOUNDED = {
     "events_anova_oneway",  # k group rows x 1-row total
     "orders_repeat_purchase_curve",  # broadcast 10-row threshold grid
     "orders_value_quartiles_cutpoint",  # 1-row quartile cut-points crossed
+    "orders_winsorized_stats",  # 1-row p01/p99 cut-points crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
