@@ -2326,3 +2326,73 @@ def events_type_mix_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 100.0 / F.sum("n").over(w), 2).alias("share_pct"),
     ).orderBy("month_s", "event_type")
+
+
+# ------------------------------------------------ shuffle-key skew report
+
+_KEY_SKEW_ORACLE = """
+WITH pk AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+),
+summ AS (
+  SELECT count(*) AS n_keys,
+         round(max(n) * count(*) * 1.0 / sum(n), 2) AS skew_factor
+  FROM pk
+)
+SELECT CAST(floor(log2(n)) AS BIGINT) AS rows_pow2,
+       count(*) AS n_keys_in_bucket,
+       CAST(sum(n) AS BIGINT) AS total_rows,
+       s.n_keys,
+       s.skew_factor
+FROM pk, summ s
+GROUP BY 1, s.n_keys, s.skew_factor
+ORDER BY rows_pow2
+"""
+
+
+@register("events_key_skew_report", oracle=_KEY_SKEW_ORACLE, tags=("events", "agg", "stats"))
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew report for user_id on the events fact table — the
+    operational pre-check behind every partitioning decision this engine
+    makes: a log2 histogram of per-key row counts plus the hot-key skew
+    factor (max/avg; 1.0 = uniform, >>1 = the AQE-skew-join / salting
+    world `agg_salted_hot_key` and `events_click_attribution` exist
+    for). The per-user twin of `graph_degree_distribution`'s question,
+    asked of the SHUFFLE key rather than the graph: will the biggest
+    reducer partition melt? Each histogram row carries the two global
+    summary columns (deliberate denormalization — one result relation,
+    one grain).
+
+    Plan: ONE partial-agg'd groupBy(user) — the identical exchange any
+    downstream join/agg on this key would pay, so the diagnostic costs
+    exactly one instance of the thing it measures — then a dozen bucket
+    rows crossed with a 1-row summary broadcast. log2-bucket floors are
+    engine-identical (integer inputs; exact at powers of two, >1ulp from
+    boundaries elsewhere — the graph_degree_distribution precedent)."""
+    events = load_tables(spark, sf_dir)["events"]
+    pk = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    summ = pk.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(
+            F.max("n") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("n"), 2
+        ).alias("skew_factor"),
+    )
+    return (
+        pk.select(
+            F.floor(F.log2("n")).cast("bigint").alias("rows_pow2"), "n"
+        )
+        .groupBy("rows_pow2")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys_in_bucket"),
+            F.sum("n").cast("bigint").alias("total_rows"),
+        )
+        .crossJoin(F.broadcast(summ))
+        .select(
+            "rows_pow2",
+            "n_keys_in_bucket",
+            "total_rows",
+            "n_keys",
+            "skew_factor",
+        )
+        .orderBy("rows_pow2")
+    )

@@ -59,6 +59,7 @@ _BNLJ_BOUNDED = {
     "orders_repeat_purchase_curve",  # broadcast 10-row threshold grid
     "orders_value_quartiles_cutpoint",  # 1-row quartile cut-points crossed
     "orders_winsorized_stats",  # 1-row p01/p99 cut-points crossed
+    "events_key_skew_report",  # bucket rows x 1-row skew summary
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
