@@ -423,3 +423,86 @@ def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+# ------------------------------------------------------- k-anonymity census
+
+_K_ANON = 5
+
+_K_ANON_ORACLE = f"""
+WITH eq AS (
+  SELECT c_mktsegment, n_nationkey.n_name AS nation, count(*) AS class_size
+  FROM customer c
+  JOIN (SELECT n_nationkey, n_name FROM nation) n_nationkey
+    ON c.c_nationkey = n_nationkey.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(log2(class_size)) AS BIGINT) AS size_pow2,
+       count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       count(*) FILTER (WHERE class_size < {_K_ANON}) AS n_violating_classes,
+       CAST(coalesce(sum(class_size) FILTER (WHERE class_size < {_K_ANON}), 0)
+            AS BIGINT) AS n_reidentifiable_rows
+FROM eq
+GROUP BY 1
+ORDER BY size_pow2
+"""
+
+
+@register("privacy_k_anonymity", oracle=_K_ANON_ORACLE, tags=("governance", "privacy", "agg"))
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the (market segment, nation)
+    quasi-identifier pair: equivalence-class sizes histogrammed in log2
+    buckets with the k=5 violation counts — the release-readiness check
+    a dataset passes BEFORE publication (a class of size < k means those
+    rows are re-identifiable by the quasi-identifiers alone; the fix is
+    generalization/suppression of exactly the violating classes, which
+    this census enumerates by bucket). Complements
+    `privacy_dp_lang_counts` (aggregate-release protection) and
+    `pii_scrub` (direct-identifier removal) as the third leg of the
+    governance stand: quasi-identifier protection.
+
+    Plan: one broadcast dimension join (nation is 25 rows at every SF),
+    ONE partial-agg'd groupBy on the quasi-identifier pair, then a
+    dozen-bucket histogram — the equivalence-class relation is
+    |segments|×|nations| (bounded), so everything after the first
+    exchange is constant-sized at any corpus scale."""
+    t = load_tables(spark, sf_dir)
+
+    def count_if(cond):
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    eq = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("c_mktsegment", F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("class_size"))
+    )
+    return (
+        eq.select(
+            F.floor(F.log2("class_size")).cast("bigint").alias("size_pow2"),
+            "class_size",
+        )
+        .groupBy("size_pow2")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+            count_if(F.col("class_size") < _K_ANON).alias(
+                "n_violating_classes"
+            ),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("class_size") < _K_ANON, F.col("class_size")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_reidentifiable_rows"),
+        )
+        .orderBy("size_pow2")
+    )
