@@ -1144,3 +1144,182 @@ def embedding_kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+# ------------------------------------------ hybrid retrieval (RRF fusion)
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_DEPTH = 20  # per-ranker candidate depth
+_RRF_TOPN = 10
+
+_RRF_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  FROM documents
+),
+m AS (
+  SELECT doc_id, len(w) AS dl,
+         len(list_filter(w, x -> x = 'spark')) AS tf0,
+         len(list_filter(w, x -> x = 'join')) AS tf1,
+         len(list_filter(w, x -> x = 'window')) AS tf2
+  FROM t
+),
+c AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl,
+         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+  FROM m
+),
+lex_scored AS (
+  SELECT doc_id,
+         round(
+           ln(1 + (n - df0 + 0.5) / (df0 + 0.5)) * tf0 * (1.2 + 1)
+             / (tf0 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         + ln(1 + (n - df1 + 0.5) / (df1 + 0.5)) * tf1 * (1.2 + 1)
+             / (tf1 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+         + ln(1 + (n - df2 + 0.5) / (df2 + 0.5)) * tf2 * (1.2 + 1)
+             / (tf2 + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)),
+         4) AS bm25
+  FROM m, c
+),
+lex AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+  FROM lex_scored
+  ORDER BY bm25 DESC, doc_id LIMIT 20
+),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+sem_scored AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(qv, v)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(v, v))), 6) AS cosine
+  FROM e, q WHERE vec_id <> 0
+),
+sem AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY cosine DESC, doc_id) AS sem_rank
+  FROM sem_scored
+  ORDER BY cosine DESC, doc_id LIMIT 20
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         CAST(coalesce(lex_rank, -1) AS BIGINT) AS lex_rank,
+         CAST(coalesce(sem_rank, -1) AS BIGINT) AS sem_rank,
+         round(coalesce(1.0 / (60 + lex_rank), 0)
+               + coalesce(1.0 / (60 + sem_rank), 0), 6) AS rrf
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("retrieval_rrf_hybrid", oracle=_RRF_ORACLE, tags=("llm", "similarity", "retrieval", "text"))
+def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical
+    ranker (same 3-term query and k1/b as `text_bm25_topk`) and the
+    dense cosine ranker (query = embedding 0, the `similarity_cosine_
+    topk` arithmetic) each produce a depth-20 candidate list; RRF merges
+    them with score = Σ 1/(60 + rank) — rank-only fusion, so the two
+    rankers' incomparable score scales never need calibration. This is
+    the standard two-tower + keyword search merge every modern RAG stack
+    runs; absent ranks contribute 0 (and surface as -1 in the output —
+    the registry's no-NULL rule, since a nullable int goes NaN through
+    Arrow→pandas).
+
+    Plan: each leg ends in a distributed TakeOrderedAndProject at depth
+    20 (limit-first, then rank the 20 survivors in a bounded window —
+    the `text_zipf_slope` pattern, no corpus-cardinality global sort);
+    the fusion is a full-outer join of two 20-row relations. At 100 TB
+    the legs scale independently (BM25 via its doc-frequency joins, the
+    dense leg via any ANN tier in this module) and the fusion cost is
+    fixed at the candidate depths."""
+    from pyspark.sql import Window
+
+    from .text_analysis import _BM25_B, _BM25_K1, _BM25_TERMS
+
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("doc_id", "text"),
+        "doc_id",
+    )
+    w_arr = F.expr("split(lower(trim(text)), '\\\\s+')")
+    m = docs.select(
+        "doc_id",
+        F.size(w_arr).alias("dl"),
+        *[
+            F.size(F.expr(f"filter(split(lower(trim(text)), '\\\\s+'), x -> x = '{t}')")).alias(f"tf{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    )
+    c = m.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+
+    def leg_score(i: int):
+        idf = F.log(
+            1 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        tf = F.col(f"tf{i}")
+        return idf * tf * (_BM25_K1 + 1) / (
+            tf + _BM25_K1 * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+
+    lex_scored = m.crossJoin(F.broadcast(c)).select(
+        "doc_id",
+        F.round(sum(leg_score(i) for i in range(len(_BM25_TERMS))), 4).alias(
+            "bm25"
+        ),
+    )
+    w_lex = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    lex = (
+        lex_scored.orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(w_lex).alias("lex_rank"))
+    )
+
+    emb = (
+        parallelize_scan(load_tables(spark, sf_dir)["embeddings"], "vec_id")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot("v", "v")))
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm")
+    )
+    sem_scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.round(_dot("qv", "v") / (F.col("qnrm") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w_sem = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    sem = (
+        sem_scored.orderBy(F.col("cosine").desc(), "doc_id")
+        .limit(_RRF_DEPTH)
+        .select("doc_id", F.row_number().over(w_sem).alias("sem_rank"))
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce("lex_rank", F.lit(-1)).cast("bigint").alias("lex_rank"),
+        F.coalesce("sem_rank", F.lit(-1)).cast("bigint").alias("sem_rank"),
+        F.round(
+            F.coalesce(1.0 / (_RRF_K + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("sem_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPN)

@@ -60,6 +60,7 @@ _BNLJ_BOUNDED = {
     "orders_value_quartiles_cutpoint",  # 1-row quartile cut-points crossed
     "orders_winsorized_stats",  # 1-row p01/p99 cut-points crossed
     "events_key_skew_report",  # bucket rows x 1-row skew summary
+    "retrieval_rrf_hybrid",  # 1-row corpus stats + 1-row query vector crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
