@@ -254,3 +254,86 @@ def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "ver.*")
         .orderBy("c_custkey", "version")
     )
+
+
+# -------------------------------------------------- point-in-time SCD2 join
+
+_PIT_ORACLE = """
+WITH upd AS (
+  SELECT o_custkey, round(sum(o_totalprice) / 1000, 2) AS new_bal
+  FROM orders
+  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+  GROUP BY o_custkey
+),
+j AS (
+  SELECT c_custkey, round(c_acctbal, 2) AS old_bal, new_bal
+  FROM customer LEFT JOIN upd ON c_custkey = o_custkey
+),
+versions AS (
+  SELECT c_custkey, 1 AS version, old_bal AS acctbal,
+         DATE '1990-01-01' AS valid_from,
+         CASE WHEN new_bal IS NOT NULL AND new_bal <> old_bal
+              THEN DATE '1995-01-01' END AS valid_to
+  FROM j
+  UNION ALL
+  SELECT c_custkey, 2, new_bal, DATE '1995-01-01', NULL
+  FROM j WHERE new_bal IS NOT NULL AND new_bal <> old_bal
+)
+SELECT v.version,
+       count(*) AS n_orders,
+       count(DISTINCT o.o_custkey) AS n_customers,
+       round(sum(o.o_totalprice), 2) AS revenue,
+       round(avg(v.acctbal), 2) AS avg_balance_seen
+FROM orders o
+JOIN versions v
+  ON o.o_custkey = v.c_custkey
+ AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+ AND (v.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < v.valid_to)
+GROUP BY v.version
+ORDER BY v.version
+"""
+
+
+@register("orders_point_in_time_scd2", oracle=_PIT_ORACLE, tags=("join", "scd", "event-time"))
+def orders_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 dimension: every order joined
+    to the customer-balance VERSION that was valid on its order date —
+    the "what did the dimension say when the fact happened" query that
+    is the entire reason SCD2 history (`mutation_scd2_merge`, whose
+    builder this composes) is kept. An order placed before the 1995
+    balance revision sees version 1's balance; later orders of revised
+    customers see version 2 — joining the current dimension instead
+    would silently rewrite history (the reference's update-in-place
+    model, index.js:486-491, can only do the wrong one).
+
+    Plan: EQUI-join on the customer key with the validity interval as a
+    residual predicate inside each key group — never a range-only join;
+    version count per key is 1-2 so there is no row explosion, and the
+    one shuffle is the same key exchange any orders⋈customer join pays.
+    Validity intervals partition [1990, ∞) per key, so each order
+    matches exactly one version (asserted by the n_orders total equaling
+    the fact count in the oracle's cells)."""
+    versions = mutation_scd2_merge(spark, sf_dir).select(
+        "c_custkey", "version", "acctbal", "valid_from", "valid_to"
+    )
+    orders = load_tables(spark, sf_dir)["orders"].select(
+        "o_custkey",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+    joined = orders.join(
+        versions,
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_date") < F.col("valid_to"))),
+    )
+    return (
+        joined.groupBy("version")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.avg("acctbal"), 2).alias("avg_balance_seen"),
+        )
+        .orderBy("version")
+    )
