@@ -2396,3 +2396,96 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rows_pow2")
     )
+
+
+# ------------------------------------------------ Poisson bootstrap CI
+
+_BOOT_R = 50  # bootstrap replicates
+# Cumulative Poisson(λ=1) thresholds, hardcoded identically in both
+# engines: P(X<=k) for k=0..6; u above the last bin clamps to 7.
+_POIS_CDF = (
+    "0.3678794412",
+    "0.7357588823",
+    "0.9196986029",
+    "0.9810118431",
+    "0.9963401532",
+    "0.9994058152",
+    "0.9999167589",
+)
+
+
+def _pois_case(u_expr: str) -> str:
+    """Branchless-ish inverse-CDF: weight = #thresholds below u."""
+    terms = " + ".join(
+        f"(CASE WHEN {u_expr} > {t} THEN 1 ELSE 0 END)" for t in _POIS_CDF
+    )
+    return f"({terms})"
+
+
+_BOOT_ORACLE = f"""
+WITH reps AS (SELECT unnest(generate_series(1, {_BOOT_R})) AS r),
+w AS (
+  SELECT r, value,
+         {_pois_case("(CAST(('0x' || substr(md5('boot:' || CAST(event_id AS VARCHAR) || ':' || CAST(r AS VARCHAR)), 1, 8)) AS UBIGINT) / 4294967296.0)")}
+           AS wt
+  FROM events, reps
+),
+means AS (
+  SELECT r, sum(wt * value) / sum(wt) AS m
+  FROM w GROUP BY r HAVING sum(wt) > 0
+)
+SELECT count(*) AS n_replicates,
+       round(quantile_cont(m, 0.025), 4) AS ci_lo,
+       round(quantile_cont(m, 0.5), 4) AS ci_mid,
+       round(quantile_cont(m, 0.975), 4) AS ci_hi
+FROM means
+"""
+
+
+@register("events_bootstrap_ci", oracle=_BOOT_ORACLE, tags=("events", "stats", "sample"))
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap of the mean event value: each row gets an
+    independent Poisson(1) resampling weight PER REPLICATE instead of
+    true with-replacement draws — the reformulation that makes the
+    bootstrap distributed (a real resample needs global coordination;
+    Poisson weights are a per-row map, and replicate sums are ordinary
+    partial-agg'd aggregates), standard practice for CIs over
+    cluster-scale data. 50 replicate means → percentile CI (2.5/50/97.5).
+
+    Determinism/oracle-exactness: the weight is an inverse-CDF lookup on
+    an md5-derived uniform per (event, replicate) — both engines derive
+    the identical uniform and compare against the same hardcoded
+    cumulative-Poisson literals, so every weight is engine-identical
+    (the `privacy_dp_lang_counts` seeded-mechanism trick); replicate
+    means differ only in summation order, absorbed by round(4) after
+    the quantile.
+
+    Plan: the replicate axis is a map-side explode (50× rows, zero
+    shuffle — at 100 TB this is the classic compute-vs-shuffle trade:
+    50× map work but the exchange still carries only 50 partial-agg
+    rows per mapper), one groupBy(replicate), then a 50-row quantile."""
+    events = load_tables(spark, sf_dir)["events"]
+    reps = F.explode(
+        F.sequence(F.lit(1), F.lit(_BOOT_R))
+    ).alias("r")
+    u = (
+        "(CAST(conv(substring(md5(concat('boot:', CAST(event_id AS STRING), "
+        "':', CAST(r AS STRING))), 1, 8), 16, 10) AS DOUBLE) / 4294967296.0)"
+    )
+    w = events.select("event_id", "value", reps).select(
+        "r", "value", F.expr(_pois_case(u)).alias("wt")
+    )
+    means = (
+        w.groupBy("r")
+        .agg(
+            (F.sum(F.col("wt") * F.col("value")) / F.sum("wt")).alias("m"),
+            F.sum("wt").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+    )
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.5)"), 4).alias("ci_mid"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
