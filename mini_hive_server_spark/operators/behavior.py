@@ -2489,3 +2489,120 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.5)"), 4).alias("ci_mid"),
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
     )
+
+
+# --------------------------------------------- multi-touch attribution
+
+_MTA_WINDOW_DAYS = 7
+
+_MTA_ORACLE = f"""
+WITH clicks AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS cts,
+         CAST(json_extract(props, '$.k') AS BIGINT) % 5 AS channel
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT event_id AS conv_id, user_id, CAST(ts AS TIMESTAMP) AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT p.conv_id, p.value, c.channel,
+         row_number() OVER (PARTITION BY p.conv_id
+                            ORDER BY c.cts, c.event_id) AS pos,
+         count(*) OVER (PARTITION BY p.conv_id) AS n_touches
+  FROM purchases p
+  JOIN clicks c
+    ON c.user_id = p.user_id
+   AND c.cts < p.pts
+   AND c.cts >= p.pts - INTERVAL {_MTA_WINDOW_DAYS} DAY
+),
+credited AS (
+  SELECT channel, n_touches,
+         value / n_touches AS linear_credit,
+         value * (CASE
+           WHEN n_touches = 1 THEN 1.0
+           WHEN n_touches = 2 THEN 0.5
+           WHEN pos = 1 THEN 0.4
+           WHEN pos = n_touches THEN 0.4
+           ELSE 0.2 / (n_touches - 2)
+         END) AS ushape_credit
+  FROM touches
+)
+SELECT channel,
+       count(*) AS n_touches,
+       round(sum(linear_credit), 2) AS linear_credit,
+       round(sum(ushape_credit), 2) AS ushape_credit
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@register("events_multitouch_attribution", oracle=_MTA_ORACLE, tags=("events", "join", "window-fn"))
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution: every purchase's value is credited across
+    ALL the user's clicks in the preceding 7 days — linear (equal split)
+    and U-shaped (40% first touch, 40% last, 20% across the middle)
+    side by side, per channel (a deterministic 5-way split of the
+    event's props.k — the fixture's stand-in for a campaign/source
+    dimension). Completes the attribution family: `events_click_
+    attribution` answers last-click, this answers the budget-allocation
+    question last-click is famously biased on (it starves discovery
+    channels that open journeys).
+
+    Plan: the same user-keyed fact-fact time-range join as the
+    skew-join attribution query (AQE skew-split applies unchanged);
+    position/touch-count windows partition by CONVERSION id — millions
+    of small groups, a hash exchange, never a global sort; credit
+    arithmetic is map-side. Ordering inside a conversion is totalized
+    by (click ts, event_id); all weights are exact CASE fractions and
+    the credits round(2) after summation."""
+    events = load_tables(spark, sf_dir)["events"]
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+        (F.get_json_object("props", "$.k").cast("bigint") % 5).alias("channel"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    touches = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("cts") < F.col("pts"))
+        & (F.col("cts") >= F.col("pts") - F.expr(f"INTERVAL {_MTA_WINDOW_DAYS} DAY")),
+    )
+    from pyspark.sql import Window
+
+    w_pos = Window.partitionBy("conv_id").orderBy("cts", "click_id")
+    w_all = Window.partitionBy("conv_id")
+    credited = touches.select(
+        "channel",
+        "value",
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_all).alias("n_touches"),
+    ).select(
+        "channel",
+        (F.col("value") / F.col("n_touches")).alias("linear_credit"),
+        (
+            F.col("value")
+            * F.when(F.col("n_touches") == 1, 1.0)
+            .when(F.col("n_touches") == 2, 0.5)
+            .when(F.col("pos") == 1, 0.4)
+            .when(F.col("pos") == F.col("n_touches"), 0.4)
+            .otherwise(0.2 / (F.col("n_touches") - 2))
+        ).alias("ushape_credit"),
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("linear_credit"), 2).alias("linear_credit"),
+            F.round(F.sum("ushape_credit"), 2).alias("ushape_credit"),
+        )
+        .orderBy("channel")
+    )
