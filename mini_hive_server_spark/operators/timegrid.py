@@ -686,3 +686,72 @@ def events_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         c7.alias("autocorr_lag7"),
         (c7 > c1).alias("weekly_seasonality"),
     )
+
+
+# ----------------------------------------------- Theil-Sen robust trend
+
+_SEN_ORACLE = """
+WITH m AS (
+  SELECT (CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS BIGINT) * 12
+          + CAST(strftime(CAST(o_orderdate AS DATE), '%m') AS BIGINT)) AS mi,
+         round(sum(o_totalprice), 2) AS rev
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT (b.rev - a.rev) / (b.mi - a.mi) AS slope
+  FROM m a JOIN m b ON a.mi < b.mi
+)
+SELECT (SELECT count(*) FROM m) AS n_months,
+       count(*) AS n_pairs,
+       round(quantile_cont(slope, 0.5), 4) AS sen_slope,
+       round(quantile_cont(slope, 0.5), 4) > 0 AS rising
+FROM pairs
+"""
+
+
+@register("orders_sen_trend", oracle=_SEN_ORACLE, tags=("agg", "stats", "event-time"))
+def orders_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of monthly revenue: the MEDIAN of all
+    pairwise month-to-month slopes — the estimator that shrugs off the
+    outlier months an OLS line (the `events_forecast_holt` /
+    `events_user_activity_zipf` regr_* family) gets dragged by; up to
+    ~29% contamination moves it not at all. The robust-statistics
+    completion of the trend toolkit: OLS for clean series, CUSUM for
+    level SHIFTS, Theil-Sen for the slope when single months lie.
+
+    Plan: the pair relation is a self-join of the MONTH series on an
+    inequality — month cardinality is CALENDAR-bounded (it grows with
+    wall-clock span, never with data volume), so the broadcast
+    nested-loop pairing is O(months²) ≈ thousands of rows at any SF;
+    the revenue reduction to months is the only data-sized pass. Slopes
+    divide round(2) revenues by integer month gaps — engine-identical
+    doubles — and the median interpolates identically before round(4)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    m = (
+        orders.groupBy(
+            (
+                F.year(F.col("o_orderdate").cast("date")) * 12
+                + F.month(F.col("o_orderdate").cast("date"))
+            ).alias("mi")
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    )
+    a = m.select(F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a"))
+    b = m.select(F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b"))
+    pairs = a.join(
+        F.broadcast(b), F.col("mi_a") < F.col("mi_b")
+    ).select(
+        (
+            (F.col("rev_b") - F.col("rev_a"))
+            / (F.col("mi_b") - F.col("mi_a"))
+        ).alias("slope")
+    )
+    n_months = m.agg(F.count(F.lit(1)).alias("n_months"))
+    sen = F.round(F.expr("percentile(slope, 0.5)"), 4)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        sen.alias("sen_slope"),
+        (sen > 0).alias("rising"),
+    ).crossJoin(F.broadcast(n_months)).select(
+        "n_months", "n_pairs", "sen_slope", "rising"
+    )

@@ -61,6 +61,7 @@ _BNLJ_BOUNDED = {
     "orders_winsorized_stats",  # 1-row p01/p99 cut-points crossed
     "events_key_skew_report",  # bucket rows x 1-row skew summary
     "retrieval_rrf_hybrid",  # 1-row corpus stats + 1-row query vector crossed
+    "orders_sen_trend",  # month-series self-pairing (calendar-bounded) + 1-row count
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
