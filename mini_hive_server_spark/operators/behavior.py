@@ -2606,3 +2606,101 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("channel")
     )
+
+
+# ------------------------------------------- Mann-Whitney U (rank test)
+
+_MWU_ORACLE = """
+WITH p AS (
+  SELECT round(value, 2) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('click', 'view')
+),
+vals AS (
+  SELECT v, CAST(sum(ia) AS BIGINT) AS cnt_a, count(*) AS cnt
+  FROM p GROUP BY v
+),
+c AS (
+  SELECT v, cnt_a, cnt,
+         sum(cnt) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum
+  FROM vals
+),
+s AS (
+  SELECT CAST(sum(cnt_a) AS BIGINT) AS n_a,
+         CAST(sum(cnt - cnt_a) AS BIGINT) AS n_b,
+         CAST(sum(cnt) AS BIGINT) AS nn,
+         sum(cnt_a * (cum - cnt + (cnt + 1) / 2.0)) AS r_a,
+         sum(CAST(cnt AS DOUBLE) * cnt * cnt - cnt) AS tie
+  FROM c
+),
+u AS (
+  SELECT n_a, n_b, nn,
+         r_a - n_a * (n_a + 1) / 2.0 AS u_a,
+         sqrt(n_a * CAST(n_b AS DOUBLE) / 12.0
+              * ((nn + 1) - tie / (nn * (nn - 1.0)))) AS sigma
+  FROM s
+)
+SELECT n_a, n_b,
+       round(u_a, 2) AS u_stat,
+       round((u_a - n_a * CAST(n_b AS DOUBLE) / 2.0) / sigma, 4) AS z,
+       abs((u_a - n_a * CAST(n_b AS DOUBLE) / 2.0) / sigma) > 1.96
+         AS significant_95
+FROM u
+"""
+
+
+@register("events_abtest_mannwhitney", oracle=_MWU_ORACLE, tags=("events", "stats", "window-fn"))
+def events_abtest_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U on the click-vs-view arms — the NONPARAMETRIC
+    member the A/B suite (`events_abtest_{ttest,srm,power,cuped}`)
+    lacked: rank-based, so heavy-tailed revenue-style metrics that
+    violate the t-test's normality assumption still get a valid test.
+    Tie-midranked with the standard tie-corrected normal approximation.
+
+    Plan — and a third anchor for `ranking.global_cumsum`: pooled rows
+    reduce to the DISTINCT-rounded-value relation (one partial-agg'd
+    shuffle), midranks come from the distributed prefix-sum of tie-group
+    counts over the value order (NO single-partition window even if the
+    value domain is data-sized), and the test statistic is one final
+    1-row aggregate. Exactness: midranks are .5-granular doubles and
+    every product/sum stays below 2^53 at fixture scale, so R_a, U and
+    z are engine-identical before their rounds."""
+    from .ranking import global_cumsum
+
+    events = load_tables(spark, sf_dir)["events"]
+    p = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.round("value", 2).alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+    )
+    vals = p.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("cnt_a"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    c = global_cumsum(vals, ["v"], "cnt", cumsum_col="cum")
+    mid = F.col("cum") - F.col("cnt") + (F.col("cnt") + 1) / 2.0
+    s = c.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum(F.col("cnt") - F.col("cnt_a")).cast("bigint").alias("n_b"),
+        F.sum("cnt").cast("bigint").alias("nn"),
+        F.sum(F.col("cnt_a") * mid).alias("r_a"),
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie"),
+    )
+    u_a = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n_a") * F.col("n_b").cast("double") / 12.0
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie") / (F.col("nn") * (F.col("nn") - 1.0))
+        )
+    )
+    z = (u_a - F.col("n_a") * F.col("n_b").cast("double") / 2.0) / sigma
+    return s.select(
+        "n_a",
+        "n_b",
+        F.round(u_a, 2).alias("u_stat"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )
