@@ -2704,3 +2704,100 @@ def events_abtest_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+# --------------------------------------- Kolmogorov-Smirnov two-sample
+
+_KS_ORACLE = """
+WITH p AS (
+  SELECT round(value, 2) AS v,
+         CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+  FROM events WHERE event_type IN ('click', 'view')
+),
+vals AS (
+  SELECT v, CAST(sum(ia) AS BIGINT) AS cnt_a,
+         CAST(count(*) - sum(ia) AS BIGINT) AS cnt_b
+  FROM p GROUP BY v
+),
+c AS (
+  SELECT v,
+         sum(cnt_a) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_a,
+         sum(cnt_b) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum_b
+  FROM vals
+),
+s AS (
+  SELECT (SELECT sum(cnt_a) FROM vals) AS n_a,
+         (SELECT sum(cnt_b) FROM vals) AS n_b
+),
+d AS (
+  SELECT max(abs(CAST(cum_a AS DOUBLE) / n_a - CAST(cum_b AS DOUBLE) / n_b))
+           AS d_stat
+  FROM c, s
+)
+SELECT CAST(s.n_a AS BIGINT) AS n_a,
+       CAST(s.n_b AS BIGINT) AS n_b,
+       round(d.d_stat, 6) AS d_stat,
+       round(1.358 * sqrt((s.n_a + CAST(s.n_b AS DOUBLE))
+                          / (s.n_a * CAST(s.n_b AS DOUBLE))), 6) AS d_crit_95,
+       d.d_stat > 1.358 * sqrt((s.n_a + CAST(s.n_b AS DOUBLE))
+                               / (s.n_a * CAST(s.n_b AS DOUBLE)))
+         AS distributions_differ_95
+FROM d, s
+"""
+
+
+@register("events_abtest_ks", oracle=_KS_ORACLE, tags=("events", "stats", "window-fn"))
+def events_abtest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov on the click-vs-view arms: the max
+    gap between the two empirical CDFs, against the 95% critical value
+    c(α)·sqrt((n_a+n_b)/(n_a·n_b)) — the WHOLE-DISTRIBUTION test
+    completing the comparison trio (t-test: means; Mann-Whitney: ranks;
+    KS: any distributional difference, including variance/shape shifts
+    the other two are blind to).
+
+    Plan: the same distinct-rounded-value reduction as the rank test,
+    then BOTH arms' cumulative counts come from ONE
+    `ranking.global_cumsum` call (the multi-column prefix-sum: one range
+    exchange, one offsets fold, two running sums), a map-side CDF-gap
+    projection, and a 1-row max. Exactness: CDF values are
+    integer/integer divisions of identical longs — engine-identical
+    doubles — and the max over identical sets is exact before round(6)."""
+    from .ranking import global_cumsum
+
+    events = load_tables(spark, sf_dir)["events"]
+    p = events.filter(F.col("event_type").isin("click", "view")).select(
+        F.round("value", 2).alias("v"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+    )
+    vals = p.groupBy("v").agg(
+        F.sum("ia").cast("bigint").alias("cnt_a"),
+        (F.count(F.lit(1)) - F.sum("ia")).cast("bigint").alias("cnt_b"),
+    )
+    c = global_cumsum(
+        vals, ["v"], ["cnt_a", "cnt_b"], cumsum_col=["cum_a", "cum_b"]
+    )
+    totals = vals.agg(
+        F.sum("cnt_a").cast("bigint").alias("n_a"),
+        F.sum("cnt_b").cast("bigint").alias("n_b"),
+    )
+    gaps = c.crossJoin(F.broadcast(totals)).select(
+        "n_a",
+        "n_b",
+        F.abs(
+            F.col("cum_a").cast("double") / F.col("n_a")
+            - F.col("cum_b").cast("double") / F.col("n_b")
+        ).alias("gap"),
+    )
+    d_crit = 1.358 * F.sqrt(
+        (F.col("n_a") + F.col("n_b").cast("double"))
+        / (F.col("n_a") * F.col("n_b").cast("double"))
+    )
+    return gaps.groupBy("n_a", "n_b").agg(
+        F.max("gap").alias("d_raw")
+    ).select(
+        "n_a",
+        "n_b",
+        F.round("d_raw", 6).alias("d_stat"),
+        F.round(d_crit, 6).alias("d_crit_95"),
+        (F.col("d_raw") > d_crit).alias("distributions_differ_95"),
+    )

@@ -80,39 +80,48 @@ def _ranged(df: DataFrame, cols: list[Column], num_partitions: int | None) -> Da
 
 
 def _prefix_offsets(
-    ranged: DataFrame, per_partition: Column, with_total: bool
+    ranged: DataFrame,
+    per_partition: dict[str, Column],
+    with_total: bool,
 ) -> DataFrame:
-    """(pid → sum of ``per_partition`` over all LOWER pids)[, total] — the
-    prefix fold over the P-row per-partition aggregate. P is bounded by
-    parallelism, not data: one ObjectHashAggregate over P rows, zero
-    driver collects, zero windows."""
+    """(pid → sum of each ``per_partition`` aggregate over all LOWER
+    pids)[, total of the first] — the prefix fold over the P-row
+    per-partition aggregates. P is bounded by parallelism, not data: one
+    ObjectHashAggregate over P rows, zero driver collects, zero windows.
+    ``per_partition`` maps OUTPUT offset-column name → per-partition
+    aggregate; several prefix sums share the one fold."""
+    names = list(per_partition)
     packed = (
         ranged.groupBy(_PID)
-        .agg(per_partition.alias("_m"))
-        .agg(F.collect_list(F.struct(_PID, "_m")).alias("pc"))
+        .agg(*[col.alias(n) for n, col in per_partition.items()])
+        .agg(F.collect_list(F.struct(_PID, *names)).alias("pc"))
     )
-    sel = [
-        F.explode(
-            F.transform(
-                "pc",
-                lambda x: F.struct(
-                    x[_PID].alias(_PID),
-                    F.aggregate(
-                        F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
-                        F.lit(0).cast("bigint"),
-                        lambda acc, y: acc + y["_m"],
-                    ).alias(_OFF),
-                ),
+
+    def _merge(n):
+        # closure factory: a default-arg lambda would read as 3-parameter
+        # to PySpark's higher-order-function arity inspection
+        return lambda acc, y: acc + y[n]
+
+    def offsets_struct(x):
+        fields = [x[_PID].alias(_PID)]
+        for n in names:
+            fields.append(
+                F.aggregate(
+                    F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
+                    F.lit(0).cast("bigint"),
+                    _merge(n),
+                ).alias(n)
             )
-        ).alias("o")
-    ]
-    out_cols = [f"o.{_PID}", f"o.{_OFF}"]
+        return F.struct(*fields)
+
+    sel = [F.explode(F.transform("pc", offsets_struct)).alias("o")]
+    out_cols = [f"o.{_PID}"] + [f"o.{n}" for n in names]
     if with_total:
         sel.append(
             F.aggregate(
                 F.col("pc"),
                 F.lit(0).cast("bigint"),
-                lambda acc, y: acc + y["_m"],
+                lambda acc, y: acc + y[names[0]],
             ).alias(_TOT)
         )
         out_cols.append(_TOT)
@@ -136,7 +145,9 @@ def global_row_number(
         "__rng_lrk", F.row_number().over(Window.partitionBy(_PID).orderBy(*cols))
     )
     offsets = _prefix_offsets(
-        ranged, F.count(F.lit(1)).cast("bigint"), with_total=bool(total_col)
+        ranged,
+        {_OFF: F.count(F.lit(1)).cast("bigint")},
+        with_total=bool(total_col),
     )
     out = local.join(F.broadcast(offsets), _PID).withColumn(
         rank_col, (F.col(_OFF) + F.col("__rng_lrk")).cast("bigint")
@@ -180,33 +191,46 @@ def global_ntile(
 def global_cumsum(
     df: DataFrame,
     order_cols,
-    value_col: str,
-    cumsum_col: str = "cum",
+    value_col,
+    cumsum_col="cum",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Exact INCLUSIVE running sum of ``value_col`` over the total order
-    ``order_cols`` — the distributed prefix-sum: the same skeleton as
-    ``global_row_number`` with the offsets carrying per-partition VALUE
-    sums instead of row counts. Exact for integral values (the intended
-    domain: token counts, byte sizes); float inputs would re-associate
-    the summation order."""
+    """Exact INCLUSIVE running sum(s) of ``value_col`` over the total
+    order ``order_cols`` — the distributed prefix-sum: the same skeleton
+    as ``global_row_number`` with the offsets carrying per-partition
+    VALUE sums instead of row counts. Pass lists for ``value_col`` /
+    ``cumsum_col`` to compute several prefix sums off ONE range exchange
+    and one offsets fold. Exact for integral values (the intended
+    domain: token counts, arm counts, byte sizes); float inputs would
+    re-associate the summation order."""
+    value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
+    cumsum_cols = (
+        [cumsum_col] if isinstance(cumsum_col, str) else list(cumsum_col)
+    )
+    if len(value_cols) != len(cumsum_cols):
+        raise ValueError("value_col and cumsum_col lengths differ")
     cols = _cols(order_cols)
     ranged = _ranged(df, cols, num_partitions)
-    local = ranged.withColumn(
-        "__cs_local",
-        F.sum(value_col).over(
-            Window.partitionBy(_PID)
-            .orderBy(*cols)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    w_run = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    local = ranged
+    for v in value_cols:
+        local = local.withColumn(f"__cs_{v}", F.sum(v).over(w_run))
     offsets = _prefix_offsets(
-        ranged, F.sum(value_col).cast("bigint"), with_total=False
+        ranged,
+        {f"__off_{v}": F.sum(v).cast("bigint") for v in value_cols},
+        with_total=False,
     )
-    return (
-        local.join(F.broadcast(offsets), _PID)
-        .withColumn(
-            cumsum_col, (F.col(_OFF) + F.col("__cs_local")).cast("bigint")
+    out = local.join(F.broadcast(offsets), _PID)
+    for v, c in zip(value_cols, cumsum_cols):
+        out = out.withColumn(
+            c, (F.col(f"__off_{v}") + F.col(f"__cs_{v}")).cast("bigint")
         )
-        .drop(_PID, "__cs_local", _OFF)
+    return out.drop(
+        _PID,
+        *[f"__cs_{v}" for v in value_cols],
+        *[f"__off_{v}" for v in value_cols],
     )

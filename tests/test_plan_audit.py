@@ -62,6 +62,7 @@ _BNLJ_BOUNDED = {
     "events_key_skew_report",  # bucket rows x 1-row skew summary
     "retrieval_rrf_hybrid",  # 1-row corpus stats + 1-row query vector crossed
     "orders_sen_trend",  # month-series self-pairing (calendar-bounded) + 1-row count
+    "events_abtest_ks",  # CDF rows x 1-row arm totals crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
