@@ -2801,3 +2801,100 @@ def events_abtest_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_crit, 6).alias("d_crit_95"),
         (F.col("d_raw") > d_crit).alias("distributions_differ_95"),
     )
+
+
+# ------------------------------------- two-proportion z-test on cohorts
+
+_PROP_THRESHOLD = 15  # "heavy purchaser": >= 15 purchase events
+
+_FUNNEL_SIG_ORACLE = f"""
+WITH pc AS (
+  SELECT user_id, user_id % 2 AS cohort,
+         CASE WHEN count(*) FILTER (WHERE event_type = 'purchase')
+                   >= {_PROP_THRESHOLD} THEN 1 ELSE 0 END AS heavy
+  FROM events
+  GROUP BY user_id
+),
+g AS (
+  SELECT cohort, count(*) AS n_users, CAST(sum(heavy) AS BIGINT) AS n_heavy
+  FROM pc GROUP BY cohort
+),
+a AS (SELECT * FROM g WHERE cohort = 0),
+b AS (SELECT * FROM g WHERE cohort = 1),
+s AS (
+  SELECT a.n_users AS n1, a.n_heavy AS x1,
+         b.n_users AS n2, b.n_heavy AS x2,
+         CAST(a.n_heavy AS DOUBLE) / a.n_users AS p1,
+         CAST(b.n_heavy AS DOUBLE) / b.n_users AS p2,
+         CAST(a.n_heavy + b.n_heavy AS DOUBLE)
+           / (a.n_users + b.n_users) AS pp
+  FROM a, b
+)
+SELECT CAST(n1 AS BIGINT) AS n1, x1, round(p1, 6) AS rate_a,
+       CAST(n2 AS BIGINT) AS n2, x2, round(p2, 6) AS rate_b,
+       round((p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2)), 4)
+         AS z,
+       abs((p1 - p2) / sqrt(pp * (1 - pp) * (1.0 / n1 + 1.0 / n2))) > 1.96
+         AS significant_95
+FROM s
+"""
+
+
+@register("events_proportion_ztest", oracle=_FUNNEL_SIG_ORACLE, tags=("events", "stats", "agg"))
+def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between the odd/even user cohorts on a
+    binary metric — share of heavy purchasers (>= 15 purchase events) —
+    with the pooled-proportion standard error: the test every
+    experimentation readout runs on its conversion-RATE metrics, which
+    the suite's continuous-metric tests (t, Mann-Whitney, KS) don't
+    cover. The metric is deliberately a thresholded count, not a bare
+    did-X flag: with ~100 events per fixture user every bare flag
+    saturates to 1, p̂(1-p̂) collapses to 0, and the z denominator
+    degenerates (found by the ANSI divide-by-zero guard in testing —
+    the fixture's lesson that proportion tests need interior rates).
+
+    Plan: one user-keyed conditional aggregate collapses events to a
+    per-user flag, one 2-row cohort aggregate, then pure scalar
+    arithmetic on a 1-row join of the two cohorts. Rates are single
+    IEEE divisions of identical longs; z rounds at 4."""
+    events = load_tables(spark, sf_dir)["events"]
+    pc = events.groupBy("user_id").agg(
+        F.when(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            >= _PROP_THRESHOLD,
+            1,
+        )
+        .otherwise(0)
+        .alias("heavy")
+    ).select((F.col("user_id") % 2).alias("cohort"), "heavy")
+    g = pc.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("heavy").cast("bigint").alias("n_heavy"),
+    )
+    a = g.filter(F.col("cohort") == 0).select(
+        F.col("n_users").alias("n1"), F.col("n_heavy").alias("x1")
+    )
+    b = g.filter(F.col("cohort") == 1).select(
+        F.col("n_users").alias("n2"), F.col("n_heavy").alias("x2")
+    )
+    s = a.crossJoin(F.broadcast(b))
+    p1 = F.col("x1").cast("double") / F.col("n1")
+    p2 = F.col("x2").cast("double") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")).cast("double") / (
+        F.col("n1") + F.col("n2")
+    )
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1.0 / F.col("n1") + 1.0 / F.col("n2"))
+    )
+    return s.select(
+        "n1",
+        "x1",
+        F.round(p1, 6).alias("rate_a"),
+        "n2",
+        "x2",
+        F.round(p2, 6).alias("rate_b"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant_95"),
+    )

@@ -63,6 +63,7 @@ _BNLJ_BOUNDED = {
     "retrieval_rrf_hybrid",  # 1-row corpus stats + 1-row query vector crossed
     "orders_sen_trend",  # month-series self-pairing (calendar-bounded) + 1-row count
     "events_abtest_ks",  # CDF rows x 1-row arm totals crossed
+    "events_proportion_ztest",  # two 1-row cohort aggregates crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
