@@ -2898,3 +2898,116 @@ def events_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant_95"),
     )
+
+
+# --------------------------------------- Benjamini-Hochberg FDR control
+
+# Two-sided |z| thresholds for p = k/m * alpha with m=5 hypotheses,
+# alpha=0.05: p in {0.01, 0.02, 0.03, 0.04, 0.05}. Hardcoded inverse
+# -normal constants keep both engines erf-free and bit-identical.
+_BH_Z = ("2.5758", "2.3263", "2.1701", "2.0537", "1.9600")
+
+_BH_CASE = (
+    "CASE rnk "
+    + " ".join(f"WHEN {i + 1} THEN {z}" for i, z in enumerate(_BH_Z))
+    + " END"
+)
+
+_BH_ORACLE = f"""
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         avg(value) AS mean, var_samp(value) AS var
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT count(*) AS n_all, avg(value) AS mean_all, var_samp(value) AS var_all
+  FROM events
+),
+hyp AS (
+  SELECT event_type,
+         round(abs((g.mean - tot.mean_all)
+               / sqrt(g.var / g.n + tot.var_all / tot.n_all)), 4) AS abs_z
+  FROM g, tot
+),
+ranked AS (
+  SELECT event_type, abs_z,
+         row_number() OVER (ORDER BY abs_z DESC, event_type) AS rnk
+  FROM hyp
+),
+cut AS (
+  SELECT coalesce(max(rnk), 0) AS k_max
+  FROM ranked WHERE abs_z >= {_BH_CASE}
+)
+SELECT event_type, abs_z, CAST(rnk AS BIGINT) AS rnk,
+       round(CAST({_BH_CASE} AS DOUBLE), 4) AS z_threshold,
+       rnk <= k_max AS rejected
+FROM ranked, cut
+ORDER BY rnk
+"""
+
+
+@register("events_bh_fdr_control", oracle=_BH_ORACLE, tags=("events", "stats"))
+def events_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control across the family of per-type mean
+    hypotheses ("does this event type's mean value differ from the
+    corpus mean?"): rank the |z| statistics, compare each against its
+    step-up threshold (the inverse-normal of k/m·α, hardcoded so no erf
+    is needed engine-side), and reject every hypothesis at or above the
+    LARGEST rank that clears its threshold — the step-up rule. This is
+    the guardrail the A/B suite needed once it grew to many tests: per
+    -test α=0.05 across m tests inflates false positives; BH bounds the
+    expected false-discovery RATE instead.
+
+    Plan: one type-cardinality aggregate + one 1-row grand aggregate
+    build the hypothesis relation (m = event-type arity, bounded by
+    schema, NOT data) — so the ranking window and the step-up max run
+    over m rows by construction. The z denominators are single IEEE
+    ops on round-free moments, with |z| rounded at 4 BEFORE ranking so
+    rank order is engine-identical."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    tot = events.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.avg("value").alias("mean_all"),
+        F.var_samp("value").alias("var_all"),
+    )
+    hyp = g.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.round(
+            F.abs(
+                (F.col("mean") - F.col("mean_all"))
+                / F.sqrt(
+                    F.col("var") / F.col("n")
+                    + F.col("var_all") / F.col("n_all")
+                )
+            ),
+            4,
+        ).alias("abs_z"),
+    )
+    w = Window.orderBy(F.col("abs_z").desc(), "event_type")
+    ranked = hyp.select(
+        "event_type", "abs_z", F.row_number().over(w).alias("rnk")
+    )
+    thresh = F.expr(_BH_CASE)
+    cut = ranked.filter(F.col("abs_z") >= thresh).agg(
+        F.coalesce(F.max("rnk"), F.lit(0)).alias("k_max")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(cut))
+        .select(
+            "event_type",
+            "abs_z",
+            F.col("rnk").cast("bigint").alias("rnk"),
+            # decimal-literal CASE -> cast: Spark and DuckDB both parse
+            # 2.5758-style literals as DECIMAL (the skill-documented trap)
+            F.round(thresh.cast("double"), 4).alias("z_threshold"),
+            (F.col("rnk") <= F.col("k_max")).alias("rejected"),
+        )
+        .orderBy("rnk")
+    )

@@ -64,6 +64,7 @@ _BNLJ_BOUNDED = {
     "orders_sen_trend",  # month-series self-pairing (calendar-bounded) + 1-row count
     "events_abtest_ks",  # CDF rows x 1-row arm totals crossed
     "events_proportion_ztest",  # two 1-row cohort aggregates crossed
+    "events_bh_fdr_control",  # 1-row grand moments + 1-row step-up cut crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
@@ -107,6 +108,7 @@ _SINGLE_PARTITION_BOUNDED = {
     "customer_ltv_pareto",  # cum-share window over exactly 10 decile rows
     "events_autocorr_daily",  # day-cardinality series (calendar-bounded)
     "source_compaction_planner",  # file-group rows (metadata-cardinality)
+    "events_bh_fdr_control",  # hypothesis family = event-type arity (schema-bounded)
 }
 
 _NODE_HEAD = ("Sort [", "Window [", "WindowGroupLimit [")
