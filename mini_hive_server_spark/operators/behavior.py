@@ -3011,3 +3011,99 @@ def events_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rnk")
     )
+
+
+# ------------------------------------- empirical-Bayes mean shrinkage
+
+_EB_ORACLE = """
+WITH g AS (
+  SELECT event_type, count(*) AS n,
+         avg(value) AS mean, var_samp(value) AS var
+  FROM events GROUP BY event_type
+),
+tot AS (
+  SELECT sum(n * mean) / sum(n) AS grand,
+         avg(var / n) AS v_bar,
+         count(*) AS m
+  FROM g
+),
+tau AS (
+  SELECT greatest(
+           sum((g.mean - tot.grand) * (g.mean - tot.grand)) / (tot.m - 1)
+             - tot.v_bar,
+           0.0) AS tau2
+  FROM g, tot
+  GROUP BY tot.m, tot.v_bar
+)
+SELECT g.event_type,
+       g.n,
+       round(g.mean, 6) AS raw_mean,
+       round(tau.tau2 / (tau.tau2 + g.var / g.n), 6) AS shrink_weight,
+       round(tot.grand + tau.tau2 / (tau.tau2 + g.var / g.n)
+                         * (g.mean - tot.grand), 6) AS shrunk_mean
+FROM g, tot, tau
+ORDER BY g.event_type
+"""
+
+
+@register("events_eb_shrunk_means", oracle=_EB_ORACLE, tags=("events", "stats", "agg"))
+def events_eb_shrunk_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (parametric, method-of-moments) shrinkage of the
+    per-event-type mean values toward the grand mean: each group's
+    estimate moves by weight τ²/(τ² + σ²ᵢ/nᵢ) — noisy small groups
+    shrink hard, precise big groups barely move. This is the estimator
+    behind every per-segment metric dashboard that doesn't want its
+    smallest segment topping the leaderboard on noise, and the
+    James-Stein-flavored sibling of the suite's testing queries:
+    BH says WHICH segments differ, shrinkage says by HOW MUCH once
+    noise is priced in. τ² is the moments estimate (between-group
+    variance minus mean sampling variance, floored at 0 — the floor
+    collapses all groups to the grand mean when between-group spread is
+    pure noise).
+
+    Plan: one type-cardinality moment aggregate; the grand/τ² reductions
+    run over m = event-type-arity rows (schema-bounded); output is pure
+    scalar arithmetic broadcast back. All quantities derive from the
+    same raw moments in both engines, with rounding only at the
+    output."""
+    events = load_tables(spark, sf_dir)["events"]
+    g = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    tot = g.agg(
+        (F.sum(F.col("n") * F.col("mean")) / F.sum("n")).alias("grand"),
+        F.avg(F.col("var") / F.col("n")).alias("v_bar"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    tau = (
+        g.crossJoin(F.broadcast(tot))
+        .agg(
+            F.greatest(
+                F.sum(
+                    (F.col("mean") - F.col("grand"))
+                    * (F.col("mean") - F.col("grand"))
+                )
+                / (F.max("m") - 1)
+                - F.max("v_bar"),
+                F.lit(0.0),
+            ).alias("tau2")
+        )
+    )
+    w_shrink = F.col("tau2") / (F.col("tau2") + F.col("var") / F.col("n"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tau))
+        .select(
+            "event_type",
+            "n",
+            F.round("mean", 6).alias("raw_mean"),
+            F.round(w_shrink, 6).alias("shrink_weight"),
+            F.round(
+                F.col("grand") + w_shrink * (F.col("mean") - F.col("grand")),
+                6,
+            ).alias("shrunk_mean"),
+        )
+        .orderBy("event_type")
+    )

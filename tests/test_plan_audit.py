@@ -65,6 +65,7 @@ _BNLJ_BOUNDED = {
     "events_abtest_ks",  # CDF rows x 1-row arm totals crossed
     "events_proportion_ztest",  # two 1-row cohort aggregates crossed
     "events_bh_fdr_control",  # 1-row grand moments + 1-row step-up cut crossed
+    "events_eb_shrunk_means",  # 1-row grand/v_bar + 1-row tau2 crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
