@@ -731,3 +731,96 @@ def orders_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             count_if(F.col("o_totalprice") > F.col("p99")).alias("n_clipped_high"),
         )
     )
+
+
+# ----------------------------------------------------- ABC classification
+
+_ABC_ORACLE = """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  * CAST(round((1 - l_discount) * 100, 0) AS BIGINT))
+           AS BIGINT) AS rev_u
+  FROM lineitem GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_u) AS BIGINT) AS t FROM per_part),
+cum AS (
+  SELECT rev_u,
+         CAST(sum(rev_u) OVER (ORDER BY rev_u DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_u
+  FROM per_part
+),
+classed AS (
+  SELECT rev_u,
+         CASE WHEN cum_u * 5 <= t * 4 THEN 'A'
+              WHEN cum_u * 20 <= t * 19 THEN 'B'
+              ELSE 'C' END AS abc_class
+  FROM cum CROSS JOIN tot
+)
+SELECT abc_class,
+       count(*) AS n_parts,
+       round(sum(rev_u) / 10000.0, 2) AS revenue,
+       round(sum(rev_u) * 1.0 / max(t), 4) AS revenue_share
+FROM classed CROSS JOIN tot
+GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+@register("orders_abc_analysis", oracle=_ABC_ORACLE, tags=("orders", "agg", "stats"))
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by realized revenue,
+    class A = parts inside the first 80% of cumulative revenue, B = the
+    next 15% (to 95%), C = the tail — the Pareto workhorse of inventory
+    and catalog management (`customer_ltv_pareto` buckets by ntile,
+    i.e. equal-COUNT deciles; ABC cuts by cumulative VALUE share, so
+    class sizes are data-driven).
+
+    Plan: one partkey-keyed partial agg collapses lineitem to parts,
+    then the cumulative revenue comes from `ranking.global_cumsum` — the
+    range-partitioned exact prefix-sum, no single-partition window over
+    the SF-proportional part relation. Each line's revenue is fixed to
+    INTEGER units BEFORE any summation (price-cents x discount-percent,
+    both exact 2-decimal encodings -> bigint), so per-part revenues and
+    the cumulative totals are EXACT on both engines in ANY summation
+    order (round-after-float-sum flips cents at .xx5 boundaries when
+    partial-agg order differs — observed at this very query's first
+    cut) and the 80/95% boundaries are integer comparisons
+    (cum*5 <= 4*total), bit-identical cross-engine. The 1-row grand
+    total crosses back broadcast."""
+    from .ranking import global_cumsum
+
+    lineitem = load_tables(spark, sf_dir)["lineitem"]
+    per_part = lineitem.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+            * F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("rev_u")
+    )
+    tot = per_part.agg(F.sum("rev_u").cast("bigint").alias("t"))
+    cum = global_cumsum(
+        per_part,
+        [F.col("rev_u").desc(), F.col("l_partkey")],
+        "rev_u",
+        "cum_u",
+    )
+    classed = cum.crossJoin(F.broadcast(tot)).withColumn(
+        "abc_class",
+        F.when(F.col("cum_u") * 5 <= F.col("t") * 4, F.lit("A"))
+        .when(F.col("cum_u") * 20 <= F.col("t") * 19, F.lit("B"))
+        .otherwise(F.lit("C")),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.sum("rev_u") / 10000.0, 2).alias("revenue"),
+            F.round(F.sum("rev_u") / F.max("t"), 4).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("abc_class")
+    )

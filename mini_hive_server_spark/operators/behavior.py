@@ -3107,3 +3107,246 @@ def events_eb_shrunk_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --------------------------------------- chi-square test of independence
+
+_CHISQ_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(date_part('hour', CAST(ts AS TIMESTAMP)) // 6 AS BIGINT)
+           AS daypart,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rows_ AS (
+  SELECT event_type, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1
+),
+cols_ AS (
+  SELECT daypart, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1
+),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+contrib AS (
+  SELECT cells.o,
+         round(rows_.r * cols_.c * 1.0 / tot.n, 6) AS e
+  FROM cells
+  JOIN rows_ USING (event_type)
+  JOIN cols_ USING (daypart)
+  CROSS JOIN tot
+),
+stat AS (
+  SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+         (SELECT count(*) FROM rows_) AS n_rows,
+         (SELECT count(*) FROM cols_) AS n_cols,
+         (SELECT n FROM tot) AS n_total
+  FROM contrib
+)
+SELECT n_rows, n_cols, n_total,
+       CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+       chi2,
+       round(sqrt(chi2 / (n_total * least(n_rows - 1, n_cols - 1))), 4)
+         AS cramers_v,
+       chi2 > 21.03 AS significant_05
+FROM stat
+"""
+
+
+@register(
+    "events_chisq_independence",
+    oracle=_CHISQ_ORACLE,
+    tags=("events", "agg", "stats"),
+)
+def events_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the event_type x
+    daypart (hour // 6: night/morning/afternoon/evening) contingency
+    table, with Cramer's V effect size — the categorical-association
+    screen the A/B suite lacks (t/z/KS/MWU all need a numeric metric;
+    this one answers "does WHEN depend on WHAT"). 21.03 is the
+    chi-square 5% critical value at the fixture's (5-1)x(4-1)=12 dof;
+    the dof column keeps the threshold honest if the type arity drifts.
+
+    Plan: one partial-agg'd shuffle to the R x C cell grid (bounded by
+    type-arity x 4 BY CONSTRUCTION, not SF); marginals are re-aggregates
+    of the cells and rejoin the grid as broadcast hash joins; the 1-row
+    total crosses back broadcast. Expected counts are pre-rounded at 6
+    so each cell's contribution compares identical operands cross-engine
+    before the final round at 4."""
+    events = load_tables(spark, sf_dir)["events"]
+    cells = events.groupBy(
+        "event_type",
+        (F.hour("ts").cast("bigint") / 6).cast("bigint").alias("daypart"),
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("event_type").agg(
+        F.sum("o").cast("bigint").alias("r")
+    )
+    cols_ = cells.groupBy("daypart").agg(F.sum("o").cast("bigint").alias("c"))
+    tot = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    contrib = (
+        cells.join(F.broadcast(rows_), "event_type")
+        .join(F.broadcast(cols_), "daypart")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o",
+            F.round(F.col("r") * F.col("c") / F.col("n"), 6).alias("e"),
+        )
+    )
+    stat = contrib.agg(
+        F.round(
+            F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")),
+            4,
+        ).alias("chi2")
+    )
+    dims = (
+        rows_.agg(F.count(F.lit(1)).alias("n_rows"))
+        .crossJoin(F.broadcast(cols_.agg(F.count(F.lit(1)).alias("n_cols"))))
+        .crossJoin(F.broadcast(tot.select(F.col("n").alias("n_total"))))
+    )
+    return stat.crossJoin(F.broadcast(dims)).select(
+        "n_rows",
+        "n_cols",
+        "n_total",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("bigint")
+        .alias("dof"),
+        "chi2",
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n_total")
+                    * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+                )
+            ),
+            4,
+        ).alias("cramers_v"),
+        (F.col("chi2") > 21.03).alias("significant_05"),
+    )
+
+
+# ------------------------------------------- Kaplan-Meier survival curve
+
+_KM_ORACLE = """
+WITH horizon AS (
+  SELECT max(CAST(o_orderdate AS TIMESTAMP)) AS obs_end FROM orders
+),
+per_cust AS (
+  SELECT o_custkey,
+         min(CAST(o_orderdate AS TIMESTAMP)) AS first_o,
+         max(CAST(o_orderdate AS TIMESTAMP)) AS last_o
+  FROM orders GROUP BY 1
+),
+labeled AS (
+  SELECT date_diff('day', p.first_o, p.last_o) // 30 AS dur_month,
+         CASE WHEN date_diff('day', p.last_o, h.obs_end) > 365
+              THEN 1 ELSE 0 END AS churned
+  FROM per_cust p CROSS JOIN horizon h
+),
+axis AS (
+  SELECT dur_month,
+         CAST(sum(churned) AS BIGINT) AS d,
+         CAST(sum(1 - churned) AS BIGINT) AS c
+  FROM labeled GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM labeled),
+at_risk AS (
+  SELECT dur_month, d, c,
+         CAST(t - coalesce(sum(d + c) OVER (ORDER BY dur_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS n_at_risk
+  FROM axis CROSS JOIN tot
+),
+factors AS (
+  SELECT dur_month, n_at_risk, d, c,
+         round(1.0 - d * 1.0 / n_at_risk, 6) AS factor
+  FROM at_risk
+)
+SELECT dur_month, n_at_risk, d AS n_churned, c AS n_censored,
+       round(exp(sum(ln(greatest(factor, 1e-12))) OVER (ORDER BY dur_month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 4)
+         AS survival
+FROM factors
+ORDER BY dur_month
+"""
+
+
+@register(
+    "customers_kaplan_meier",
+    oracle=_KM_ORACLE,
+    tags=("orders", "stats", "window-fn"),
+)
+def customers_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of customer lifetime (months from
+    first to last order), right-censoring customers still active within
+    365 days of the observation horizon — the nonparametric survival
+    estimator completing the churn family: `customers_churn_census`
+    counts WHO is gone, `events_conversion_hazard` gives the per-day
+    hazard; this gives S(t), the probability a customer relationship
+    SURVIVES past t months, correct under censoring (naive churn rates
+    over-count customers whose history was simply cut off by the
+    horizon).
+
+    S(t) = prod_{u<=t} (1 - d_u / n_u) with d_u = churn events at
+    lifetime u and n_u = at-risk count (everyone whose lifetime >= u).
+
+    Plan: the per-customer min/max collapse is one partial-agg'd
+    shuffle on o_custkey; everything after lives on the lifetime-month
+    axis, bounded by the fixture's calendar span / 30 BY CONSTRUCTION —
+    the at-risk exclusive prefix and the cumulative product (exp-sum-ln
+    with factors pre-rounded at 6, final at 4; the 1e-12 floor makes a
+    terminal d=n month collapse to S=0 identically cross-engine) are
+    windows over that bounded axis, allowlisted in the plan audit. The
+    1-row horizon and total cross back broadcast."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    horizon = orders.agg(F.max("o_orderdate").alias("obs_end"))
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_o"),
+        F.max("o_orderdate").alias("last_o"),
+    )
+    labeled = per_cust.crossJoin(F.broadcast(horizon)).select(
+        (F.datediff("last_o", "first_o") / 30)
+        .cast("bigint")
+        .alias("dur_month"),
+        F.when(F.datediff("obs_end", "last_o") > 365, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("churned"),
+    )
+    axis = labeled.groupBy("dur_month").agg(
+        F.sum("churned").cast("bigint").alias("d"),
+        F.sum(F.lit(1) - F.col("churned")).cast("bigint").alias("c"),
+    )
+    tot = labeled.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    from pyspark.sql import Window
+
+    w_prev = Window.orderBy("dur_month").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("dur_month").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = (
+        axis.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_at_risk",
+            F.col("t")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            ),
+        )
+        .withColumn(
+            "factor", F.round(1.0 - F.col("d") / F.col("n_at_risk"), 6)
+        )
+    )
+    return at_risk.select(
+        "dur_month",
+        "n_at_risk",
+        F.col("d").alias("n_churned"),
+        F.col("c").alias("n_censored"),
+        F.round(
+            F.exp(
+                F.sum(F.log(F.greatest(F.col("factor"), F.lit(1e-12)))).over(
+                    w_cum
+                )
+            ),
+            4,
+        ).alias("survival"),
+    ).orderBy("dur_month")

@@ -482,3 +482,98 @@ def source_lang_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- population stability index
+
+_PSI_SPLIT = "1998-07-01"
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT CAST(floor(4 * log10(o_totalprice)) AS BIGINT) AS bin,
+         CASE WHEN CAST(o_orderdate AS TIMESTAMP)
+                   < TIMESTAMP '{_PSI_SPLIT} 00:00:00'
+              THEN 0 ELSE 1 END AS period
+  FROM orders
+),
+counts AS (
+  SELECT bin,
+         count(*) FILTER (WHERE period = 0) AS n_ref,
+         count(*) FILTER (WHERE period = 1) AS n_cur
+  FROM binned GROUP BY 1
+),
+tot AS (
+  SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+         CAST(sum(n_cur) AS BIGINT) AS t_cur,
+         count(*) AS n_bins
+  FROM counts
+),
+probs AS (
+  SELECT round((n_ref + 1.0) / (t_ref + n_bins), 6) AS p_ref,
+         round((n_cur + 1.0) / (t_cur + n_bins), 6) AS p_cur,
+         t_ref, t_cur, n_bins
+  FROM counts CROSS JOIN tot
+)
+SELECT max(n_bins) AS n_bins,
+       max(t_ref) AS n_ref_orders,
+       max(t_cur) AS n_cur_orders,
+       round(sum((p_cur - p_ref) * ln(p_cur / p_ref)), 4) AS psi,
+       sum((p_cur - p_ref) * ln(p_cur / p_ref)) > 0.1 AS drifted
+FROM probs
+"""
+
+
+@register("orders_value_psi", oracle=_PSI_ORACLE, tags=("orders", "ingest", "stats"))
+def orders_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    pre-{_PSI_SPLIT} (reference period) vs after (current period) —
+    THE drift metric of production scoring pipelines (PSI < 0.1 stable,
+    0.1-0.25 drifting, > 0.25 retrain): `source_lang_kl_divergence`
+    watches a CATEGORICAL mix; PSI watches a CONTINUOUS metric through
+    fixed bins. Bins are quarter-decades of log10(price) — fixed by
+    value, not by data quantiles, so the binning needs no training-set
+    state; +1 Laplace smoothing keeps empty bins finite and is part of
+    the published PSI recipe.
+
+    Plan: one partial-agg'd shuffle to the bounded bin axis (price span
+    is value-bounded BY CONSTRUCTION: ~11 log bins regardless of SF);
+    the 1-row totals cross back broadcast; the statistic is one
+    aggregate over the bin rows. Probabilities are pre-rounded at 6 so
+    each bin's contribution compares identical operands cross-engine
+    before the final round at 4."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    binned = orders.select(
+        F.floor(4 * F.log10("o_totalprice")).cast("bigint").alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit(f"{_PSI_SPLIT} 00:00:00").cast("timestamp"),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("period"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    probs = counts.crossJoin(F.broadcast(tot)).select(
+        F.round((F.col("n_ref") + 1.0) / (F.col("t_ref") + F.col("n_bins")), 6).alias("p_ref"),
+        F.round((F.col("n_cur") + 1.0) / (F.col("t_cur") + F.col("n_bins")), 6).alias("p_cur"),
+        "t_ref",
+        "t_cur",
+        "n_bins",
+    )
+    term = (F.col("p_cur") - F.col("p_ref")) * F.log(
+        F.col("p_cur") / F.col("p_ref")
+    )
+    return probs.agg(
+        F.max("n_bins").alias("n_bins"),
+        F.max("t_ref").alias("n_ref_orders"),
+        F.max("t_cur").alias("n_cur_orders"),
+        F.round(F.sum(term), 4).alias("psi"),
+        (F.sum(term) > 0.1).alias("drifted"),
+    )

@@ -1018,3 +1018,113 @@ def corpus_split_no_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("strategy")
     )
+
+
+# ------------------------------------------------- PMI collocation mining
+
+_PMI_MIN_COUNT = 10
+
+_PMI_ORACLE = f"""
+WITH w AS (
+  SELECT {_WORDS_DUCK} AS arr FROM documents
+),
+uni AS (
+  SELECT unnest(arr) AS tok FROM w
+),
+uni_counts AS (
+  SELECT tok, count(*) AS n FROM uni GROUP BY 1
+),
+n_tokens AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+big AS (
+  SELECT arr[i] AS w1, arr[i + 1] AS w2
+  FROM w, unnest(range(1, len(arr))) AS t(i)
+  WHERE len(arr) >= 2
+),
+big_counts AS (
+  SELECT w1, w2, count(*) AS n_xy FROM big GROUP BY 1, 2
+  HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT b.w1 || ' ' || b.w2 AS bigram,
+       b.n_xy,
+       u1.n AS n_w1,
+       u2.n AS n_w2,
+       round(log2(b.n_xy * t.n * 1.0 / (u1.n * u2.n)), 4) AS pmi
+FROM big_counts b
+JOIN uni_counts u1 ON b.w1 = u1.tok
+JOIN uni_counts u2 ON b.w2 = u2.tok
+CROSS JOIN n_tokens t
+ORDER BY pmi DESC, bigram
+LIMIT 20
+"""
+
+
+@register("text_pmi_collocations", oracle=_PMI_ORACLE, tags=("llm", "text", "pipeline"))
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information — PMI(x,y) =
+    log2(P(xy) / (P(x)P(y))) over adjacent token pairs, the classic
+    collocation-mining statistic (Church & Hanks 1990): raw bigram
+    counts (`ngram_bigram_top`) surface frequent-but-uninteresting
+    function-word pairs, PMI surfaces pairs that co-occur far MORE than
+    their unigram frequencies predict — multi-word entities and fixed
+    phrases, the units a tokenizer-vocabulary builder promotes first.
+    Pairs under {_PMI_MIN_COUNT} occurrences are dropped (PMI's known
+    rare-pair instability).
+
+    Plan: map-only unigram and bigram generation from one tokenization
+    (no self-join), two partial-agg'd count shuffles to vocab / distinct
+    -pair cardinality, then the pair relation re-joins the unigram
+    counts twice on the token key — aggregate-carrying equi-joins, both
+    sides orders of magnitude below the raw token stream; the 1-row
+    corpus-token total crosses back broadcast and the top-k is a
+    distributed TakeOrderedAndProject."""
+    docs = parallelize_scan(
+        load_tables(spark, sf_dir)["documents"].select("text"),
+    )
+    w = docs.select(F.expr(_WORDS_SPARK).alias("arr"))
+    uni = w.select(F.explode("arr").alias("tok"))
+    uni_counts = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    n_tokens = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    big = (
+        w.filter(F.size("arr") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(arr) - 2),"
+                    " i -> struct(arr[i] AS w1, arr[i+1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    big_counts = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= _PMI_MIN_COUNT)
+    )
+    u1 = uni_counts.select(
+        F.col("tok").alias("w1"), F.col("n").alias("n_w1")
+    )
+    u2 = uni_counts.select(
+        F.col("tok").alias("w2"), F.col("n").alias("n_w2")
+    )
+    return (
+        big_counts.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_tokens))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "n_xy",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log2(
+                    F.col("n_xy")
+                    * F.col("n_total")
+                    / (F.col("n_w1") * F.col("n_w2"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "bigram")
+        .limit(20)
+    )

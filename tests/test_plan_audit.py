@@ -66,6 +66,11 @@ _BNLJ_BOUNDED = {
     "events_proportion_ztest",  # two 1-row cohort aggregates crossed
     "events_bh_fdr_control",  # 1-row grand moments + 1-row step-up cut crossed
     "events_eb_shrunk_means",  # 1-row grand/v_bar + 1-row tau2 crossed
+    "events_chisq_independence",  # R x C cell grid x 1-row total crossed
+    "customers_kaplan_meier",  # 1-row horizon + 1-row at-risk total crossed
+    "text_pmi_collocations",  # 1-row corpus-token total crossed
+    "orders_abc_analysis",  # 1-row grand revenue total crossed
+    "orders_value_psi",  # bounded log-bin rows x 1-row totals crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
@@ -110,6 +115,7 @@ _SINGLE_PARTITION_BOUNDED = {
     "events_autocorr_daily",  # day-cardinality series (calendar-bounded)
     "source_compaction_planner",  # file-group rows (metadata-cardinality)
     "events_bh_fdr_control",  # hypothesis family = event-type arity (schema-bounded)
+    "customers_kaplan_meier",  # lifetime-month axis (calendar-bounded)
 }
 
 _NODE_HEAD = ("Sort [", "Window [", "WindowGroupLimit [")
