@@ -1085,3 +1085,143 @@ def text_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ------------------------------------------ average precision (PR-AUC)
+
+_PR_AUC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-({_LR_W['bias']} + {_LR_W['nw']} * nw
+                            + {_LR_W['awl']} * awl + {_LR_W['stop']} * ns
+                            + {_LR_W['rep']} * top_frac))), 6) AS score,
+         CASE WHEN nw BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+               AND awl BETWEEN {_MIN_AWL} AND {_MAX_AWL}
+               AND ns >= {_MIN_STOPWORDS}
+               AND top_frac <= {_MAX_TOP_WORD_FRAC}
+              THEN 1 ELSE 0 END AS y
+  FROM m
+),
+ranked AS (
+  SELECT y,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS k,
+         CAST(sum(y) OVER (ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_tp
+  FROM s
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(y) AS BIGINT) AS n_pos,
+       round(sum(CASE WHEN y = 1
+                      THEN round(cum_tp * 1.0 / k, 6) ELSE 0 END)
+             / sum(y), 4) AS avg_precision,
+       round(max(CASE WHEN k = 50 THEN cum_tp END) / 50.0, 4) AS p_at_50,
+       round(max(CASE WHEN k = 100 THEN cum_tp END) / 100.0, 4) AS p_at_100
+FROM ranked
+"""
+
+
+@register("classifier_pr_auc", oracle=_PR_AUC_ORACLE, tags=("llm", "pipeline", "stats"))
+def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (PR-AUC) of the learned quality filter against
+    the Gopher rule label, plus precision@50/@100 — the ranking-quality
+    complement to `classifier_calibration_bins` (calibration says the
+    probabilities are honest; AP says the ORDERING puts keepers first,
+    the property that matters when the pipeline takes a top-N budget
+    instead of a threshold). AP = mean over positives of precision@k at
+    the deterministic (score desc, doc_id) tie-broken ordering.
+
+    Plan: scoring and the rule label are the same map-only codegen
+    expressions the classifier family ships; the global rank AND the
+    cumulative true-positive count both come from ONE
+    `ranking.global_cumsum` pass (two prefix sums share one range
+    exchange and one offsets fold) — no single-partition window over
+    the SF-proportional document relation. Ranks and cum_tp are exact
+    bigints, so every precision@k is a ratio of identical integers
+    cross-engine (pre-rounded at 6 before the final mean at 4)."""
+    from .ranking import global_cumsum
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    awl = F.expr(
+        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
+    ) * F.lit(1.0) / nw
+    ns = F.expr(f"size(filter(w, x -> x IN ({_STOPLIST})))")
+    top_frac = F.expr(
+        "array_max(transform(array_distinct(w),"
+        " x -> size(filter(w, y -> y = x))))"
+    ) * F.lit(1.0) / nw
+    m = t.select(
+        "doc_id",
+        nw.alias("nw"),
+        awl.alias("awl"),
+        ns.alias("ns"),
+        top_frac.alias("top_frac"),
+    )
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_LR_W["bias"])
+                    + F.lit(_LR_W["nw"]) * F.col("nw")
+                    + F.lit(_LR_W["awl"]) * F.col("awl")
+                    + F.lit(_LR_W["stop"]) * F.col("ns")
+                    + F.lit(_LR_W["rep"]) * F.col("top_frac")
+                )
+            )
+        ),
+        6,
+    )
+    y = (
+        F.col("nw").between(_MIN_WORDS, _MAX_WORDS)
+        & F.col("awl").between(_MIN_AWL, _MAX_AWL)
+        & (F.col("ns") >= _MIN_STOPWORDS)
+        & (F.col("top_frac") <= _MAX_TOP_WORD_FRAC)
+    ).cast("bigint")
+    s = m.select(
+        "doc_id", score.alias("score"), y.alias("y"), F.lit(1).cast("bigint").alias("one")
+    )
+    ranked = global_cumsum(
+        s,
+        [F.col("score").desc(), F.col("doc_id")],
+        ["one", "y"],
+        ["k", "cum_tp"],
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("y") == 1,
+                    F.round(F.col("cum_tp") / F.col("k"), 6),
+                ).otherwise(F.lit(0.0))
+            )
+            / F.sum("y"),
+            4,
+        ).alias("avg_precision"),
+        F.round(
+            F.max(F.when(F.col("k") == 50, F.col("cum_tp"))) / 50.0, 4
+        ).alias("p_at_50"),
+        F.round(
+            F.max(F.when(F.col("k") == 100, F.col("cum_tp"))) / 100.0, 4
+        ).alias("p_at_100"),
+    )

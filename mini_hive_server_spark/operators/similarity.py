@@ -1323,3 +1323,176 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_RRF_TOPN)
+
+
+# --------------------------------------- PCA top component (power method)
+
+_PCA_Q = 10000  # fixed quantization scale: round(x * 1e4) -> bigint
+_PCA_DIM = 64
+
+
+_PCA_ORACLE = f"""
+WITH e AS (
+  SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(round(x * {_PCA_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+s AS (
+  SELECT i, CAST(sum(qv[i + 1]) AS BIGINT) AS s
+  FROM e, unnest(range(0, {_PCA_DIM})) t(i) GROUP BY 1
+),
+g AS (
+  SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS g
+  FROM e, unnest(range(0, {_PCA_DIM})) t(i),
+          unnest(range(0, {_PCA_DIM})) t2(j)
+  GROUP BY 1, 2
+),
+c AS (
+  SELECT g.i, g.j,
+         CAST(sign(nn.n * g.g - si.s * sj.s) AS BIGINT)
+           * (abs(nn.n * g.g - si.s * sj.s) // (nn.n * nn.n)) AS c
+  FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN nn
+),
+u1 AS (SELECT i, CAST(sum(c) AS BIGINT) AS u FROM c GROUP BY 1),
+p AS (
+  SELECT CAST(power(10, greatest(0,
+              length(CAST(max(abs(u)) AS VARCHAR)) - 4)) AS BIGINT) AS p
+  FROM u1
+),
+w1 AS (
+  SELECT i, CAST(sign(u) AS BIGINT) * (abs(u) // p.p) AS w
+  FROM u1 CROSS JOIN p
+),
+u2 AS (
+  SELECT c.i, CAST(sum(c.c * w1.w) AS BIGINT) AS u
+  FROM c JOIN w1 ON w1.i = c.j GROUP BY 1
+),
+mx AS (SELECT CAST(max(abs(u)) AS BIGINT) AS m FROM u2)
+SELECT CAST(u2.i AS INT) AS dim,
+       cd.c AS var_ii_q,
+       round(u2.u * 1.0 / mx.m, 6) AS loading
+FROM u2
+JOIN (SELECT i, c FROM c WHERE i = j) cd ON cd.i = u2.i
+CROSS JOIN mx
+ORDER BY dim
+"""
+
+
+@register("embedding_pca_power", oracle=_PCA_ORACLE, tags=("llm", "similarity", "stats"))
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by two unrolled
+    power-method iterations over the EXACT integer covariance matrix —
+    the distributed PCA pattern (dimensionality diagnosis, whitening
+    prep, drift direction) built so every arithmetic step is integer and
+    therefore bit-identical in ANY summation order:
+
+    * coordinates quantize to q = round(x * 1e4) (the `int8` family's
+      trick at fixed global scale);
+    * the d x d scatter accumulates as bigint G_ij = sum(q_i q_j) and
+      per-dim sums S_i — map-side expansion of d^2 = {_PCA_DIM}^2 products
+      per row collapses to <= d^2 partial-agg cells per task, so the
+      shuffle carries AT MOST d^2 rows per partition at any corpus size
+      (the classic Gram-via-flatMap pattern);
+    * covariance in quantized units is the integer truncation
+      C_ij = trunc((n G_ij - S_i S_j) / n^2) — dividing by n^2 makes
+      every downstream magnitude CORPUS-SIZE-INVARIANT (~variance-sized),
+      so two matvec iterations stay far inside bigint at any SF (G
+      itself needs n * q_max^2 < 2^63: at ~1e11+ rows drop the
+      quantization scale a digit — documented headroom, enforced
+      nowhere near current fixtures);
+    * power steps: u1 = C.1; w1 = u1 truncated to <= 4 digits via an
+      integer power-of-ten divide (string-length digit count, no
+      float log10 edge cases); u2 = C.w1 — both matvecs are d^2-row
+      joins, schema-bounded, broadcast-sized.
+
+    Output: per-dim quantized variance (the C diagonal) and the
+    iteration-2 loading normalized by max-abs — a ratio of two exact
+    bigints, so the rounded double agrees cross-engine. Sign convention
+    follows the all-ones start vector (loading of the max-|.| dim is
+    +/-1 by construction). Training-free, UDF-free, one corpus scan."""
+    emb = parallelize_scan(
+        load_tables(spark, sf_dir)["embeddings"].select("embedding")
+    )
+    q = emb.select(
+        F.expr(
+            f"transform(cast(embedding AS array<double>),"
+            f" x -> CAST(round(x * {_PCA_Q}) AS BIGINT))"
+        ).alias("qv")
+    )
+    pairs = q.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(qv, (xi, i) ->"
+                " transform(qv, (xj, j) -> struct(i, j, xi * xj AS v))))"
+            )
+        ).alias("p")
+    ).select("p.i", "p.j", "p.v")
+    g = pairs.groupBy("i", "j").agg(F.sum("v").cast("bigint").alias("g"))
+    s = (
+        q.select(F.posexplode("qv").alias("i", "qi"))
+        .groupBy("i")
+        .agg(F.sum("qi").cast("bigint").alias("s"))
+    )
+    nn = q.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    si = s.select(F.col("i").alias("i"), F.col("s").alias("si"))
+    sj = s.select(F.col("i").alias("j"), F.col("s").alias("sj"))
+    raw = (
+        g.join(F.broadcast(si), "i")
+        .join(F.broadcast(sj), "j")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("cr", F.col("n") * F.col("g") - F.col("si") * F.col("sj"))
+    )
+    c = tracked_persist(
+        raw.select(
+            "i",
+            "j",
+            (
+                F.signum("cr").cast("bigint")
+                * F.floor(F.abs("cr") / (F.col("n") * F.col("n"))).cast(
+                    "bigint"
+                )
+            ).alias("c"),
+        )
+    )
+    u1 = c.groupBy("i").agg(F.sum("c").cast("bigint").alias("u"))
+    p = u1.agg(
+        F.pow(
+            F.lit(10.0),
+            F.greatest(
+                F.lit(0),
+                F.length(F.max(F.abs("u")).cast("string")) - 4,
+            ),
+        )
+        .cast("bigint")
+        .alias("p")
+    )
+    w1 = (
+        u1.crossJoin(F.broadcast(p))
+        .select(
+            F.col("i").alias("j"),
+            (
+                F.signum("u").cast("bigint")
+                * F.floor(F.abs("u") / F.col("p")).cast("bigint")
+            ).alias("w"),
+        )
+    )
+    u2 = (
+        c.join(F.broadcast(w1), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("c") * F.col("w")).cast("bigint").alias("u"))
+    )
+    mx = u2.agg(F.max(F.abs("u")).cast("bigint").alias("m"))
+    diag = c.filter(F.col("i") == F.col("j")).select(
+        "i", F.col("c").alias("var_ii_q")
+    )
+    return (
+        u2.join(F.broadcast(diag), "i")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.col("i").cast("int").alias("dim"),
+            "var_ii_q",
+            F.round(F.col("u") / F.col("m"), 6).alias("loading"),
+        )
+        .orderBy("dim")
+    )
