@@ -66,6 +66,8 @@ EXTENDED = (
     # widens by these two — compare per-query, not subtotal, across r5/r6)
     "customers_rfm_segments",  # 3× ntile now via ranking.global_ntile
     "events_user_activity_zipf",  # top-k via TakeOrderedAndProject
+    "orders_abc_analysis",  # exact integer prefix-sum over parts
+    "embedding_pca_power",  # d^2 integer Gram accumulation + 2 matvecs
 )
 
 HEADLINE = HEADLINE10 + EXTENDED
