@@ -41,7 +41,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_row_number", "global_ntile", "global_cumsum"]
+__all__ = ["global_row_number", "global_ntile", "global_cumsum", "global_cummin"]
 
 _PID = "__rng_pid"
 _OFF = "__rng_off"
@@ -233,4 +233,61 @@ def global_cumsum(
         _PID,
         *[f"__cs_{v}" for v in value_cols],
         *[f"__off_{v}" for v in value_cols],
+    )
+
+
+def global_cummin(
+    df: DataFrame,
+    order_cols,
+    value_col: str,
+    cummin_col: str = "cummin",
+    exclusive: bool = False,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running MINIMUM of bigint ``value_col`` over the total order
+    ``order_cols`` — the prefix-extreme sibling of ``global_cumsum``
+    (same skeleton: range exchange, per-partition local window, P-row
+    fold, broadcast join), powering order-sensitive dominance operators
+    (skyline / Pareto frontier, record-low tracking) with no
+    single-partition sort.
+
+    ``exclusive=True`` computes the strictly-before minimum (frame
+    ``UNBOUNDED PRECEDING .. 1 PRECEDING``): the first row of the total
+    order gets NULL, exactly like the window form — callers decide what
+    an empty prefix means (a skyline keeps it). The fold's init is NULL
+    with a ``least``-merge, which skips NULLs in Spark, so partition 0's
+    offset is NULL and a local NULL (empty exclusive frame at a
+    partition head) falls through to the prior partitions' minimum."""
+    cols = _cols(order_cols)
+    ranged = _ranged(df, cols, num_partitions)
+    hi = -1 if exclusive else Window.currentRow
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, hi)
+    )
+    local = ranged.withColumn("__cm_loc", F.min(value_col).over(w))
+    packed = (
+        ranged.groupBy(_PID)
+        .agg(F.min(value_col).cast("bigint").alias("m"))
+        .agg(F.collect_list(F.struct(_PID, "m")).alias("pc"))
+    )
+
+    def offsets_struct(x):
+        return F.struct(
+            x[_PID].alias(_PID),
+            F.aggregate(
+                F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
+                F.lit(None).cast("bigint"),
+                lambda acc, y: F.least(acc, y["m"]),
+            ).alias(_OFF),
+        )
+
+    offsets = packed.select(
+        F.explode(F.transform("pc", offsets_struct)).alias("o")
+    ).select(f"o.{_PID}", f"o.{_OFF}")
+    return (
+        local.join(F.broadcast(offsets), _PID)
+        .withColumn(cummin_col, F.least(F.col("__cm_loc"), F.col(_OFF)))
+        .drop(_PID, "__cm_loc", _OFF)
     )

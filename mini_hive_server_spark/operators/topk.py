@@ -134,3 +134,72 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_mktsegment", "c_name", "c_acctbal", "rank")
         .orderBy("c_mktsegment", "rank")
     )
+
+
+# --------------------------------------------- skyline / Pareto frontier
+
+_SKYLINE_ORACLE = """
+WITH priced AS (
+  SELECT p_partkey, p_size,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c
+  FROM part
+),
+scanned AS (
+  SELECT p_partkey, p_size, price_c,
+         min(price_c) OVER (
+           ORDER BY p_size DESC, price_c ASC, p_partkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_min
+  FROM priced
+)
+SELECT p_partkey, p_size,
+       round(price_c / 100.0, 2) AS retail_price
+FROM scanned
+WHERE prior_min IS NULL OR price_c < prior_min
+ORDER BY p_size DESC, p_partkey
+"""
+
+
+@register("parts_skyline_frontier", oracle=_SKYLINE_ORACLE, tags=("topk", "agg"))
+def parts_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) of parts: maximize p_size, minimize
+    retail price — every part not dominated by another that is at least
+    as large AND cheaper. The dominance-query operator family (Borzsony
+    et al., ICDE 2001) reduced to the sort-filter skyline algorithm:
+    scan the (size DESC, price ASC, partkey) total order and keep a row
+    iff its price undercuts the strictly-prior running minimum (the
+    first row always survives; an equal-(size, price) twin is kept only
+    once, the standard distinct-skyline convention).
+
+    Plan: the running minimum is `ranking.global_cummin(exclusive=True)`
+    — the range-partitioned exact prefix-extreme, so the dominance scan
+    of the SF-proportional part relation never funnels through a
+    single-partition sort; prices are fixed to integer cents before
+    comparing (exact 2-decimal encodings), making the frontier
+    membership test pure integer comparison cross-engine. Output is
+    frontier-sized (staircase of record-cheap sizes), tiny at any SF."""
+    from .ranking import global_cummin
+
+    part = load_tables(spark, sf_dir)["part"]
+    priced = part.select(
+        "p_partkey",
+        "p_size",
+        F.round(F.col("p_retailprice") * 100, 0).cast("bigint").alias("price_c"),
+    )
+    scanned = global_cummin(
+        priced,
+        [F.col("p_size").desc(), F.col("price_c").asc(), F.col("p_partkey")],
+        "price_c",
+        "prior_min",
+        exclusive=True,
+    )
+    return (
+        scanned.filter(
+            F.col("prior_min").isNull() | (F.col("price_c") < F.col("prior_min"))
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round(F.col("price_c") / 100.0, 2).alias("retail_price"),
+        )
+        .orderBy(F.col("p_size").desc(), "p_partkey")
+    )

@@ -255,3 +255,43 @@ def test_global_cumsum_equals_window_sum(spark, vals):
     }
     got = {r.id: r.cum for r in global_cumsum(df, ["id"], "v").collect()}
     assert got == ref
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-100, max_value=100), min_size=1, max_size=40
+    ),
+    exclusive=st.booleans(),
+)
+@_settings
+def test_global_cummin_equals_window_min(spark, vals, exclusive):
+    """ranking.global_cummin must equal the single-partition window
+    running min exactly, in both inclusive and exclusive frames (the
+    skyline's dominance test reads the strictly-prior minimum; NULL for
+    an empty prefix must survive the distributed form too)."""
+    from pyspark.sql import Window
+
+    from mini_hive_server_spark.operators.ranking import global_cummin
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(5)
+    hi = -1 if exclusive else Window.currentRow
+    ref = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            F.min("v")
+            .over(
+                Window.orderBy("id").rowsBetween(Window.unboundedPreceding, hi)
+            )
+            .alias("c"),
+        ).collect()
+    }
+    got = {
+        r.id: r.cm
+        for r in global_cummin(
+            df, ["id"], "v", "cm", exclusive=exclusive
+        ).collect()
+    }
+    assert got == ref
