@@ -755,3 +755,133 @@ def orders_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(n_months)).select(
         "n_months", "n_pairs", "sen_slope", "rising"
     )
+
+
+# ------------------------------------- cross-type daily correlation matrix
+
+_TYPE_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, event_type,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.v AS x, b.v AS y
+  FROM daily a JOIN daily b ON a.d = b.d AND a.event_type < b.event_type
+),
+moments AS (
+  SELECT type_a, type_b, count(*) AS n,
+         sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy)
+             / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 4)
+         AS pearson_r
+FROM moments
+ORDER BY type_a, type_b
+"""
+
+
+@register("events_type_corr_matrix", oracle=_TYPE_CORR_ORACLE, tags=("event-time", "stats"))
+def events_type_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the event types' DAILY value
+    series — the co-movement matrix behind metric dashboards ("do
+    purchases track clicks?") and the input to any factor/anomaly model
+    over KPIs; `events_autocorr_daily` measures a series against its own
+    past, this measures the types against each other.
+
+    Plan: one partial-agg'd shuffle collapses events to the (day, type)
+    grid (calendar-x-arity bounded); the pair expansion is a self equi-
+    join ON DAY of that bounded grid under type_a < type_b (each day
+    emits C(k,2) pairs, k = type arity — never a cartesian over
+    SF-sized data), and the correlation reduces to one moment aggregate
+    per pair. Daily totals are pre-rounded at 2 (sums of 2-decimal
+    inputs — no half-tie hazard), the statistic re-rounded at 4."""
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    a = daily.select(
+        "d", F.col("event_type").alias("type_a"), F.col("v").alias("x")
+    )
+    b = daily.select(
+        "d", F.col("event_type").alias("type_b"), F.col("v").alias("y")
+    )
+    pairs = a.join(b, "d").filter(F.col("type_a") < F.col("type_b"))
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(r, 4).alias("pearson_r"),
+    ).orderBy("type_a", "type_b")
+
+
+# --------------------------------------------------- 7-day moving median
+
+_MOVMED_ORACLE = """
+WITH daily AS (
+  SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+         round(sum(value), 2) AS v
+  FROM events GROUP BY 1
+)
+SELECT strftime(d, '%Y-%m-%d') AS day_s, v AS total_value,
+       round(median(v) OVER (ORDER BY d
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+         AS median_7d
+FROM daily
+ORDER BY day_s
+"""
+
+
+@register("events_moving_median_7d", oracle=_MOVMED_ORACLE, tags=("event-time", "window-fn", "stats"))
+def events_moving_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day moving MEDIAN of daily event value — the robust
+    smoother (a single spike day shifts a moving average, not a moving
+    median) paired with `events_anomaly_mad`'s robust spread. Spark has
+    no median window function; over the calendar-bounded day axis the
+    exact frame median is a collect-sort-pick over at most 7 elements
+    (`array_sort` + middle / mean-of-middles, DuckDB's even-count
+    interpolation convention), still pure JVM codegen.
+
+    Plan: one partial-agg'd shuffle to the day axis; the window runs on
+    calendar-bounded rows (plan-audit allowlisted). Daily totals are
+    pre-rounded at 2; both engines average the SAME two middle doubles,
+    so the final round at 4 agrees."""
+    from pyspark.sql import Window
+
+    events = load_tables(spark, sf_dir)["events"]
+    daily = events.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    med = F.expr(
+        "CASE WHEN size(ws) % 2 = 1"
+        " THEN element_at(array_sort(ws), CAST((size(ws) + 1) div 2 AS INT))"
+        " ELSE (element_at(array_sort(ws), CAST(size(ws) div 2 AS INT))"
+        "       + element_at(array_sort(ws),"
+        "                    CAST(size(ws) div 2 + 1 AS INT))) / 2.0 END"
+    )
+    return (
+        daily.withColumn("ws", F.collect_list("v").over(w))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+            F.col("v").alias("total_value"),
+            F.round(med, 4).alias("median_7d"),
+        )
+        .orderBy("day_s")
+    )

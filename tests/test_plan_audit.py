@@ -117,6 +117,7 @@ _SINGLE_PARTITION_BOUNDED = {
     "source_compaction_planner",  # file-group rows (metadata-cardinality)
     "events_bh_fdr_control",  # hypothesis family = event-type arity (schema-bounded)
     "customers_kaplan_meier",  # lifetime-month axis (calendar-bounded)
+    "events_moving_median_7d",  # day-cardinality series (calendar-bounded)
 }
 
 _NODE_HEAD = ("Sort [", "Window [", "WindowGroupLimit [")
