@@ -774,3 +774,74 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring("fp", 1, 8), 16, 10).cast("long") % 1000000007
         ).alias("fp_checksum"),
     )
+
+
+# ------------------------------------------- dynamic partition pruning
+
+_DPP_ORACLE = """
+WITH fact AS (
+  SELECT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS o_month,
+         o_totalprice
+  FROM orders
+),
+dim AS (
+  SELECT DISTINCT strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month,
+         strftime(CAST(o_orderdate AS TIMESTAMP), '%Y') || '-Q'
+           || CAST((CAST(strftime(CAST(o_orderdate AS TIMESTAMP), '%m')
+                   AS INT) + 2) // 3 AS VARCHAR) AS quarter
+  FROM orders
+)
+SELECT f.o_month,
+       count(*) AS n_orders,
+       round(sum(f.o_totalprice), 2) AS total_price
+FROM fact f JOIN dim d ON f.o_month = d.month
+WHERE d.quarter = '1996-Q1'
+GROUP BY f.o_month
+ORDER BY o_month
+"""
+
+
+@register("source_dynamic_partition_prune", oracle=_DPP_ORACLE, tags=("source",))
+def source_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact table is laid out
+    `partitionBy(order month)`; the query filters only the DIM side
+    (quarter = 1996-Q1), so no static PartitionFilter exists at plan
+    time — Spark plants a `dynamicpruningexpression` subquery on the
+    fact scan that executes the broadcast dim FIRST and prunes fact
+    partitions at RUNTIME to the 3 months the dim survived
+    (plan-asserted in tests/test_sources.py).
+
+    `source_partitioned_prune` shows the static half (filter names the
+    partition column literally); this is the half that matters for star
+    joins at 100 TB, where the selective predicate always lives on a
+    dim attribute the fact never stored — without DPP the fact scan
+    reads every partition and the predicate applies post-join."""
+    out = _tmp_dir(sf_dir, "orders_by_month")
+    orders = load_tables(spark, sf_dir)["orders"]
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    (
+        orders.select("o_orderkey", "o_totalprice", month)
+        .write.mode("overwrite")
+        .partitionBy("o_month")
+        .parquet(out)
+    )
+    fact = spark.read.parquet(out)
+    dim = orders.select(
+        month,
+        F.concat(
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("-Q"),
+            ((F.month("o_orderdate") + 2) / 3).cast("int").cast("string"),
+        ).alias("quarter"),
+    ).distinct().withColumnRenamed("o_month", "month")
+    joined = fact.join(
+        F.broadcast(dim), fact.o_month == dim.month
+    ).filter(F.col("quarter") == "1996-Q1")
+    return (
+        joined.groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy("o_month")
+    )

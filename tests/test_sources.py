@@ -127,3 +127,13 @@ def test_incremental_rollup_leaves_unaffected_partitions_untouched(spark):
         f"expected exactly the last-3-day partitions rewritten; "
         f"changed={sorted(changed)} affected={sorted(affected)}"
     )
+
+
+def test_dynamic_partition_pruning_in_plan(spark):
+    """The dim-side-only filter must plant a dynamicpruning subquery on
+    the fact scan (runtime partition pruning) — no static
+    PartitionFilter names the months, yet the scan must not be a full
+    read."""
+    df = QS["source_dynamic_partition_prune"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
