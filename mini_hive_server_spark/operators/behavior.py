@@ -3350,3 +3350,76 @@ def customers_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("survival"),
     ).orderBy("dur_month")
+
+
+# -------------------------------------------- skewness / kurtosis census
+
+_SKEWKURT_ORACLE = """
+WITH mu AS (
+  SELECT event_type, count(*) AS n, round(avg(value), 6) AS mean
+  FROM events GROUP BY 1
+),
+cm AS (
+  SELECT e.event_type,
+         max(m.n) AS n, max(m.mean) AS mean,
+         round(avg((e.value - m.mean) * (e.value - m.mean)), 6) AS m2,
+         round(avg((e.value - m.mean) * (e.value - m.mean)
+                   * (e.value - m.mean)), 2) AS m3,
+         round(avg((e.value - m.mean) * (e.value - m.mean)
+                   * (e.value - m.mean) * (e.value - m.mean)), 2) AS m4
+  FROM events e JOIN mu m USING (event_type)
+  GROUP BY e.event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n, mean, m2,
+       round(m3 / (m2 * sqrt(m2)), 4) AS skewness,
+       round(m4 / (m2 * m2) - 3.0, 4) AS excess_kurtosis
+FROM cm
+ORDER BY event_type
+"""
+
+
+@register("events_skewness_kurtosis", oracle=_SKEWKURT_ORACLE, tags=("events", "agg", "stats"))
+def events_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type skewness and excess kurtosis of event value — the shape
+    moments behind distribution screens (heavy tails break mean-based
+    alerting; `events_anomaly_mad` is the robust response, this
+    quantifies WHEN it's needed). Population convention m3/m2^1.5 and
+    m4/m2^2 - 3, computed from CENTRAL moments about the pre-rounded
+    mean — NOT the built-in skewness()/kurtosis() aggregates, whose
+    sample-vs-population bias conventions differ between engines.
+
+    Plan: two passes, both partial-agg'd groupBys on event_type; the
+    5-row means broadcast back for the centered pass. Mean rounds at 6,
+    m2 at 6, m3/m4 at 2 (their summands reach ~1e8/1e10 while
+    cross-engine float-sum drift stays ~1e-6 — far inside the rounding
+    grid, same determinism argument as the ANOVA moments), then the
+    ratios divide identical doubles cross-engine."""
+    events = load_tables(spark, sf_dir)["events"]
+    mu = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("mean"),
+    )
+    d = F.col("value") - F.col("mean")
+    cm = (
+        events.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("mean").alias("mean"),
+            F.round(F.avg(d * d), 6).alias("m2"),
+            F.round(F.avg(d * d * d), 2).alias("m3"),
+            F.round(F.avg(d * d * d * d), 2).alias("m4"),
+        )
+    )
+    return cm.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "mean",
+        "m2",
+        F.round(F.col("m3") / (F.col("m2") * F.sqrt("m2")), 4).alias(
+            "skewness"
+        ),
+        F.round(F.col("m4") / (F.col("m2") * F.col("m2")) - 3.0, 4).alias(
+            "excess_kurtosis"
+        ),
+    ).orderBy("event_type")
