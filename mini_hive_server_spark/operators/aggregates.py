@@ -824,3 +824,90 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ------------------------------------------------ exact weighted quantiles
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+  SELECT CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)
+           AS unit_c,
+         CAST(l_quantity AS BIGINT) AS qty,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT unit_c, qty,
+         CAST(sum(qty) OVER (ORDER BY unit_c, l_orderkey, l_linenumber
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cw
+  FROM w
+),
+tot AS (SELECT CAST(sum(qty) AS BIGINT) AS tw FROM w)
+SELECT max(tw) AS total_weight,
+       round(min(CASE WHEN cw * 4 >= tw THEN unit_c END) / 100.0, 2)
+         AS w_p25,
+       round(min(CASE WHEN cw * 2 >= tw THEN unit_c END) / 100.0, 2)
+         AS w_median,
+       round(min(CASE WHEN cw * 4 >= tw * 3 THEN unit_c END) / 100.0, 2)
+         AS w_p75
+FROM cum CROSS JOIN tot
+"""
+
+
+@register("lineitem_weighted_median", oracle=_WMEDIAN_ORACLE, tags=("agg", "stats"))
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED quartiles of unit price — "the price the
+    median UNIT shipped at", which a row-median gets wrong whenever
+    cheap lines carry big quantities (the inventory-valuation and
+    fairness-audit quantile; `sketch_approx_quantiles` is the
+    row-weighted approximate tier). Lower-weighted-quantile convention:
+    the smallest price whose inclusive cumulative weight reaches
+    p x total.
+
+    Plan: unit prices fix to integer cents and weights to integer
+    quantities, the cumulative weight comes from `ranking.global_cumsum`
+    over the (price, orderkey, linenumber) total order — the
+    SF-proportional line relation never crosses a single-partition
+    window — and each quartile is min-over-filter pure integer
+    comparisons (cw*4 >= 3*tw), bit-identical cross-engine; the 1-row
+    grand weight crosses back broadcast."""
+    from .ranking import global_cumsum
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    w = li.select(
+        F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0)
+        .cast("bigint")
+        .alias("unit_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cum = global_cumsum(
+        w, ["unit_c", "l_orderkey", "l_linenumber"], "qty", "cw"
+    )
+    tot = w.agg(F.sum("qty").cast("bigint").alias("tw"))
+    return cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("tw").alias("total_weight"),
+        F.round(
+            F.min(
+                F.when(F.col("cw") * 4 >= F.col("tw"), F.col("unit_c"))
+            )
+            / 100.0,
+            2,
+        ).alias("w_p25"),
+        F.round(
+            F.min(
+                F.when(F.col("cw") * 2 >= F.col("tw"), F.col("unit_c"))
+            )
+            / 100.0,
+            2,
+        ).alias("w_median"),
+        F.round(
+            F.min(
+                F.when(F.col("cw") * 4 >= F.col("tw") * 3, F.col("unit_c"))
+            )
+            / 100.0,
+            2,
+        ).alias("w_p75"),
+    )

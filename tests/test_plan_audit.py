@@ -72,6 +72,7 @@ _BNLJ_BOUNDED = {
     "orders_abc_analysis",  # 1-row grand revenue total crossed
     "orders_value_psi",  # bounded log-bin rows x 1-row totals crossed
     "embedding_pca_power",  # d^2 covariance cells x 1-row n/scale/max crossed
+    "lineitem_weighted_median",  # 1-row grand weight crossed
 
     "customers_rfm_segments",
     "dashboard_multi_metric",
