@@ -65,7 +65,14 @@ def _ranged(df: DataFrame, cols: list[Column], num_partitions: int | None) -> Da
     pids. The persisted relation is the caller's per-entity aggregate
     (users / customers / documents), already orders of magnitude smaller
     than the raw facts; MEMORY_AND_DISK spills if it doesn't fit. It
-    also folds the two passes into one scan."""
+    also folds the two passes into one scan.
+
+    ``correctness_bearing=True`` makes the tracked release DEFERRED: the
+    persist survives release cycles until its buffers were actually
+    built, so a caller that builds the NEXT registered query before
+    collecting this one (ADVICE r6) cannot strand the consumer on a
+    freshly-re-sampled exchange — persistence.py documents the
+    contract."""
     from ..persistence import tracked_persist
 
     if num_partitions is None:
@@ -75,7 +82,8 @@ def _ranged(df: DataFrame, cols: list[Column], num_partitions: int | None) -> Da
     return tracked_persist(
         df.repartitionByRange(num_partitions, *cols).withColumn(
             _PID, F.spark_partition_id()
-        )
+        ),
+        correctness_bearing=True,
     )
 
 

@@ -14,6 +14,25 @@ and without this the persisted blocks accumulate for the whole run
 N-1's tracked blocks — the live cached set is bounded by one query's
 working set at any time, regardless of how many queries the session runs.
 
+Two classes of tracked block exist:
+
+* plain (default): the persist is a pure performance hint — releasing it
+  early merely recomputes. Released unconditionally at the next cycle.
+* correctness-bearing (``correctness_bearing=True`` — ranking.py's ranged
+  relation): the cached result correlates ``spark_partition_id`` across
+  two consumers of one ``repartitionByRange`` exchange, whose bounds are
+  sampled with a per-RDD seed. If the persist were dropped BEFORE the
+  consumer materialized, a late action could plan the two subtrees as two
+  independent range exchanges with independently-sampled bounds —
+  silently wrong ranks, not just wasted work (ADVICE r6). Release is
+  therefore DEFERRED: at each cycle the tracker asks the CacheManager
+  whether the cached buffers were ever built; if not (consumer never ran
+  — e.g. a caller built query N+1 before collecting query N, or the plan
+  audit explains without executing), the entry re-registers itself for
+  the next cycle. An unmaterialized persist holds zero storage, so
+  deferral is free; once the consumer materializes, the very next cycle
+  releases the blocks as usual.
+
 At cluster scale the same discipline matters more, not less: executor
 storage memory competes with shuffle/execution memory under the unified
 memory manager, and dead cached blocks evict live ones or spill to disk.
@@ -28,11 +47,48 @@ from pyspark.sql import DataFrame
 _LIVE: list[Callable[[], None]] = []
 
 
-def tracked_persist(df: DataFrame) -> DataFrame:
+def _cache_state(df: DataFrame) -> str:
+    """'loaded' (buffers built — safe to release), 'pending' (cached but
+    never computed — releasing would re-expose the re-sample hazard), or
+    'gone' (already uncached by someone else). Introspection failure
+    degrades to 'loaded' (= the pre-deferral behavior: release now)."""
+    try:
+        cm = df.sparkSession._jsparkSession.sharedState().cacheManager()
+        cached = cm.lookupCachedData(df._jdf)
+        if cached.isEmpty():
+            return "gone"
+        builder = cached.get().cachedRepresentation().cacheBuilder()
+        return "loaded" if builder.isCachedColumnBuffersLoaded() else "pending"
+    except Exception:
+        return "loaded"
+
+
+class _DeferredRelease:
+    """Release hook for a correctness-bearing persist: unpersists only
+    once the cached buffers were actually built, re-deferring itself
+    across release cycles until then (see module docstring)."""
+
+    def __init__(self, df: DataFrame):
+        self._df = df
+
+    def __call__(self) -> None:
+        state = _cache_state(self._df)
+        if state == "pending":
+            _LIVE.append(self)
+        elif state == "loaded":
+            self._df.unpersist()
+        # 'gone': nothing left to release
+
+
+def tracked_persist(df: DataFrame, correctness_bearing: bool = False) -> DataFrame:
     """persist() a query-internal intermediate, registering it for release
-    when the NEXT registered query starts (see module docstring)."""
+    when the NEXT registered query starts. ``correctness_bearing=True``
+    defers the release until the block was actually computed (see module
+    docstring) — pass it whenever a recompute would NOT reproduce the
+    cached result bit-for-bit (sampled range bounds, nondeterministic
+    ids)."""
     p = df.persist()
-    _LIVE.append(p.unpersist)
+    _LIVE.append(_DeferredRelease(p) if correctness_bearing else p.unpersist)
     return p
 
 
@@ -45,18 +101,15 @@ def tracked_release(unpersist_fn: Callable[[], None]) -> None:
 
 
 def release_tracked() -> None:
-    """Unpersist every tracked intermediate from prior query invocations.
-
-    Contract (round 6): a query's returned DataFrame must be materialized
-    BEFORE the next registered query is built — the sequential
-    materialize-then-advance pattern the driver, tests, and bench all
-    follow. Plain persists would merely recompute if collected late, but
-    two tracked classes are no longer re-executable: ranking.py's ranged
-    relation (a recompute re-samples range bounds, the determinism
-    hazard its docstring describes) and iterative queries' checkpoint
-    blocks (truncated lineage cannot recompute at all)."""
-    while _LIVE:
+    """Run one release cycle over every tracked intermediate from prior
+    query invocations. Deferred (correctness-bearing) entries whose
+    blocks were never computed re-register themselves for the next cycle
+    instead of releasing — the snapshot-then-clear shape below lets them
+    append to the fresh list without being re-invoked this cycle."""
+    pending = _LIVE[:]
+    _LIVE.clear()
+    for fn in pending:
         try:
-            _LIVE.pop()()
+            fn()
         except Exception:
             pass  # session already stopped — blocks died with it

@@ -82,71 +82,77 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-6 window (rotated after CORRECTNESS_r05 came back 50/50 green):
-# leads with the 41 round-5 additions that have never had a driver row
-# (the COVERAGE.md round-6 queue; all locally oracle-green), so after
-# this round EVERY registered query again has at least one green driver
-# row. The 9 re-confirm slots gate (a) the three ntile queries whose
-# plans were rebuilt this round on ranking.global_ntile — same cells,
-# distributed rank — plus (b) the heaviest dedup/ANN tiers and (c) the
-# three reference WRITE lifecycles. Round-6 additions past these 50
-# queue for round 7 in COVERAGE.md.
+# Round-7 window (rotated after CORRECTNESS_r06 came back 50/50 green —
+# the third consecutive fully green round): leads with the 31 round-6
+# additions that have never had a driver row (the COVERAGE.md round-7
+# queue: the statistics suite, the ranking-family anchors, PCA/RRF/SCD2,
+# dynamic partition pruning; all locally oracle-green), so after this
+# round EVERY registered query again has at least one green driver row.
+# The re-confirm slots gate the heaviest dedup/ANN tiers (including the
+# three whose round-6 timings regressed — re-measured under bench.py's
+# new repeat-median), the three reference WRITE lifecycles, one
+# ranking-family query (the persistence contract around
+# ranking._ranged changed this round), and the AQE-skew join. Round-7
+# additions are appended at the window tail as they land.
 _DRIVER_WINDOW = (
-    # --- A/B experimentation suite (driver-proved as a family) ---
-    "events_abtest_ttest",
-    "events_abtest_srm",
-    "events_abtest_power",
-    "events_abtest_cuped",  # covariance-of-rounded-operands determinism
-    # --- never driver-checked round-5 additions (rest of the queue) ---
-    "customers_churn_census",
-    "customers_tier_migration",
-    "embedding_kmeans_2iter",
-    "events_anova_oneway",
-    "events_autocorr_daily",
-    "events_behavior_entropy",
-    "events_bounce_rate",
-    "events_burstiness_index",
-    "events_forecast_holt",
-    "events_gap_histogram",
-    "events_heatmap_hour_dow",
-    "events_new_vs_returning",
-    "events_rank_functions",  # nth_value runner-up coalesced to -1.0 this round
-    "events_type_mix_trend",
-    "events_user_activity_zipf",  # repaired: distributed top-k before rank
-    "events_velocity_flags",
-    "graph_degree_distribution",
-    "join_null_safe_eq",
-    "orders_backlog_monthly",
-    "orders_benford_audit",
-    "orders_cohort_ltv",
-    "orders_duplicate_payments",
-    "orders_gini_coefficient",  # repaired: ranking.global_row_number
-    "orders_repeat_purchase_curve",
-    "orders_sla_attainment_monthly",
-    "orders_value_histogram",
-    "parts_realized_margin",
-    "privacy_dp_lang_counts",
-    "set_ops_all_variants",
-    "sql_lateral_topk",
-    "streaming_sliding_topk",
-    "supplier_concentration_hhi",
-    "supplier_leadtime_consistency",
-    "text_heaps_law",
-    "text_rag_chunking",
-    "text_readability_fk",
-    "text_safety_screen",
-    # --- re-confirm: ntile family rebuilt on ranking.global_ntile ---
-    "customers_rfm_segments",
-    "events_engagement_tiers",
-    "customer_ltv_pareto",
-    # --- re-confirm: heaviest dedup/ANN tiers stay gated ---
+    # --- never driver-checked round-6 additions (COVERAGE.md r7 queue) ---
+    "events_abtest_mannwhitney",
+    "events_abtest_ks",
+    "events_proportion_ztest",
+    "events_bh_fdr_control",
+    "events_eb_shrunk_means",
+    "events_chisq_independence",
+    "customers_kaplan_meier",
+    "events_bootstrap_ci",
+    "orders_sen_trend",
+    "events_skewness_kurtosis",
+    "documents_quality_deciles",
+    "corpus_pack_sequences",
+    "orders_abc_analysis",
+    "lineitem_weighted_median",
+    "orders_value_quartiles_cutpoint",
+    "orders_winsorized_stats",
+    "retrieval_rrf_hybrid",
+    "orders_point_in_time_scd2",
+    "parts_skyline_frontier",
+    "embedding_pca_power",
+    "privacy_k_anonymity",
+    "source_dynamic_partition_prune",
+    "corpus_split_no_leakage",
+    "text_pmi_collocations",
+    "classifier_pr_auc",
+    "orders_value_psi",
+    "events_key_skew_report",
+    "events_multitouch_attribution",
+    "events_type_corr_matrix",
+    "events_moving_median_7d",
+    "graph_pagerank_converged",  # rows-only; golden-pinned in tests
+    # --- re-confirm: heaviest dedup/ANN tiers (incl. the three round-6
+    #     timing regressions, re-measured under repeat-median) ---
     "dedup_minhash_lsh",
     "dedup_minhash_oph",
     "similarity_pq_adc",
+    "text_span_dedup",
+    "dedup_simhash",
+    "similarity_ivf_ann",
+    "similarity_lsh_ann",
+    "dedup_lsh_clusters",
+    "ingest_incremental_minhash",
     # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",
     "ref_approve_submission_batch",
+    # --- re-confirm: ranking family (persistence contract hardened r7) ---
+    "customers_rfm_segments",
+    # --- re-confirm: AQE skew join + composite pipeline ---
+    "events_click_attribution",
+    "corpus_curation_pipeline",
+    # --- round-7 additions land here (each replaces one of the four
+    #     re-confirm placeholders below on entry) ---
+    "events_engagement_tiers",
+    "customer_ltv_pareto",
+    "streaming_cdc_merge",
+    "ingest_incremental_dedup",
 )
 
 

@@ -45,6 +45,49 @@ def _clear_all_persistent(spark) -> None:
         jrdd.unpersist(True)
 
 
+def test_correctness_bearing_persist_survives_early_release(spark):
+    """ADVICE r6 (medium): ranking.py's ranged relation is
+    correctness-bearing — a caller that builds the NEXT registered query
+    BEFORE collecting a ranking-family DataFrame must not strand it on a
+    freshly-re-sampled range exchange. The tracked release must DEFER
+    (the buffers were never built), keep the persist active through the
+    late collect, and release it at the first cycle after
+    materialization."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.ranking import global_row_number
+    from mini_hive_server_spark.persistence import _DeferredRelease, _cache_state
+
+    persistence.release_tracked()  # drop/defer residue from other files
+    df = spark.range(0, 5000).selectExpr("id", "cast(id % 97 as long) as v")
+    ranked = global_row_number(df, ["v", "id"], rank_col="rk")
+    deferred = [e for e in persistence._LIVE if isinstance(e, _DeferredRelease)]
+    assert deferred, "ranged relation not tracked as correctness-bearing"
+    assert all(_cache_state(e._df) == "pending" for e in deferred)
+
+    # the hazard: a release cycle fires BEFORE the consumer materializes
+    persistence.release_tracked()
+    assert all(
+        _cache_state(e._df) == "pending" for e in deferred
+    ), "early release dropped an uncomputed correctness-bearing persist"
+
+    # late collect still sees the single cached exchange — exact ranks
+    got = {r.id: r.rk for r in ranked.collect()}
+    exp = {
+        r.id: r.rk
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == exp
+    assert all(_cache_state(e._df) == "loaded" for e in deferred)
+
+    # and the next cycle actually releases the now-loaded blocks
+    persistence.release_tracked()
+    assert all(_cache_state(e._df) == "gone" for e in deferred)
+
+
 def test_tracked_persists_do_not_accumulate(spark):
     # Arrange: start from a clean MemoryStore — earlier test files in the
     # shared session may have cached blocks (checkpoint RDDs, Spark ML
