@@ -264,6 +264,158 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+# ------------------------------------------- PageRank, golden fixed depth
+
+_GOLDEN_ITER = 12
+
+
+def _pagerank_golden_oracle() -> str:
+    """Unrolled-CTE oracle for the fixed-depth golden run: recursive CTEs
+    cannot host the per-iteration aggregate (group-sum of contributions),
+    so the DuckDB replay unrolls all 12 steps programmatically — same
+    recurrence as `_PAGERANK_ORACLE`, deeper."""
+    steps = []
+    for k in range(1, _GOLDEN_ITER + 1):
+        steps.append(
+            f"""pr{k} AS (
+  SELECT n.node,
+         (1 - {_DAMPING}) / nn.n_nodes
+           + {_DAMPING} * coalesce(sum(p.pr * e.w), 0) AS pr
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN pr{k - 1} p ON p.node = e.src
+  GROUP BY n.node, nn.n_nodes
+)"""
+        )
+    last, prev = f"pr{_GOLDEN_ITER}", f"pr{_GOLDEN_ITER - 1}"
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+),
+raw_edges AS (
+  SELECT prev_type AS src, event_type AS dst, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst,
+         CAST(n AS DOUBLE)
+           / CAST(sum(n) OVER (PARTITION BY src) AS DOUBLE) AS w
+  FROM raw_edges
+),
+nodes AS (SELECT DISTINCT event_type AS node FROM events),
+nn AS (SELECT count(*) AS n_nodes FROM nodes),
+pr0 AS (
+  SELECT node, 1.0 / n_nodes AS pr FROM nodes, nn
+),
+{unrolled},
+res AS (
+  SELECT max(abs(a.pr - b.pr)) < {_PR_EPS} AS converged
+  FROM {last} a JOIN {prev} b ON a.node = b.node
+)
+SELECT a.node AS event_type, round(a.pr, 6) AS pagerank,
+       CAST({_GOLDEN_ITER} AS INT) AS n_iterations,
+       (SELECT converged FROM res) AS converged
+FROM {last} a
+ORDER BY event_type
+"""
+
+
+@register(
+    "graph_pagerank_golden",
+    oracle=_pagerank_golden_oracle(),
+    tags=("graph", "iterative"),
+)
+def graph_pagerank_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-paired GOLDEN twin of `graph_pagerank_converged`
+    (VERDICT r6 stretch / ADVICE r6): the same driver-side iterative
+    loop — per round one key-shuffled join + one partial-agg'd aggregate,
+    `localCheckpoint` truncating lineage — but run to a FIXED,
+    data-independent depth of 12 rounds, 3-4x past the fixture's
+    measured ε-stop (3-4 rounds at every SF). Fixed depth makes the
+    converged VALUES SQL-expressible again (a 12-step unrolled-CTE
+    DuckDB replay), so the registry's one rows-only query gains a
+    value-level driver check next to it: `tests/test_llm_ops.py` pins
+    `graph_pagerank_converged`'s ranks equal to these golden ranks.
+
+    The output carries the same interface as the ε-stopped variant —
+    `converged` here asserts the residual |pr12 − pr11| fell below the
+    same ε IN the dataflow (computed by a node-cardinality join, crossed
+    back as a broadcast 1-row), proving 12 rounds overshoot the
+    fixpoint rather than assuming it.
+
+    Block lifecycle: at most two node-cardinality checkpoint blocks are
+    live during the loop; the LAST TWO iterates must outlive this
+    function (the residual join reads both and truncated lineage cannot
+    recompute), so both register with `tracked_release`."""
+    from ..persistence import tracked_persist, tracked_release
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges, nodes = _transition_graph(events)
+    edges = tracked_persist(edges)
+    nodes = tracked_persist(nodes)
+    nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
+
+    def _ckpt_rdd(df: DataFrame):
+        # same LogicalRDD-backing-rdd form as graph_pagerank_converged:
+        # toRdd() would hand back a derived RDD whose unpersist is a no-op
+        return df._jdf.queryExecution().analyzed().rdd()
+
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
+    )
+    prev_pr, ckpts = None, []
+    for _ in range(_GOLDEN_ITER):
+        contrib = (
+            pr.join(edges, pr["node"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w")).alias("c"))
+        )
+        new_pr = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    (1 - _DAMPING) / F.col("n_nodes")
+                    + _DAMPING * F.coalesce("c", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+        ckpts.append(_ckpt_rdd(new_pr))
+        if len(ckpts) > 2:  # keep the last TWO iterates (residual join)
+            ckpts.pop(0).unpersist(False)
+        prev_pr, pr = pr, new_pr
+    for rdd in ckpts:
+        tracked_release(lambda r=rdd: r.unpersist(False))
+    res = (
+        pr.select("node", F.col("pr").alias("pr_new"))
+        .join(prev_pr.select("node", F.col("pr").alias("pr_old")), "node")
+        .agg(
+            (
+                F.max(F.abs(F.col("pr_new") - F.col("pr_old")))
+                < F.lit(_PR_EPS)
+            ).alias("converged")
+        )
+    )
+    return (
+        pr.crossJoin(F.broadcast(res))
+        .select(
+            F.col("node").alias("event_type"),
+            F.round("pr", 6).alias("pagerank"),
+            F.lit(_GOLDEN_ITER).cast("int").alias("n_iterations"),
+            "converged",
+        )
+        .orderBy("event_type")
+    )
+
+
 # --------------------------------------------------------- triangle count
 
 _TRI_MIN_SUPPORT = 2

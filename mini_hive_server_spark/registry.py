@@ -149,10 +149,10 @@ _DRIVER_WINDOW = (
     "corpus_curation_pipeline",
     # --- round-7 additions land here (each replaces one of the four
     #     re-confirm placeholders below on entry) ---
+    "graph_pagerank_golden",
     "events_engagement_tiers",
     "customer_ltv_pareto",
     "streaming_cdc_merge",
-    "ingest_incremental_dedup",
 )
 
 

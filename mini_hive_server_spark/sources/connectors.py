@@ -815,16 +815,24 @@ def source_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFram
     partition column literally); this is the half that matters for star
     joins at 100 TB, where the selective predicate always lives on a
     dim attribute the fact never stored — without DPP the fact scan
-    reads every partition and the predicate applies post-join."""
+    reads every partition and the predicate applies post-join.
+
+    The partitioned layout is derived from the immutable sf_dir fixture,
+    so it is written ONCE behind a `_SUCCESS` exists-check (ADVICE r6:
+    the old unconditional overwrite ran as a side effect of merely
+    BUILDING the DataFrame — on every explain and during the
+    registry-wide plan audit — and concurrent builds of the same SF dir
+    could race on the overwrite)."""
     out = _tmp_dir(sf_dir, "orders_by_month")
     orders = load_tables(spark, sf_dir)["orders"]
     month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
-    (
-        orders.select("o_orderkey", "o_totalprice", month)
-        .write.mode("overwrite")
-        .partitionBy("o_month")
-        .parquet(out)
-    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        (
+            orders.select("o_orderkey", "o_totalprice", month)
+            .write.mode("overwrite")
+            .partitionBy("o_month")
+            .parquet(out)
+        )
     fact = spark.read.parquet(out)
     dim = orders.select(
         month,

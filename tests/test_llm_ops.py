@@ -261,3 +261,28 @@ def test_pagerank_converged_matches_independent_iteration(spark):
     for v in nodes:
         nxt = (1 - _DAMPING) / n + _DAMPING * stepped[v]
         assert abs(nxt - got[v]) < 1e-5, (v, nxt, got[v])
+
+
+def test_pagerank_converged_matches_golden_fixed_depth(spark):
+    """ADVICE r6: the ε-stopped rows-only query additionally pins its
+    VALUES against the oracle-paired golden twin (`graph_pagerank_golden`,
+    12 fixed rounds — 3-4x past the measured 3-4-round stop at every SF),
+    so the driver's weaker rows-only check is backed by a value-level
+    anchor that DuckDB itself verifies. Tolerance is the GUARANTEED
+    ε-stop bound ε·d/(1-d) (~5.7e-6 at d=0.85) plus round(…,6) — the
+    ε-stopped iterate may lawfully sit that far from the deeper golden
+    iterate."""
+    from mini_hive_server_spark import registry
+
+    qs = registry.queries()
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        conv = {
+            r["event_type"]: r["pagerank"]
+            for r in qs["graph_pagerank_converged"](spark, sf).collect()
+        }
+        gold_rows = qs["graph_pagerank_golden"](spark, sf).collect()
+        gold = {r["event_type"]: r["pagerank"] for r in gold_rows}
+        assert gold_rows and all(r["converged"] for r in gold_rows), sf
+        assert set(conv) == set(gold), sf
+        for v in conv:
+            assert abs(conv[v] - gold[v]) < 1e-5, (sf, v, conv[v], gold[v])

@@ -81,6 +81,7 @@ _BNLJ_BOUNDED = {
     "events_funnel_conversion",
     "events_gapfill_hourly",
     "graph_pagerank_3iter",
+    "graph_pagerank_golden",  # 1-row residual verdict crossed back
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
@@ -123,22 +124,89 @@ _SINGLE_PARTITION_BOUNDED = {
 
 _NODE_HEAD = ("Sort [", "Window [", "WindowGroupLimit [")
 
+# Narrow, partitioning-preserving nodes a single-partition exchange may
+# flow through on its way to a Sort/Window: walking must not stop here.
+_TRANSPARENT_HEAD = ("Project [", "Filter ", "ColumnarToRow", "InputAdapter")
+
+
+def _tree_depth(line: str) -> int:
+    """Indent of a simple-mode plan line: the length of its tree-art
+    prefix (spaces, ':', '+', '-'). Operator heads — including the
+    codegen '*(n) ' prefix — never start with those characters."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
 
 def _single_partition_sorted(plan: str) -> bool:
-    """True if an `Exchange SinglePartition` directly feeds a Sort or
-    Window node (scanning the 2 tree lines above the exchange; node-head
-    match so SortAggregate's single-partition FINAL step — a bounded
-    1-row grand aggregate — is not a false positive)."""
+    """True if an `Exchange SinglePartition` feeds a Sort or Window node
+    through its ANCESTOR chain (the nearest line above with shallower
+    tree indent, repeated), skipping partitioning-preserving narrow
+    nodes. ADVICE r6: the old fixed 2-line upward scan both missed
+    Sort → Project → Exchange chains and could false-match a sibling
+    subtree's tail lines. Node-head match keeps SortAggregate's
+    single-partition FINAL step — a bounded 1-row grand aggregate — from
+    being a false positive; any non-transparent ancestor (aggregate,
+    join, another exchange) consumes the partitioning and stops the
+    walk."""
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Exchange SinglePartition" not in line:
             continue
-        for above in lines[max(0, i - 2):i]:
-            head = above.replace(":", " ").replace("+-", " ").replace("*(", "(").strip()
-            head = head.lstrip("(0123456789) ")
+        depth = _tree_depth(line)
+        for j in range(i - 1, -1, -1):
+            pd = _tree_depth(lines[j])
+            if pd >= depth:
+                continue  # sibling subtree tail, not an ancestor
+            depth = pd
+            head = lines[j][pd:].lstrip("*(0123456789) ")
             if head.startswith(_NODE_HEAD):
                 return True
+            if not head.startswith(_TRANSPARENT_HEAD):
+                break
     return False
+
+
+def test_single_partition_matcher_walks_ancestors():
+    """The matcher must follow the real parent chain: catch a Sort fed
+    through an intervening Project (missed by the old 2-line window),
+    and NOT match a sibling subtree's Sort that merely sits within 2
+    lines of the exchange text."""
+    chained = (
+        "*(3) Sort [v ASC NULLS FIRST], true, 0\n"
+        "+- Project [v]\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+        "      +- Scan parquet [v]\n"
+    )
+    assert _single_partition_sorted(chained)
+
+    direct = (
+        "Window [row_number() ...], [v ASC]\n"
+        "+- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=1]\n"
+    )
+    assert _single_partition_sorted(direct)
+
+    # exchange feeds a grand aggregate; the Sort above belongs to a
+    # SIBLING subtree (deeper indent than the join parent)
+    sibling = (
+        "SortMergeJoin [k], [k], Inner\n"
+        ":- *(1) Sort [k ASC], false, 0\n"
+        ":  +- Exchange hashpartitioning(k, 32)\n"
+        "+- HashAggregate(keys=[], functions=[sum(x)])\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=2]\n"
+        "      +- HashAggregate(keys=[], functions=[partial_sum(x)])\n"
+    )
+    assert not _single_partition_sorted(sibling)
+
+    # aggregate between exchange and an outer Sort consumes the
+    # partitioning — bounded output, not a scale killer
+    agg_then_sort = (
+        "*(4) Sort [s DESC], true, 0\n"
+        "+- HashAggregate(keys=[], functions=[sum(x)])\n"
+        "   +- Exchange SinglePartition, ENSURE_REQUIREMENTS, [plan_id=3]\n"
+    )
+    assert not _single_partition_sorted(agg_then_sort)
 
 
 def test_no_scale_killer_plan_shapes_anywhere(spark):
