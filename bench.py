@@ -98,27 +98,29 @@ def main() -> None:
             failed[name] = f"warmup: {type(e).__name__}: {e}"
             print(f"# WARMUP FAIL {name}: {traceback.format_exc()}", file=sys.stderr)
 
-    # Two timed repetitions per query, report the per-query MIN: the first
-    # execution pays one-time janino codegen compilation (~1-2s/query
-    # locally) and the host shows CPU-steal bursts; min-of-2 measures the
-    # engine's steady-state cost instead of whichever noise source fired.
+    # Repeat-median timing (since round 7; rounds 1-6 reported min-of-2):
+    # three timed repetitions per query, report the per-query MEDIAN plus
+    # the [min, max] spread. The warm-up invocation above already paid the
+    # one-time janino codegen compilation, so the three reps measure
+    # steady state; the host shows multi-second CPU-steal bursts
+    # (round-5 measurement: one >2s query varied 1.9-6.0s across runs on
+    # load-average-6 neighbors), and median-of-3 with a reported spread
+    # lets a reader distinguish a noise burst (wide spread, stable
+    # median) from a real plan regression (shifted median, tight
+    # spread). Medians sit slightly above the old mins — compare r7+
+    # rounds to each other on medians, to r1-r6 only directionally.
     total = 0.0
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name in failed:
             continue
-        best, rows = float("inf"), 0
-        # min-of-2, plus up to two extra reps for any query still >2s:
-        # the host shows multi-second CPU-steal bursts (round-5
-        # measurement: the one >2s query varied 1.9-6.0s across runs on
-        # load-average-6 neighbors), and a burst landing on every rep of
-        # the heaviest query would otherwise be recorded as a regression.
+        times: list[float] = []
+        rows = 0
         try:
-            for rep in range(4):
-                if rep >= 2 and best <= 2.0:
-                    break
+            for _ in range(3):
                 t0 = time.perf_counter()
                 rows = qs[name](spark, sf_dir).count()
-                best = min(best, time.perf_counter() - t0)
+                times.append(time.perf_counter() - t0)
                 # Queries that persist() intermediates (the dedup/similarity
                 # tiers) build a NEW DataFrame per invocation, so earlier
                 # blocks are dead weight — drop them so repeated invocations
@@ -132,17 +134,44 @@ def main() -> None:
             except Exception:
                 pass
             continue
-        timings[name] = round(best, 3)
-        total += best
-        print(f"# {name}: {best:.3f}s ({rows} rows)", file=sys.stderr)
+        times.sort()
+        med = times[len(times) // 2]
+        timings[name] = round(med, 3)
+        spread[name] = [round(times[0], 3), round(times[-1], 3)]
+        total += med
+        print(
+            f"# {name}: median {med:.3f}s [{times[0]:.3f}-{times[-1]:.3f}] "
+            f"({rows} rows)",
+            file=sys.stderr,
+        )
 
+    # NOTE for plan readers: any `WindowExec: No Partition Defined`
+    # warnings below are EXPECTED — they come from the deliberate
+    # single-partition `*_window` BASELINE arms of the scale experiments
+    # (the before/after pairs), never from a registered query (the plan
+    # audit forbids that shape repo-wide).
+    print(
+        "# NOTE: WindowExec 'No Partition Defined' warnings come from the "
+        "deliberate single-partition experiment baseline arms, not from "
+        "registered queries",
+        file=sys.stderr,
+    )
     experiments = {}
-    try:
-        experiments = _ntile_scale_experiment(spark, sf_dir)
-        for k, v in experiments.items():
-            print(f"# experiment {k}: {v:.3f}s", file=sys.stderr)
-    except Exception:
-        print(f"# ntile experiment failed:\n{traceback.format_exc()}", file=sys.stderr)
+    for exp in (
+        _ntile_scale_experiment,
+        _cumsum_scale_experiment,
+        _lsh_band_scale_experiment,
+    ):
+        try:
+            got = exp(spark, sf_dir)
+            experiments.update(got)
+            for k, v in got.items():
+                print(f"# experiment {k}: {v:.3f}s", file=sys.stderr)
+        except Exception:
+            print(
+                f"# experiment {exp.__name__} failed:\n{traceback.format_exc()}",
+                file=sys.stderr,
+            )
 
     out = {
         "metric": "headline_queries_total",
@@ -160,6 +189,10 @@ def main() -> None:
                 sum(t for n, t in timings.items() if n in EXTENDED), 3
             ),
         },
+        # per-query [min, max] over the 3 reps — the noise-vs-regression
+        # discriminator (median shifted AND spread tight = real)
+        "spread": spread,
+        "timing": "median-of-3 (rounds 1-6: min-of-2)",
     }
     if experiments:
         out["experiments"] = experiments
@@ -212,6 +245,134 @@ def _ntile_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             out[key] = round(best, 3)
+    return out
+
+
+def _cumsum_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the distributed prefix-sum (`ranking.global_cumsum`
+    — the skeleton under sequence packing / Gini / ABC) vs the
+    single-partition `Window.orderBy` running sum, on a synthetic
+    token-count relation at 10x and 100x the fixture's document
+    cardinality at sf0.1 (50k / 500k docs; VERDICT r6 item 3: the ntile
+    harness extended to the cumsum family). Deterministic hash-derived
+    integer token counts; both variants compute identical prefix sums,
+    so the timing delta is purely the plan shape — one range exchange +
+    P-row offsets fold vs a single-partition global sort."""
+    import time
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.ranking import global_cumsum
+
+    base = load_tables(spark, sf_dir)["documents"].count()
+    out: dict[str, float] = {}
+    for mult in (100, 1000):
+        n = base * mult
+        # order by a hash-derived key, NOT the monotone range id: ordering
+        # already-sorted input would let the single-partition baseline skip
+        # the one cost that kills it at scale (the global sort)
+        synth = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.xxhash64(F.col("id")).alias("sort_key"),
+            (F.pmod(F.xxhash64(F.col("id"), F.lit(1)), F.lit(2048)) + 1).alias(
+                "tok"
+            ),
+        )
+        order = [F.col("sort_key").asc()]
+        w = Window.orderBy(*order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        variants = {
+            f"cumsum_{mult}x_window": lambda: synth.select(
+                F.sum("tok").over(w).alias("cum")
+            ),
+            f"cumsum_{mult}x_distributed": lambda: global_cumsum(
+                synth, order, "tok", "cum"
+            ),
+        }
+        for key, build in variants.items():
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                # collect the 1-row reduction — NOT .count(): counting a
+                # grand aggregate lets Catalyst prune the aggregate
+                # expressions and with them the whole Window/cumsum
+                # subtree, timing an empty scan (measured: 50M-row
+                # "window cumsum" in 0.22s = the pruned plan)
+                build().agg(F.sum("cum"), F.max("cum")).collect()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            out[key] = round(best, 3)
+    return out
+
+
+def _lsh_band_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the MinHash band-bucket candidate self-join — the
+    one dedup stage dedup.py's header names as the 100 TB skew risk (a
+    hot template band → hot bucket → quadratic pair blowup). The
+    signature stage is map-side linear, so the experiment synthesizes
+    the (doc_id, band, bh) relation DIRECTLY at 10x and 100x the sf0.1
+    corpus cardinality (16 bands/doc → 0.8M / 8M band rows) with the
+    fixture's pairing structure: ~2% of docs in planted 2-doc near-dup
+    buckets, everything else unique, plus ONE hot boilerplate bucket
+    holding 0.1% of the corpus (50 / 500 docs → 1.2k / 125k pairs from
+    that bucket alone). Timed: the same self-join + distinct the
+    registered `dedup_minhash_lsh` runs, over the persisted band
+    relation, AQE skew-join active. The curve substantiates the header's
+    claim with measured numbers instead of prose."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+
+    base = load_tables(spark, sf_dir)["documents"].count()
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n = base * mult
+        bands = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.explode(F.sequence(F.lit(0), F.lit(15))).alias("band"),
+        )
+        pair_root = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2))
+        bh = (
+            F.when(
+                (F.col("band") == 0)
+                & (F.pmod(F.col("doc_id"), F.lit(1000)) == 0),
+                F.lit(0),  # the hot boilerplate bucket: n/1000 docs
+            )
+            .when(
+                F.pmod(F.col("doc_id"), F.lit(100)) < 2,
+                F.xxhash64(pair_root, F.col("band")),  # 2-doc near-dup pair
+            )
+            .otherwise(F.xxhash64(F.col("doc_id"), F.col("band")))
+        )
+        rel = bands.select("doc_id", "band", bh.alias("bh")).persist()
+        rel.count()  # materialize OUTSIDE the timed window (mirrors the
+        # registered query, which joins a persisted band relation)
+        x, y = rel.alias("x"), rel.alias("y")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            (
+                x.join(
+                    y,
+                    (F.col("x.band") == F.col("y.band"))
+                    & (F.col("x.bh") == F.col("y.bh"))
+                    & (F.col("x.doc_id") < F.col("y.doc_id")),
+                )
+                .select(
+                    F.col("x.doc_id").alias("d1"),
+                    F.col("y.doc_id").alias("d2"),
+                )
+                .distinct()
+                .count()
+            )
+            best = min(best, time.perf_counter() - t0)
+        rel.unpersist()
+        out[f"lsh_band_join_{mult}x"] = round(best, 3)
     return out
 
 
