@@ -1,0 +1,188 @@
+"""Read-only HTTP facade over the query registry — the REST half of the
+reference's server surface.
+
+The reference is an Express REST server (``/root/reference/index.js``,
+~35 routes over MongoDB); the engine's primary serving surface is the
+HiveThriftServer2 JDBC endpoint (`server.py`). This module completes the
+parity story with a thin stdlib ``http.server`` layer that maps the
+reference's READ routes — dashboards, queues, listings — to the
+registered queries that already reimplement their semantics (and are
+already oracle-gated by the driver). No new dependencies, no new query
+code: a route is a name lookup into ``registry.queries()`` plus JSON
+row serialization of the collected result.
+
+Route map (reference citation → registered query):
+
+=========================================  ==============================
+``GET /buyer/home``         index.js:542   ``buyer_home_dashboard``
+``GET /api/worker/home``    index.js:325   ``worker_home_stats``
+``GET /top-workers``        index.js:1237  ``ref_top_workers``
+``GET /api/notifications``  index.js:226   ``ref_notifications_feed``
+``GET /payments``           index.js:427   ``ref_buyer_payment_history``
+``GET /api/buyer/pending-submissions``
+                            index.js:940   ``ref_buyer_pending_review``
+``GET /admin/withdrawals``  index.js:1099  ``ref_withdrawal_queue``
+``GET /api/all-tasks``      index.js:532   ``ref_open_tasks_listing``
+``GET /submissions``        index.js:1001  ``ref_worker_submission_page``
+``GET /admin/home``         index.js:1200  ``ref_admin_platform_stats``
+``GET /admin/tasks/oversubscribed``
+                            index.js:821   ``ref_oversubscribed_tasks``
+=========================================  ==============================
+
+Design notes:
+
+* **Collect is correct here.** Every mapped query is a dashboard
+  aggregate, a top-k, or a bounded queue listing — row counts are fixed
+  or capped by construction (the registry's own scale audit), so
+  serializing the collected result is serving, not a driver-side
+  anti-pattern. Corpus-scale relations are never routed.
+* **One query at a time.** Request handling serializes on a lock: the
+  registry's `register` wrapper releases the PREVIOUS query's tracked
+  persist blocks when the next query builds (persistence.py), so two
+  concurrent builds could release blocks mid-collect. The Thrift
+  endpoint remains the concurrent-SQL surface; this facade trades
+  concurrency for exactly-the-driver's semantics per request.
+* **Auth is out of scope** — the reference's Firebase-token middleware
+  (``verifyFBToken``, index.js:60-80) is identity plumbing, not query
+  semantics; the facade serves the already-synthesized multi-tenant
+  rows the `ref_*` queries filter.
+"""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import urlparse
+
+from pyspark.sql import SparkSession
+
+from . import registry
+
+ROUTES: dict[str, str] = {
+    "/buyer/home": "buyer_home_dashboard",  # index.js:542
+    "/api/worker/home": "worker_home_stats",  # index.js:325
+    "/top-workers": "ref_top_workers",  # index.js:1237
+    "/api/notifications": "ref_notifications_feed",  # index.js:226
+    "/payments": "ref_buyer_payment_history",  # index.js:427
+    "/api/buyer/pending-submissions": "ref_buyer_pending_review",  # index.js:940
+    "/admin/withdrawals": "ref_withdrawal_queue",  # index.js:1099
+    "/api/all-tasks": "ref_open_tasks_listing",  # index.js:532
+    "/submissions": "ref_worker_submission_page",  # index.js:1001
+    "/admin/home": "ref_admin_platform_stats",  # index.js:1200
+    "/admin/tasks/oversubscribed": "ref_oversubscribed_tasks",  # index.js:821
+}
+
+
+def _jsonable(v):
+    """Row value → JSON-safe value, type-faithfully: Decimal renders as
+    its exact decimal string (never a float round-trip), timestamps as
+    ISO-8601. The registry's determinism rules mean mapped queries emit
+    pre-rounded/stringified values anyway; this is the safety net."""
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return [_jsonable(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _jsonable(x) for k, x in v.items()}
+    return v
+
+
+def collect_route_rows(
+    spark: SparkSession, sf_dir: str, name: str
+) -> list[dict]:
+    """Run registered query ``name`` and return its rows as JSON-safe
+    dicts (explicit ``None`` for NULLs — unlike ``df.toJSON()``, which
+    silently drops null fields)."""
+    df = registry.queries()[name](spark, sf_dir)
+    return [
+        {k: _jsonable(v) for k, v in row.asDict(recursive=True).items()}
+        for row in df.collect()
+    ]
+
+
+class QueryHTTPServer:
+    """Threaded HTTP server bound to 127.0.0.1; ``port=0`` picks a free
+    port (exposed as ``.port``). Runs until ``.shutdown()``."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str, port: int = 0):
+        self._lock = threading.Lock()
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, fmt, *args):  # quiet pytest output
+                pass
+
+            def _reply(self, code: int, payload) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self) -> None:
+                path = urlparse(self.path).path.rstrip("/") or "/"
+                if path == "/health":
+                    self._reply(200, {"status": "ok"})
+                    return
+                if path == "/routes":
+                    self._reply(200, ROUTES)
+                    return
+                name = ROUTES.get(path)
+                if name is None:
+                    self._reply(404, {"message": "no such route"})
+                    return
+                try:
+                    with outer._lock:
+                        rows = collect_route_rows(spark, sf_dir, name)
+                except Exception as e:  # surface, don't crash the server
+                    self._reply(
+                        500, {"message": f"{type(e).__name__}: {e}"}
+                    )
+                    return
+                self._reply(200, rows)
+
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+
+    def shutdown(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join(timeout=10)
+
+
+def main() -> None:
+    """Standalone entry: serve the facade on $MHS_HTTP_PORT (default
+    8815) over $SPARK_GRAFT_SF_DIR (default sf0.01) until interrupted."""
+    import os
+    import time
+
+    from .session import get_spark
+
+    spark = get_spark(app_name="mhs-http")
+    srv = QueryHTTPServer(
+        spark,
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        port=int(os.environ.get("MHS_HTTP_PORT", "8815")),
+    )
+    print(f"serving {len(ROUTES)} routes on http://127.0.0.1:{srv.port}")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()

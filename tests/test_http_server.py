@@ -1,0 +1,91 @@
+"""The HTTP facade serves each mapped route's rows equal to the DuckDB
+oracle of the registered query behind it (VERDICT r6 item 4: curl each
+route, match the oracle output) — end-to-end through a real TCP socket,
+JSON on the wire."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from mini_hive_server_spark import registry
+from mini_hive_server_spark.http_server import ROUTES, QueryHTTPServer
+
+from .conftest import SF_ORACLE
+from .oracle_harness import run_duckdb_oracle
+
+
+@pytest.fixture(scope="module")
+def http_server(spark):
+    srv = QueryHTTPServer(spark, SF_ORACLE, port=0)
+    yield srv
+    srv.shutdown()
+
+
+def _get(srv: QueryHTTPServer, path: str):
+    with urllib.request.urlopen(
+        f"http://127.0.0.1:{srv.port}{path}", timeout=120
+    ) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+def _canon(v) -> str:
+    """Unify JSON-on-the-wire values with DuckDB-fetched Python values:
+    numerics (including numeric-looking strings — the facade renders
+    Decimal as its exact decimal string) collapse to a shortest-float
+    form, temporals to ISO strings."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (int, float, decimal.Decimal)) or (
+        isinstance(v, str)
+        and v
+        and v.replace(".", "", 1).replace("-", "", 1).isdigit()
+    ):
+        f = float(v)
+        if f.is_integer() and abs(f) < 2**53:
+            return str(int(f))
+        return repr(f)
+    return str(v)
+
+
+def _canon_rows(rows: list[dict]) -> list[tuple[str, ...]]:
+    return sorted(
+        tuple(_canon(r[k]) for k in sorted(r)) for r in rows
+    )
+
+
+def test_health_and_route_index(http_server):
+    status, body = _get(http_server, "/health")
+    assert (status, body) == (200, {"status": "ok"})
+    status, body = _get(http_server, "/routes")
+    assert status == 200 and body == ROUTES
+
+
+def test_unknown_route_is_404(http_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(http_server, "/no/such/route")
+    assert ei.value.code == 404
+
+
+@pytest.mark.parametrize("path", sorted(ROUTES))
+def test_route_matches_registered_query_oracle(http_server, path):
+    name = ROUTES[path]
+    spec = registry.all_specs()[name]
+    assert spec.oracle, f"{name}: routed queries must be oracle-paired"
+
+    status, got = _get(http_server, path)
+    assert status == 200
+    assert isinstance(got, list) and got, f"{path}: empty result"
+
+    expected = run_duckdb_oracle(spec.oracle, SF_ORACLE).to_pylist()
+    assert sorted(got[0]) == sorted(expected[0]), f"{path}: column drift"
+    assert _canon_rows(got) == _canon_rows(expected), path
