@@ -150,9 +150,9 @@ _DRIVER_WINDOW = (
     # --- round-7 additions land here (each replaces one of the four
     #     re-confirm placeholders below on entry) ---
     "graph_pagerank_golden",
+    "multimodal_bmp_decode",
+    "multimodal_wav_decode",
     "events_engagement_tiers",
-    "customer_ltv_pareto",
-    "streaming_cdc_merge",
 )
 
 

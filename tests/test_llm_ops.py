@@ -52,10 +52,74 @@ def test_minhash_equals_exhaustive(spark):
 
 
 def test_multimodal_decode_stubs_gated():
+    """Compressed formats stay honestly gated (no codecs in the image);
+    the BMP/WAV containers now decode for real (tests below)."""
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
     with pytest.raises(NotImplementedError):
-        decode_audio(b"RIFF")
+        decode_audio(b"OggS")
+
+
+def test_bmp_decoder_roundtrip_and_traps():
+    """decode_bmp must undo all three container normalizations the
+    synthesizer deliberately plants — row padding, bottom-up row order,
+    BGR channel order — recovering the exact closed-form RGB stream, for
+    every width mod 4 (each padding case) and via the decode_image
+    dispatch."""
+    from mini_hive_server_spark.operators.multimodal import (
+        _bmp_dims,
+        decode_bmp,
+        synthesize_bmp,
+    )
+
+    for doc_id in range(0, 20):  # widths 3-7 cover pad 0,1,2,3
+        w, h = _bmp_dims(doc_id)
+        got_w, got_h, rgb = decode_bmp(synthesize_bmp(doc_id))
+        assert (got_w, got_h) == (w, h)
+        expect = bytes((doc_id * 31 + i * 7) % 251 for i in range(w * h * 3))
+        assert rgb == expect, doc_id
+    out = decode_image(synthesize_bmp(7))
+    assert out["width"] == 7 % 5 + 3 and len(out["rgb"]) > 0
+
+    with pytest.raises(ValueError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+    with pytest.raises(ValueError):
+        decode_bmp(b"XX" + synthesize_bmp(1)[2:])  # bad magic
+    eight_bit = bytearray(synthesize_bmp(1))
+    eight_bit[28] = 8  # bpp field → unsupported palette BMP
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(eight_bit))
+    truncated = synthesize_bmp(1)[:-4]  # pixel array shorter than dims
+    with pytest.raises(ValueError):
+        decode_bmp(truncated)
+
+
+def test_wav_decoder_roundtrip_and_traps():
+    """decode_wav_pcm16 must walk chunks (a JUNK chunk precedes fmt),
+    honor 2-byte alignment, and unpack signed LE samples exactly."""
+    from mini_hive_server_spark.operators.multimodal import (
+        _wav_params,
+        decode_wav_pcm16,
+        synthesize_wav,
+    )
+
+    for doc_id in (0, 1, 2, 3, 49, 1000):
+        n, rate = _wav_params(doc_id)
+        got_rate, samples = decode_wav_pcm16(synthesize_wav(doc_id))
+        assert got_rate == rate and len(samples) == n
+        expect = [((doc_id * 13 + i * 5) % 4096) - 2048 for i in range(n)]
+        assert samples == expect, doc_id
+    out = decode_audio(synthesize_wav(5))
+    assert out["sample_rate"] == _wav_params(5)[1]
+
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(b"RIFF\x00\x00\x00\x00AIFF")  # not WAVE
+    wav = bytearray(synthesize_wav(1))
+    wav[20 + 12] = 2  # fmt audio_format → 2 (ADPCM): not PCM
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(bytes(wav))
+    with pytest.raises(ValueError):
+        decode_wav_pcm16(synthesize_wav(1)[:-3])  # truncated data chunk
 
 
 def test_multimodal_metadata_never_reads_payload(spark):
