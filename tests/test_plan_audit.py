@@ -209,6 +209,87 @@ def test_single_partition_matcher_walks_ancestors():
     assert not _single_partition_sorted(agg_then_sort)
 
 
+# Streaming queries whose state is bounded by KEY CARDINALITY rather
+# than a watermark — the only legitimate reason for a stateful streaming
+# plan without EventTimeWatermark. Each entry carries its justification;
+# an unlisted watermark-free stateful stream fails the audit.
+_KEY_BOUNDED_STATE = {
+    # complete-mode aggregate over (c_mktsegment, event_type): state is
+    # the full aggregate by definition; arity-bounded (5 segments × 4
+    # types), watermark would evict nothing in complete mode
+    "streaming_static_enrich",
+    # applyInPandasWithState per user_id, running-forever stats is the
+    # operator's CONTRACT (per-key model state); state = one 3-tuple per
+    # user, bounded by user cardinality like any keyed aggregate
+    "streaming_user_running_stats",
+    # latest-wins CDC state: exactly one row per entity key is the
+    # operator's semantic (a watermark that dropped keys would change
+    # the answer); bounded by entity cardinality
+    "streaming_cdc_merge",
+    # CEP run-length NFA: state is one (run_length, last_type) per user
+    "streaming_cep_error_burst",
+}
+
+
+def test_streaming_plans_have_bounded_state(spark, monkeypatch, tmp_path):
+    """VERDICT r6 item 6: the registry-wide audit now covers streaming
+    queries. Every registered streaming query's PRE-SINK streaming plan
+    (captured by intercepting run_to_memory before execution) must prove
+    its state store is bounded: an EventTimeWatermark upstream of the
+    stateful operator, or a documented key-cardinality bound
+    (_KEY_BOUNDED_STATE). Append-mode stateful output additionally
+    REQUIRES the watermark (append can't emit or evict without one — an
+    unwatermarked append-mode agg/join is both unbounded and mute). No
+    streaming plan may carry a single-partition repartition/coalesce."""
+    from mini_hive_server_spark.streaming import events_stream
+
+    captured: dict[str, tuple] = {}
+
+    class _Captured(Exception):
+        pass
+
+    def fake_run(agg, query_name, output_mode="complete"):
+        captured["df"] = (agg, output_mode)
+        raise _Captured
+
+    monkeypatch.setattr(events_stream, "run_to_memory", fake_run)
+
+    offenders = []
+    streaming_specs = {
+        n: s
+        for n, s in registry.all_specs().items()
+        if "streaming" in s.tags
+    }
+    assert streaming_specs, "no streaming queries registered?"
+    for name, spec in streaming_specs.items():
+        captured.clear()
+        try:
+            spec.fn(spark, SF_SMOKE)
+        except _Captured:
+            pass
+        if "df" not in captured:
+            offenders.append(f"{name}: never reached run_to_memory")
+            continue
+        df, mode = captured["df"]
+        if not df.isStreaming:
+            offenders.append(f"{name}: pre-sink relation is not a stream")
+            continue
+        plan = df._jdf.queryExecution().analyzed().toString()
+        watermarked = "EventTimeWatermark" in plan
+        if not watermarked and name not in _KEY_BOUNDED_STATE:
+            offenders.append(
+                f"{name}: stateful streaming plan without watermark and "
+                "not in the key-bounded allowlist"
+            )
+        if mode == "append" and not watermarked:
+            offenders.append(
+                f"{name}: append-mode output without a watermark"
+            )
+        if "Repartition 1," in plan or "Repartition 1\n" in plan:
+            offenders.append(f"{name}: single-partition repartition")
+    assert not offenders, offenders
+
+
 def test_no_scale_killer_plan_shapes_anywhere(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
         "formatted"
