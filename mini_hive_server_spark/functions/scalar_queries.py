@@ -185,3 +185,114 @@ def events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+WHERE o_orderstatus <> 'F'
+GROUP BY o_orderpriority
+HAVING count(*) > 10
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "agg"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4, SPARK-49555): the same
+    scan→filter→aggregate→having→order pipeline written as `|>` stages in
+    dataflow order — the third authoring surface next to the DataFrame
+    API and classic SQL. The point for parity: a user migrating analytics
+    written in the piped dialect runs them unchanged; Catalyst compiles
+    both spellings to the identical partial-agg'd plan (the oracle IS the
+    classic-SQL spelling, so the equivalence is driver-checked, not
+    claimed). Parameter markers bind the status literal through
+    `spark.sql(..., args=...)` — the injection-safe form of the
+    reference's string-built Mongo filters (index.js route handlers
+    interpolate request fields directly)."""
+    load_tables(spark, sf_dir)["orders"].createOrReplaceTempView(
+        "pipe_orders_v"
+    )
+    return spark.sql(
+        """
+        FROM pipe_orders_v
+        |> WHERE o_orderstatus <> :excluded
+        |> AGGREGATE count(*) AS n_orders,
+                     round(sum(o_totalprice), 2) AS revenue
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> ORDER BY o_orderpriority
+        """,
+        args={"excluded": "F"},
+    )
+
+
+_SQL_UDF_ORACLE = """
+WITH scored AS (
+  SELECT l_orderkey,
+         CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100
+                    + 0.5) AS BIGINT) AS charged_cents,
+         CASE WHEN l_quantity >= 40 THEN 'bulk'
+              WHEN l_quantity >= 10 THEN 'standard'
+              ELSE 'small' END AS tier
+  FROM lineitem
+)
+SELECT tier,
+       count(*) AS n_lines,
+       round(sum(charged_cents) / CAST(100 AS DOUBLE), 2) AS total_charged
+FROM scored
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@register("sql_scalar_udf", oracle=_SQL_UDF_ORACLE, tags=("sql", "udf"))
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-language UDFs (Spark 4, CREATE FUNCTION ... RETURN expr): the
+    charged-amount formula and a quantity tier register as named catalog
+    functions and a query calls them like builtins. The money UDF folds
+    straight to exact integer cents via the module's floor(x*100 + 0.5)
+    house rule — per-line 2dp floats would re-associate across the
+    distributed sum, and round()'s tie handling differs between engines
+    at binary boundaries; floor on a double is the same IEEE op
+    everywhere. Unlike Python UDFs,
+    a SQL UDF's body INLINES into the calling plan at analysis time —
+    whole-stage codegen sees the raw expression, so this is the one UDF
+    flavor with zero serialization boundary and zero scale penalty
+    (verified: the plan shows the expanded arithmetic, no BatchEvalPython
+    — tests/test_plans.py). The sanctioned way to share business logic
+    across queries without leaving the JVM."""
+    load_tables(spark, sf_dir)["lineitem"].createOrReplaceTempView(
+        "udf_lineitem_v"
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charged_cents(
+            price DOUBLE, discount DOUBLE, tax DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(floor(price * (1 - discount) * (1 + tax) * 100 + 0.5)
+                    AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION quantity_tier(q DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN q >= 40 THEN 'bulk'
+                    WHEN q >= 10 THEN 'standard'
+                    ELSE 'small' END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT quantity_tier(l_quantity) AS tier,
+               count(*) AS n_lines,
+               round(sum(charged_cents(l_extendedprice, l_discount, l_tax))
+                     / CAST(100 AS DOUBLE), 2) AS total_charged
+        FROM udf_lineitem_v
+        GROUP BY quantity_tier(l_quantity)
+        ORDER BY tier
+        """
+    )

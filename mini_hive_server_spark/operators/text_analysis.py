@@ -942,3 +942,227 @@ def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ------------------------------------ BPE tokenizer training (3 merges)
+
+_BPE_MERGES = 3
+
+
+def _bpe_oracle() -> str:
+    """Unrolled DuckDB replay of the 3 BPE merge rounds — same delimited
+    -string merge rule (see `tokenizer_bpe_merges`), dialect-adapted
+    (string_split / \\1 backreferences / scalar subselects)."""
+    rounds = ",".join(
+        f"""
+p{k} AS (
+  SELECT arr[i] AS a, arr[i+1] AS b, CAST(sum(freq) AS BIGINT) AS c
+  FROM (SELECT string_split(s, '|') AS arr, freq FROM s{k - 1}),
+       unnest(range(1, len(arr))) AS t(i)
+  GROUP BY 1, 2
+),
+best{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+s{k} AS (
+  SELECT replace(s, (SELECT a || '|' || b FROM best{k}),
+                    (SELECT a || b FROM best{k})) AS s, freq
+  FROM s{k - 1}
+)"""
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    unions = "\nUNION ALL ".join(
+        f"SELECT {k} AS merge_rank, a AS tok_a, b AS tok_b, "
+        f"a || b AS merged, c AS pair_count FROM best{k}"
+        for k in range(1, _BPE_MERGES + 1)
+    )
+    return f"""
+WITH words AS (
+  SELECT t.w AS word, count(*) AS freq
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS s, freq
+  FROM words
+),{rounds}
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank, tok_a, tok_b, merged,
+       pair_count
+FROM ({unions})
+ORDER BY merge_rank
+"""
+
+
+def _bpe_pair_counts(state: DataFrame) -> DataFrame:
+    """(s delimited-token string, freq) → (a, b, c): adjacent-pair counts
+    weighted by word frequency. Words with a single remaining token have
+    no pairs (guarded — `sequence(0, -1)` would DESCEND, not empty)."""
+    arr = F.split("s", "[|]")
+    pairs = F.when(
+        F.size(arr) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(arr) - 2),
+            lambda i: F.struct(
+                F.element_at(arr, i + 1).alias("a"),
+                F.element_at(arr, i + 2).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    return (
+        state.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("freq").cast("long").alias("c"))
+    )
+
+
+@register("tokenizer_bpe_merges", oracle=_bpe_oracle(), tags=("llm", "text", "iterative"))
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer TRAINING — the first 3 merge rules
+    (Sennrich et al. 2016), the missing half of the tokenizer story next
+    to `text_token_count`'s BPE-ish tokenizATION. The corpus touches the
+    dataflow exactly once (word frequencies); every merge round then
+    runs over the VOCABULARY relation — Heaps-law-bounded, orders of
+    magnitude smaller than the corpus — which is precisely how BPE is
+    trained over a 100 TB corpus in practice (aggregate word counts in
+    one distributed pass, iterate merges on the count table).
+
+    Merge application needs no per-word fold: each word's token state is
+    a '|'-delimited string ('h|e|l|l|o'), and merging pair (a,b) is
+    `replace(s, 'a|b', 'ab')` — SQL's leftmost non-overlapping
+    greedy replace IS the BPE merge rule, identically in Spark and
+    DuckDB (tokens are [a-z]-only, so the delimiter can't collide).
+    Per round: one explode+groupBy over the vocab for pair counts, a
+    1-row argmax broadcast back (count desc, pair asc tiebreak), one
+    map-only replace. 3 rounds statically unrolled, like
+    `graph_pagerank_3iter`; a production run caches the state table per
+    round and iterates to vocab_size.
+
+    Output: the learned merge table (rank, pair, merged token, count) —
+    the artifact a tokenizer ships."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # NB: Spark's two-arg rtrim is rtrim(trimStr, str) — argument order
+    # REVERSED from DuckDB's rtrim(str, chars); array_join avoids it
+    state = words.select(
+        F.expr("array_join(split(word, ''), '|')").alias("s"),
+        "freq",
+    )
+    merges = []
+    for rank in range(1, _BPE_MERGES + 1):
+        best = (
+            _bpe_pair_counts(state)
+            .orderBy(F.col("c").desc(), "a", "b")
+            .limit(1)
+        )
+        merges.append(
+            best.select(
+                F.lit(rank).cast("int").alias("merge_rank"),
+                F.col("a").alias("tok_a"),
+                F.col("b").alias("tok_b"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        state = state.crossJoin(F.broadcast(best)).select(
+            F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
+            "freq",
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+# ---------------------------------------- inverted index (blocked d-gaps)
+
+_POSTING_BLOCK = 256  # docs per posting block
+
+_INVERTED_INDEX_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.w AS term
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+),
+tf AS (SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+p AS (
+  SELECT term, doc_id // {_POSTING_BLOCK} AS block,
+         count(*) AS df_block,
+         CAST(sum(tf) AS BIGINT) AS tf_block,
+         list_sort(list(doc_id)) AS arr
+  FROM tf GROUP BY 1, 2
+),
+g AS (
+  SELECT term, block, df_block, tf_block,
+         list_transform(range(1, len(arr) + 1),
+                        i -> arr[i] - coalesce(arr[i - 1], 0)) AS gaps
+  FROM p
+)
+SELECT term,
+       CAST(block AS BIGINT) AS block,
+       df_block,
+       tf_block,
+       array_to_string(gaps, ',') AS gaps_csv,
+       CAST(list_max(gaps) AS BIGINT) AS max_gap
+FROM g
+ORDER BY term, block
+"""
+
+
+@register("text_inverted_index", oracle=_INVERTED_INDEX_ORACLE, tags=("llm", "text", "retrieval"))
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the retrieval-side artifact the BM25
+    and boolean tiers would serve from: term → sorted posting list,
+    DELTA-encoded (d-gaps, the standard prelude to varint/PForDelta
+    compression), with per-list df/tf statistics.
+
+    Scale shape (the part that matters at 100 TB): posting lists are
+    SHARDED into fixed-size doc-id blocks of {block} docs — the grouping
+    key is (term, doc_id div {block}) — so no single collect_list can
+    exceed {block} entries BY CONSTRUCTION, no matter how common the
+    term. A stopword's postings land as many bounded block rows instead
+    of one unbounded array (the Lucene segment layout, not the toy
+    one-array-per-term layout that OOMs on the first stopword). The
+    d-gap stream restarts per block, which is exactly what block-level
+    skip pointers need. One tokenize pass, two key-hash shuffles
+    ((term, doc) tf then (term, block) assembly), zero Python.
+    """.format(block=_POSTING_BLOCK)
+    docs = load_tables(spark, sf_dir)["documents"]
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("term"),
+    )
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    posting = (
+        tf.withColumn("block", F.expr(f"doc_id div {_POSTING_BLOCK}"))
+        .groupBy("term", "block")
+        .agg(
+            F.count(F.lit(1)).alias("df_block"),
+            F.sum("tf").cast("long").alias("tf_block"),
+            F.sort_array(F.collect_list("doc_id")).alias("arr"),
+        )
+    )
+    gaps = F.expr(
+        "transform(arr, (x, i) -> x - if(i = 0, cast(0 as bigint), arr[i - 1]))"
+    )
+    return (
+        posting.select(
+            "term",
+            "block",
+            "df_block",
+            "tf_block",
+            F.expr(
+                "array_join(transform("
+                "  transform(arr, (x, i) -> x - if(i = 0, cast(0 as bigint), arr[i - 1])),"
+                "  g -> cast(g as string)), ',')"
+            ).alias("gaps_csv"),
+            F.array_max(gaps).alias("max_gap"),
+        )
+        .orderBy("term", "block")
+    )

@@ -135,9 +135,6 @@ _DRIVER_WINDOW = (
     "text_span_dedup",
     "dedup_simhash",
     "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    "dedup_lsh_clusters",
-    "ingest_incremental_minhash",
     # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",
@@ -147,12 +144,16 @@ _DRIVER_WINDOW = (
     # --- re-confirm: AQE skew join + composite pipeline ---
     "events_click_attribution",
     "corpus_curation_pipeline",
-    # --- round-7 additions land here (each replaces one of the four
-    #     re-confirm placeholders below on entry) ---
+    # --- round-7 additions (replaced re-confirm slots on entry; the
+    #     displaced re-confirms — LSH-ANN/clusters/incremental-minhash,
+    #     engagement tiers — were green in r4-r6 and keep those rows) ---
     "graph_pagerank_golden",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
-    "events_engagement_tiers",
+    "tokenizer_bpe_merges",
+    "text_inverted_index",
+    "sql_pipe_syntax",
+    "sql_scalar_udf",
 )
 
 

@@ -525,3 +525,25 @@ def test_rfm_ranks_via_broadcast_offsets(spark):
     (map-side), never shuffled."""
     plan = _plan(spark, "customers_rfm_segments")
     assert plan.count("BroadcastHashJoin") >= 3, plan
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """SQL UDFs must inline at analysis time: the executed plan of
+    `sql_scalar_udf` carries the expanded arithmetic with NO Python
+    evaluation operator and NO extra exchange beyond the one
+    partial-agg'd groupBy — the zero-cost-UDF claim in its docstring."""
+    plan = _plan(spark, "sql_scalar_udf")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "FLOOR" in plan.upper(), plan  # charged_cents body inlined
+    # the aggregate is partial-agg'd (map-side combine before the one
+    # group-key exchange) — the shape a Python UDAF could not produce
+    assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_pipe_syntax_plan_equals_classic_sql(spark):
+    """The |> pipeline must compile to the same partial-agg shape as the
+    classic spelling: one hashpartitioning exchange on the group key,
+    filter pushed to the scan."""
+    plan = _plan_simple(spark, "sql_pipe_syntax")
+    assert "HashAggregate" in plan and "Exchange hashpartitioning" in plan
+    assert "CartesianProduct" not in plan
