@@ -180,3 +180,62 @@ def test_transform_with_state_twin_matches_batch(spark, sf_dir):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stateful_streams_on_rocksdb_state_store(spark):
+    """The default HDFS-backed state store keeps all key state on the
+    executor HEAP — fine for the fixture, an OOM at 100 TB key
+    cardinality. Production stateful streaming runs on the RocksDB
+    provider (state spills to local disk, bounded memory; bundled
+    rocksdbjni, no extra deps). Run a windowed aggregation AND a
+    watermark dedup under RocksDBStateStoreProvider and pin their
+    results equal to the default-provider/batch answers — proving the
+    engine's streaming tier is state-backend-agnostic, so switching the
+    backend at scale is a conf change, not a rewrite."""
+    from pyspark.sql import functions as F
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, SF_SMOKE)
+        run_to_memory(hourly_windowed_counts(stream), "rocks_hourly")
+        got_hourly = {tuple(r) for r in spark.table("rocks_hourly").collect()}
+
+        deduped = (
+            read_events_stream(spark, SF_SMOKE)
+            .withWatermark("ts", "10 minutes")
+            .dropDuplicatesWithinWatermark(["user_id", "event_type", "ts"])
+        )
+        run_to_memory(deduped, "rocks_dedup", "append")
+        got_dedup = (
+            spark.table("rocks_dedup")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+        )
+        got_dedup = {tuple(r) for r in got_dedup.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    batch_hourly = {
+        tuple(r)
+        for r in registry.queries()["events_tumbling_hourly"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got_hourly == batch_hourly
+
+    batch_dedup = {
+        tuple(r)
+        for r in registry.queries()["streaming_dedup_watermark"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got_dedup == batch_dedup
