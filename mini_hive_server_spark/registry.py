@@ -134,7 +134,6 @@ _DRIVER_WINDOW = (
     "similarity_pq_adc",
     "text_span_dedup",
     "dedup_simhash",
-    "similarity_ivf_ann",
     # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",
@@ -154,6 +153,7 @@ _DRIVER_WINDOW = (
     "text_inverted_index",
     "sql_pipe_syntax",
     "sql_scalar_udf",
+    "source_agg_pushdown",
 )
 
 

@@ -853,3 +853,56 @@ def source_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_month")
     )
+
+
+_AGG_PUSHDOWN_ORACLE = """
+SELECT count(*) AS n_orders,
+       min(o_totalprice) AS min_price,
+       max(o_totalprice) AS max_price,
+       CAST(min(o_orderkey) AS BIGINT) AS min_key,
+       CAST(max(o_orderkey) AS BIGINT) AS max_key
+FROM orders
+"""
+
+
+@register("source_agg_pushdown", oracle=_AGG_PUSHDOWN_ORACLE, tags=("source", "agg"))
+def source_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet AGGREGATE pushdown: a filterless COUNT/MIN/MAX answers
+    from row-group FOOTER statistics — the scan node itself returns the
+    aggregated values (`PushedAggregation: [COUNT(*), MIN(...), ...]`)
+    and zero data pages are decoded. At 100 TB this is the difference
+    between a sub-second metadata sweep and a full-table read for the
+    "table profile" queries every pipeline health check runs
+    (`profile_table_columns` is the general one-pass variant for when
+    filters/null-counts make pushdown inapplicable).
+
+    Spark only plans this through the DataSource V2 parquet reader, so
+    the query temporarily clears parquet from `useV1SourceList` (and
+    restores the previous conf — the driver session runs 50 queries
+    after this one). tests/test_sources.py asserts PushedAggregation is
+    actually in the executed scan — without the conf dance this would
+    silently degrade to a full scan and still return the right answer,
+    the worst kind of performance regression."""
+    v1_key = "spark.sql.sources.useV1SourceList"
+    push_key = "spark.sql.parquet.aggregatePushdown"
+    prev_v1 = spark.conf.get(v1_key)
+    prev_push = spark.conf.get(push_key)
+    spark.conf.set(v1_key, ",".join(
+        s for s in prev_v1.split(",") if s and s != "parquet"
+    ))
+    spark.conf.set(push_key, "true")
+    try:
+        df = spark.read.parquet(table_path(sf_dir, "orders")).agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        # force analysis/planning while the conf is active; the returned
+        # (lazy) DataFrame keeps the already-planned V2 relation
+        df._jdf.queryExecution().executedPlan()
+        return df
+    finally:
+        spark.conf.set(v1_key, prev_v1)
+        spark.conf.set(push_key, prev_push)

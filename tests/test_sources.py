@@ -137,3 +137,68 @@ def test_dynamic_partition_pruning_in_plan(spark):
     df = QS["source_dynamic_partition_prune"](spark, SF_SMOKE)
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_agg_pushdown_reaches_parquet_footer(spark):
+    """source_agg_pushdown must actually push the aggregate into the V2
+    parquet scan (PushedAggregation in the executed plan, no
+    HashAggregate over raw rows feeding it from a full scan) — and the
+    session conf it flips must be restored afterwards."""
+    from mini_hive_server_spark import registry
+
+    v1_key = "spark.sql.sources.useV1SourceList"
+    before = spark.conf.get(v1_key)
+    df = registry.queries()["source_agg_pushdown"](spark, SF_SMOKE)
+    assert spark.conf.get(v1_key) == before, "conf not restored"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregation: [COUNT(*)" in plan, plan
+    assert "MIN(o_totalprice)" in plan, plan
+    # the scan's output IS the aggregate — ReadSchema carries agg columns
+    assert "ReadSchema: struct<count(" in plan, plan
+
+
+def test_analyze_table_stats_feed_cbo(spark, tmp_path):
+    """ANALYZE TABLE COMPUTE STATISTICS must land row/size stats in the
+    catalog and the optimizer must SEE them (plan statistics carry the
+    analyzed rowCount instead of a file-size heuristic) — the
+    cost-based-optimization prerequisite: at cluster scale CBO's join
+    reorder and broadcast decisions are only as good as these stats."""
+    from mini_hive_server_spark import registry  # noqa: F401 — session init
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mhs_cbo")
+    try:
+        src = spark.read.parquet(f"{SF_SMOKE}/nation.parquet")
+        (
+            src.write.mode("overwrite")
+            .option("path", str(tmp_path / "nation_tbl"))
+            .saveAsTable("mhs_cbo.nation_tbl")
+        )
+        spark.sql(
+            "ANALYZE TABLE mhs_cbo.nation_tbl COMPUTE STATISTICS "
+            "FOR COLUMNS n_nationkey"
+        )
+        n = src.count()
+        # plan statistics only surface the analyzed rowCount under CBO
+        # (otherwise the size-only visitor runs); flip it for the probe
+        prev_cbo = spark.conf.get("spark.sql.cbo.enabled")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        try:
+            stats = (
+                spark.table("mhs_cbo.nation_tbl")
+                ._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+            )
+            assert not stats.rowCount().isEmpty(), "rowCount stat missing"
+            assert stats.rowCount().get() == n
+        finally:
+            spark.conf.set("spark.sql.cbo.enabled", prev_cbo)
+        # column-level stats recorded (distinct-count for the join key)
+        col = spark.sql(
+            "DESCRIBE EXTENDED mhs_cbo.nation_tbl n_nationkey"
+        ).collect()
+        got = {r[0]: r[1] for r in col}
+        assert got.get("distinct_count") == str(n), got
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mhs_cbo.nation_tbl")
+        spark.sql("DROP DATABASE IF EXISTS mhs_cbo")
