@@ -75,6 +75,18 @@ ROUTES: dict[str, str] = {
     "/admin/tasks/oversubscribed": "ref_oversubscribed_tasks",  # index.js:821
 }
 
+# WRITE lifecycles, exposed as POST: each runs the registered batch fold
+# that replays the reference's mutation endpoint over the synthesized
+# collections and returns the post-image audit rows (per-worker/buyer
+# ledgers, approval census). The fold itself is pure dataflow — durable
+# mutation in this engine goes through the parquet sinks
+# (operators/mutations.py); these routes serve the endpoint SEMANTICS.
+POST_ROUTES: dict[str, str] = {
+    "/buyer/submissions/approve": "ref_approve_submission_batch",  # index.js:799
+    "/tasks": "ref_post_task_batch",  # index.js:443
+    "/admin/withdrawals/approve": "ref_approve_withdrawal_batch",  # index.js:1336
+}
+
 
 def _jsonable(v):
     """Row value → JSON-safe value, type-faithfully: Decimal renders as
@@ -139,6 +151,17 @@ class QueryHTTPServer:
                 if name is None:
                     self._reply(404, {"message": "no such route"})
                     return
+                self._run(name)
+
+            def do_POST(self) -> None:
+                path = urlparse(self.path).path.rstrip("/") or "/"
+                name = POST_ROUTES.get(path)
+                if name is None:
+                    self._reply(404, {"message": "no such route"})
+                    return
+                self._run(name)
+
+            def _run(self, name: str) -> None:
                 try:
                     with outer._lock:
                         rows = collect_route_rows(spark, sf_dir, name)

@@ -14,7 +14,11 @@ import urllib.request
 import pytest
 
 from mini_hive_server_spark import registry
-from mini_hive_server_spark.http_server import ROUTES, QueryHTTPServer
+from mini_hive_server_spark.http_server import (
+    POST_ROUTES,
+    ROUTES,
+    QueryHTTPServer,
+)
 
 from .conftest import SF_ORACLE
 from .oracle_harness import run_duckdb_oracle
@@ -89,3 +93,29 @@ def test_route_matches_registered_query_oracle(http_server, path):
     expected = run_duckdb_oracle(spec.oracle, SF_ORACLE).to_pylist()
     assert sorted(got[0]) == sorted(expected[0]), f"{path}: column drift"
     assert _canon_rows(got) == _canon_rows(expected), path
+
+
+def _post(srv: QueryHTTPServer, path: str):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{srv.port}{path}", data=b"{}", method="POST"
+    )
+    with urllib.request.urlopen(req, timeout=120) as resp:
+        return resp.status, json.loads(resp.read())
+
+
+@pytest.mark.parametrize("path", sorted(POST_ROUTES))
+def test_post_route_matches_write_lifecycle_oracle(http_server, path):
+    """The POST routes replay the reference's WRITE endpoints as batch
+    folds; the response must equal the registered fold's DuckDB oracle."""
+    name = POST_ROUTES[path]
+    spec = registry.all_specs()[name]
+    status, got = _post(http_server, path)
+    assert status == 200 and isinstance(got, list) and got, path
+    expected = run_duckdb_oracle(spec.oracle, SF_ORACLE).to_pylist()
+    assert _canon_rows(got) == _canon_rows(expected), path
+
+
+def test_post_to_read_route_is_404(http_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(http_server, "/buyer/home")
+    assert ei.value.code == 404
