@@ -133,7 +133,6 @@ _DRIVER_WINDOW = (
     "dedup_minhash_oph",
     "similarity_pq_adc",
     "text_span_dedup",
-    "dedup_simhash",
     # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",
@@ -154,6 +153,7 @@ _DRIVER_WINDOW = (
     "sql_pipe_syntax",
     "sql_scalar_udf",
     "source_agg_pushdown",
+    "source_python_stream_datasource",
 )
 
 

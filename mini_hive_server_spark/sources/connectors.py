@@ -906,3 +906,138 @@ def source_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set(v1_key, prev_v1)
         spark.conf.set(push_key, prev_push)
+
+
+# ------------------------------ Python DataSource API, STREAMING reader
+
+try:  # Spark 4+ streaming Python DataSource
+    from pyspark.sql.datasource import DataSourceStreamReader
+
+    class SynthTickStreamSource(DataSource):
+        """Custom STREAMING source via the Python DataSource API — the
+        streaming twin of `SynthRangeDataSource`, using the
+        EXECUTOR-PARALLEL `DataSourceStreamReader` (not the
+        driver-prefetching Simple variant): the driver only tracks
+        offsets; `partitions(start, end)` splits each micro-batch's
+        offset range into shards and executors run `read()` in
+        parallel — the Kafka-consumer split model, reachable from pure
+        Python. This is how a bespoke queue/REST/changelog system plugs
+        into Structured Streaming without JVM code."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "synthtick"
+
+        def schema(self) -> str:
+            return "id bigint, batch int, fp string"
+
+        def streamReader(self, schema):
+            return _SynthTickStreamReader(self.options)
+
+    class _SynthTickStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.n = int(options.get("n", "2000"))
+            self.batch = int(options.get("batch", "500"))
+            self.parts = int(options.get("partitions", "4"))
+            self._latest = 0
+
+        def initialOffset(self) -> dict:
+            return {"offset": 0}
+
+        def latestOffset(self) -> dict:
+            # one batch-worth of new rows becomes available per poll,
+            # until the configured end of stream
+            self._latest = min(self._latest + self.batch, self.n)
+            return {"offset": self._latest}
+
+        def partitions(self, start: dict, end: dict):
+            lo, hi = start["offset"], end["offset"]
+            return [
+                InputPartition((lo, hi, i, self.parts, self.batch))
+                for i in range(self.parts)
+            ]
+
+        def read(self, partition):
+            import hashlib
+
+            lo, hi, shard, parts, batch = partition.value
+            for i in range(lo + shard, hi, parts):
+                yield (
+                    i,
+                    i // batch,
+                    hashlib.md5(str(i).encode()).hexdigest(),
+                )
+
+        def commit(self, end: dict) -> None:
+            pass  # nothing to clean up: the generator is stateless
+
+    _HAS_PY_STREAM_DATASOURCE = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAS_PY_STREAM_DATASOURCE = False
+
+
+_PYSTREAM_N = 2000
+_PYSTREAM_BATCH = 500
+
+_PYSTREAM_ORACLE = f"""
+WITH synth AS (
+  SELECT r.range AS id,
+         CAST(r.range // {_PYSTREAM_BATCH} AS INTEGER) AS batch,
+         md5(CAST(r.range AS VARCHAR)) AS fp
+  FROM range({_PYSTREAM_N}) r
+)
+SELECT count(*) AS n_rows,
+       count(DISTINCT batch) AS n_batches,
+       CAST(sum(id) AS BIGINT) AS id_sum,
+       CAST(sum(CAST(('0x' || substr(fp, 1, 8)) AS UBIGINT) % 1000000007)
+            AS BIGINT) AS fp_checksum
+FROM synth
+"""
+
+
+@register(
+    "source_python_stream_datasource",
+    oracle=_PYSTREAM_ORACLE,
+    tags=("source", "streaming", "udf"),
+)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming Python DataSource end-to-end: register the custom
+    source, `readStream.format("synthtick")`, drain to a memory sink,
+    aggregate the appended rows. Deterministic: 4 micro-batches of 500
+    ids each (batch column = arrival micro-batch), so the oracle replays
+    every row arithmetically from `range()` and pins content through the
+    same md5-prefix checksum as the batch twin.
+
+    Scale shape: offset bookkeeping is driver-side and O(1); row
+    production happens in `read()` on executors, one task per shard per
+    micro-batch — the same split model as the Kafka source. The memory
+    sink is the verification harness; a production run points
+    writeStream at the exactly-once parquet sink
+    (`streaming/events_stream.py::run_to_parquet_sink`)."""
+    if not _HAS_PY_STREAM_DATASOURCE:  # pragma: no cover
+        raise NotImplementedError(
+            "streaming Python DataSource requires Spark 4+"
+        )
+    from ..streaming.events_stream import run_to_memory
+
+    try:
+        spark.dataSource.register(SynthTickStreamSource)
+    except Exception:
+        pass  # already registered in this session
+    stream = (
+        spark.readStream.format("synthtick")
+        .option("n", str(_PYSTREAM_N))
+        .option("batch", str(_PYSTREAM_BATCH))
+        .option("partitions", "4")
+        .load()
+    )
+    run_to_memory(stream, "mhs_pystream_ticks", "append")
+    out = spark.table("mhs_pystream_ticks")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct("batch").alias("n_batches"),
+        F.sum("id").alias("id_sum"),
+        F.sum(
+            F.conv(F.substring("fp", 1, 8), 16, 10).cast("long") % 1000000007
+        ).alias("fp_checksum"),
+    )
