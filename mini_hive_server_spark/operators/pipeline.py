@@ -1128,3 +1128,102 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "bigram")
         .limit(20)
     )
+
+
+# ------------------------- rendezvous (HRW) sharding + rebalance census
+
+_HRW_SHARDS = 8
+
+
+def _hrw_oracle() -> str:
+    """Dual-engine replay: per doc, shard = arg_max over candidate
+    shards of md5(doc_id:shard) — identical strings, identical md5,
+    identical argmax in both engines."""
+    return f"""
+WITH a8 AS (
+  SELECT d.doc_id,
+         CAST(arg_max(s.i, md5(CAST(d.doc_id AS VARCHAR) || ':'
+                               || CAST(s.i AS VARCHAR))) AS INTEGER)
+           AS shard8
+  FROM documents d, unnest(range(0, {_HRW_SHARDS})) AS s(i)
+  GROUP BY d.doc_id
+),
+a9 AS (
+  SELECT d.doc_id,
+         CAST(arg_max(s.i, md5(CAST(d.doc_id AS VARCHAR) || ':'
+                               || CAST(s.i AS VARCHAR))) AS INTEGER)
+           AS shard9
+  FROM documents d, unnest(range(0, {_HRW_SHARDS + 1})) AS s(i)
+  GROUP BY d.doc_id
+)
+SELECT a8.shard8,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE a8.shard8 <> a9.shard9) AS n_moved,
+       round(count(*) FILTER (WHERE a8.shard8 <> a9.shard9)
+             * 1.0 / count(*), 4) AS moved_frac
+FROM a8 JOIN a9 ON a8.doc_id = a9.doc_id
+GROUP BY a8.shard8
+ORDER BY shard8
+"""
+
+
+def _hrw_shard(n_shards: int):
+    """Highest-random-weight assignment as a map-only COLUMN: the n
+    candidate (hash, shard) structs per row, array_max picking the
+    lexicographic max (hash first) — no explode, no shuffle."""
+    cands = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        F.lit(str(i)),
+                    )
+                ).alias("h"),
+                F.lit(i).alias("s"),
+            )
+            for i in range(n_shards)
+        ]
+    )
+    return F.array_max(cands)["s"].cast("int")
+
+
+@register("shard_rendezvous_hashing", oracle=_hrw_oracle(), tags=("llm", "pipeline"))
+def shard_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding — the consistent
+    assignment primitive under every standing index this repo builds
+    (the incremental-LSH corpus, Bloom shards, per-shard HLL sketches):
+    doc → argmax over shards of md5(doc:shard). The census quantifies
+    THE property that matters operationally: growing 8 shards to 9
+    moves only ~1/9 of documents (each measured per source shard),
+    where mod-N sharding would reshuffle ~8/9 of the corpus — at 100 TB
+    that is re-indexing ~11 TB instead of ~89 TB on every scale-out.
+
+    Plan shape: assignment is a map-only expression (an 8-struct array
+    max per row — no explode, no shuffle, codegen'd); BOTH assignments
+    compute in one projection over one corpus scan, and the only
+    exchange is the final shard8 census groupBy."""
+    docs = load_tables(spark, sf_dir)["documents"].select("doc_id")
+    both = docs.select(
+        _hrw_shard(_HRW_SHARDS).alias("shard8"),
+        _hrw_shard(_HRW_SHARDS + 1).alias("shard9"),
+    )
+    return (
+        both.groupBy("shard8")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+            ).alias("n_moved"),
+            F.round(
+                F.sum(
+                    F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+                )
+                * F.lit(1.0)
+                / F.count(F.lit(1)),
+                4,
+            ).alias("moved_frac"),
+        )
+        .orderBy("shard8")
+    )

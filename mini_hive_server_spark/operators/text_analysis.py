@@ -949,10 +949,12 @@ def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 3
 
 
-def _bpe_oracle() -> str:
-    """Unrolled DuckDB replay of the 3 BPE merge rounds — same delimited
-    -string merge rule (see `tokenizer_bpe_merges`), dialect-adapted
-    (string_split / \\1 backreferences / scalar subselects)."""
+def _bpe_sql_chain() -> str:
+    """The shared DuckDB WITH-chain replaying the 3 BPE merge rounds —
+    same delimited-string merge rule as the Spark side, dialect-adapted
+    (string_split / \\1 backreferences / scalar subselects). The word
+    column rides through every round so the final state doubles as the
+    word→tokens map (`tokenizer_bpe_apply`)."""
     rounds = ",".join(
         f"""
 p{k} AS (
@@ -963,27 +965,34 @@ p{k} AS (
 ),
 best{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
 s{k} AS (
-  SELECT replace(s, (SELECT a || '|' || b FROM best{k}),
+  SELECT word,
+         replace(s, (SELECT a || '|' || b FROM best{k}),
                     (SELECT a || b FROM best{k})) AS s, freq
   FROM s{k - 1}
 )"""
         for k in range(1, _BPE_MERGES + 1)
     )
+    return f"""
+words AS (
+  SELECT t.w AS word, count(*) AS freq
+  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
+  GROUP BY 1
+),
+s0 AS (
+  SELECT word, rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS s,
+         freq
+  FROM words
+),{rounds}"""
+
+
+def _bpe_oracle() -> str:
     unions = "\nUNION ALL ".join(
         f"SELECT {k} AS merge_rank, a AS tok_a, b AS tok_b, "
         f"a || b AS merged, c AS pair_count FROM best{k}"
         for k in range(1, _BPE_MERGES + 1)
     )
     return f"""
-WITH words AS (
-  SELECT t.w AS word, count(*) AS freq
-  FROM documents, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS t(w)
-  GROUP BY 1
-),
-s0 AS (
-  SELECT rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS s, freq
-  FROM words
-),{rounds}
+WITH {_bpe_sql_chain()}
 SELECT CAST(merge_rank AS INTEGER) AS merge_rank, tok_a, tok_b, merged,
        pair_count
 FROM ({unions})
@@ -1037,7 +1046,17 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Output: the learned merge table (rank, pair, merged token, count) —
     the artifact a tokenizer ships."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    _, merges = _bpe_train(load_tables(spark, sf_dir)["documents"])
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out.orderBy("merge_rank")
+
+
+def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared training chain: returns (final word-state, per-round merge
+    rows). The state keeps the original word next to its merged token
+    string, so it doubles as the word→tokens map for application."""
     words = (
         docs.select(
             F.explode(
@@ -1050,6 +1069,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NB: Spark's two-arg rtrim is rtrim(trimStr, str) — argument order
     # REVERSED from DuckDB's rtrim(str, chars); array_join avoids it
     state = words.select(
+        "word",
         F.expr("array_join(split(word, ''), '|')").alias("s"),
         "freq",
     )
@@ -1070,13 +1090,89 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         state = state.crossJoin(F.broadcast(best)).select(
+            "word",
             F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
             "freq",
         )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out.orderBy("merge_rank")
+    return state, merges
+
+
+_BPE_APPLY_ORACLE = f"""
+WITH {_bpe_sql_chain()}
+, tokmap AS (
+  SELECT word, length(word) AS n_char, len(string_split(s, '|')) AS n_tok
+  FROM s{_BPE_MERGES}
+),
+src_words AS (
+  SELECT d.source, t.w AS word, count(*) AS n
+  FROM documents d,
+       unnest(regexp_extract_all(lower(d.text), '[a-z]+')) AS t(w)
+  GROUP BY 1, 2
+)
+SELECT sw.source,
+       CAST(sum(sw.n) AS BIGINT) AS n_words,
+       CAST(sum(sw.n * tm.n_char) AS BIGINT) AS tokens_char_level,
+       CAST(sum(sw.n * tm.n_tok) AS BIGINT) AS tokens_after_merges,
+       round(sum(sw.n * tm.n_tok) * 1.0 / sum(sw.n * tm.n_char), 4)
+         AS compression
+FROM src_words sw JOIN tokmap tm ON sw.word = tm.word
+GROUP BY sw.source
+ORDER BY sw.source
+"""
+
+
+@register("tokenizer_bpe_apply", oracle=_BPE_APPLY_ORACLE, tags=("llm", "text", "iterative"))
+def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the train→apply composition: the
+    3-merge vocabulary map learned by the training chain tokenizes the
+    corpus, reported as per-source token budgets (char-level baseline vs
+    post-merge count, compression ratio). This is the number a training
+    pipeline actually consumes: how many tokens each source contributes
+    under the current tokenizer.
+
+    Scale shape: tokenization-at-scale is a JOIN against the trained
+    word→tokens map, not a re-fold per document — the per-(source, word)
+    counts aggregate map-side, the token map is the Heaps-bounded vocab
+    relation (broadcast-eligible; at fixture scale AQE broadcasts it),
+    and no per-document Python runs anywhere. The oracle replays the
+    same chain plus the same join in SQL."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    state, _ = _bpe_train(docs)
+    tokmap = state.select(
+        "word",
+        F.length("word").alias("n_char"),
+        F.size(F.split("s", "[|]")).alias("n_tok"),
+    )
+    src_words = (
+        docs.select(
+            "source",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        src_words.join(tokmap, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("n").cast("long").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_char"))
+            .cast("long")
+            .alias("tokens_char_level"),
+            F.sum(F.col("n") * F.col("n_tok"))
+            .cast("long")
+            .alias("tokens_after_merges"),
+            F.round(
+                F.sum(F.col("n") * F.col("n_tok"))
+                * F.lit(1.0)
+                / F.sum(F.col("n") * F.col("n_char")),
+                4,
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------- inverted index (blocked d-gaps)

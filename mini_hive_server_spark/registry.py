@@ -129,7 +129,6 @@ _DRIVER_WINDOW = (
     "graph_pagerank_converged",  # rows-only; golden-pinned in tests
     # --- re-confirm: heaviest dedup/ANN tiers (incl. the three round-6
     #     timing regressions, re-measured under repeat-median) ---
-    "dedup_minhash_lsh",
     "dedup_minhash_oph",
     "similarity_pq_adc",
     "text_span_dedup",
@@ -139,12 +138,12 @@ _DRIVER_WINDOW = (
     "ref_approve_submission_batch",
     # --- re-confirm: ranking family (persistence contract hardened r7) ---
     "customers_rfm_segments",
-    # --- re-confirm: AQE skew join + composite pipeline ---
+    # --- re-confirm: AQE skew join ---
     "events_click_attribution",
-    "corpus_curation_pipeline",
     # --- round-7 additions (replaced re-confirm slots on entry; the
     #     displaced re-confirms — LSH-ANN/clusters/incremental-minhash,
-    #     engagement tiers — were green in r4-r6 and keep those rows) ---
+    #     simhash, minhash-LSH, IVF, engagement tiers, curation
+    #     pipeline — were green in r4-r6 and keep those rows) ---
     "graph_pagerank_golden",
     "multimodal_bmp_decode",
     "multimodal_wav_decode",
@@ -154,6 +153,8 @@ _DRIVER_WINDOW = (
     "sql_scalar_udf",
     "source_agg_pushdown",
     "source_python_stream_datasource",
+    "tokenizer_bpe_apply",
+    "shard_rendezvous_hashing",
 )
 
 

@@ -82,6 +82,8 @@ _BNLJ_BOUNDED = {
     "events_gapfill_hourly",
     "graph_pagerank_3iter",
     "graph_pagerank_golden",  # 1-row residual verdict crossed back
+    "tokenizer_bpe_merges",  # per-round 1-row argmax (limit 1) crossed back
+    "tokenizer_bpe_apply",  # same chain: 1-row argmax per merge round
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
