@@ -846,3 +846,73 @@ def dedup_provenance_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------- prefix-filtering similarity join (exact)
+
+
+@register("dedup_prefix_filter", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (the PPJoin/AllPairs
+    family, Xiao et al. 2008 / Bayardo et al. 2007) — the deterministic
+    complement to `dedup_minhash_lsh`: where LSH trades a ~3e-8 miss
+    probability for banded buckets, prefix filtering guarantees recall 1
+    for Jaccard >= t by a counting argument: order every doc's shingles
+    by a GLOBAL total order (document frequency asc, token asc — rarest
+    first) and keep only the first |x| - ceil(t*|x|) + 1 as the PREFIX;
+    two sets with Jaccard >= t MUST collide on at least one prefix
+    token, so the candidate join runs on exploded prefixes only. A
+    length filter (t*|x| <= |y|) prunes size-incompatible pairs before
+    verification.
+
+    Scale shape: candidate buckets key on the RAREST tokens by
+    construction — df-ascending ordering sends stopword-like shingles to
+    the suffix, so no hot-token bucket exists (the mirror image of the
+    LSH tier's df-cap mitigation, achieved by ordering instead of
+    dropping). Stages: shingle explode + df groupBy (shuffle 1),
+    per-doc sort + slice (doc-keyed agg, shuffle 2), prefix equi-join
+    (shuffle 3, bounded buckets), then the shared candidate-driven exact
+    verifier (`_exact_jaccard_pairs` — broadcast pair list, map-only
+    intersect). Output is PINNED EQUAL to the exhaustive scan (same
+    oracle as the LSH tier)."""
+    t = _JACCARD_THRESHOLD
+    docs = load_tables(spark, sf_dir)["documents"]
+    sha = tracked_persist(shingle_arrays(docs))
+    tok = sha.select(
+        "doc_id", F.size("sh_arr").alias("n"), F.explode("sh_arr").alias("sh")
+    )
+    df_rank = tok.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    ordered = (
+        tok.join(df_rank, "sh")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("sh")))
+            ).alias("arr")
+        )
+    )
+    prefix = ordered.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.slice(
+                F.col("arr.sh"),
+                1,
+                (F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1).cast("int"),
+            )
+        ).alias("psh"),
+    )
+    x, y = prefix.alias("x"), prefix.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.psh") == F.col("y.psh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            # length filter: |y| in [t*|x|, |x|/t] is necessary for J>=t
+            & (F.col("y.n") >= F.ceil(F.lit(t) * F.col("x.n")))
+            & (F.col("x.n") >= F.ceil(F.lit(t) * F.col("y.n"))),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
