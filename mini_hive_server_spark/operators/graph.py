@@ -658,3 +658,129 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("deg_bucket")
     )
+
+
+# ------------------------------------------------ multi-source BFS, 3 hops
+
+_BFS_HOPS = 3
+
+_BFS_ORACLE = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+d0 AS (SELECT node FROM nodes WHERE node % 10 = 0),
+d1 AS (
+  SELECT DISTINCT e.v AS node FROM d0 JOIN und e ON e.u = d0.node
+  WHERE e.v NOT IN (SELECT node FROM d0)
+),
+d2 AS (
+  SELECT DISTINCT e.v AS node FROM d1 JOIN und e ON e.u = d1.node
+  WHERE e.v NOT IN (SELECT node FROM d0)
+    AND e.v NOT IN (SELECT node FROM d1)
+),
+d3 AS (
+  SELECT DISTINCT e.v AS node FROM d2 JOIN und e ON e.u = d2.node
+  WHERE e.v NOT IN (SELECT node FROM d0)
+    AND e.v NOT IN (SELECT node FROM d1)
+    AND e.v NOT IN (SELECT node FROM d2)
+),
+census AS (
+  SELECT 0 AS distance, count(*) AS n_nodes FROM d0
+  UNION ALL SELECT 1, count(*) FROM d1
+  UNION ALL SELECT 2, count(*) FROM d2
+  UNION ALL SELECT 3, count(*) FROM d3
+  UNION ALL
+  SELECT -1, count(*) FROM nodes
+  WHERE node NOT IN (SELECT node FROM d0)
+    AND node NOT IN (SELECT node FROM d1)
+    AND node NOT IN (SELECT node FROM d2)
+    AND node NOT IN (SELECT node FROM d3)
+)
+SELECT CAST(distance AS INTEGER) AS distance,
+       CAST(n_nodes AS BIGINT) AS n_nodes
+FROM census
+ORDER BY distance
+"""
+
+
+@register("graph_bfs_3hop", oracle=_BFS_ORACLE, tags=("graph", "iterative"))
+def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS to a fixed depth of 3 over the part co-purchase
+    graph (sources: every tenth part id present in the graph) — the
+    FRONTIER-EXPANSION iterative dataflow, the third member of the
+    iterative family next to PageRank (per-round weighted SUM) and
+    Lloyd k-means (per-round argmin): per hop, one equi-join of the
+    current frontier against the undirected edge relation, a distinct,
+    and an anti-join against the visited set — exactly Pregel's
+    message-passing round expressed relationally. Output: nodes reached
+    per distance, plus the unreachable census (distance -1) — the
+    reachability profile a feature pipeline computes before trusting
+    graph features.
+
+    Scale shape: the edge relation is support-thresholded (collision-
+    sized, see graph_triangle_count) and persisted once; each hop's
+    joins key on node ids; frontier and visited sets only ever hold
+    node ids. Fixed depth unrolls 3 rounds statically like
+    `graph_pagerank_3iter`, so the whole run is ONE lazy plan —
+    no driver-side materialization between hops."""
+    from ..persistence import tracked_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    und = tracked_persist(
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    frontier = nodes.filter(F.col("node") % 10 == 0)
+    visited = frontier.withColumn("distance", F.lit(0))
+    tiers = [visited]
+    for k in range(1, _BFS_HOPS + 1):
+        nxt = (
+            frontier.join(und, frontier["node"] == und["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        tier = nxt.withColumn("distance", F.lit(k))
+        tiers.append(tier)
+        visited = visited.unionByName(tier)
+        frontier = nxt
+    # per-tier 1-row aggregates (not a groupBy over `visited`): an EMPTY
+    # tier must still emit its (distance, 0) row to match the oracle's
+    # static census — count() of an empty relation is one zero row,
+    # while a groupBy would drop the distance entirely
+    parts = [
+        t.agg(F.count(F.lit(1)).alias("n_nodes")).select(
+            F.lit(d - 1).cast("int").alias("distance"), "n_nodes"
+        )
+        for d, t in enumerate(
+            [nodes.join(visited.select("node"), "node", "left_anti"), *tiers]
+        )
+    ]
+    census = parts[0]
+    for p in parts[1:]:
+        census = census.unionByName(p)
+    return census.orderBy("distance")
