@@ -3423,3 +3423,123 @@ def events_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "excess_kurtosis"
         ),
     ).orderBy("event_type")
+
+
+# ----------------------------- out-of-fold target encoding (leakage-free)
+
+_TE_FOLDS = 5
+
+_TARGET_ENCODING_ORACLE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 8))
+              AS UBIGINT) % {_TE_FOLDS} AS fold,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+seg AS (
+  SELECT segment, fold, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM base GROUP BY 1, 2
+),
+tot AS (
+  SELECT segment, CAST(sum(n) AS BIGINT) AS seg_n,
+         CAST(sum(s) AS BIGINT) AS seg_s
+  FROM seg GROUP BY 1
+),
+grand AS (
+  SELECT CAST(sum(n) AS BIGINT) AS g_n, CAST(sum(s) AS BIGINT) AS g_s
+  FROM seg
+)
+SELECT sf.segment,
+       CAST(sf.fold AS INTEGER) AS fold,
+       CAST(sf.n AS BIGINT) AS n_rows,
+       round(CASE WHEN t.seg_n > sf.n
+                  THEN (t.seg_s - sf.s) * 1.0 / (t.seg_n - sf.n)
+                  ELSE (g.g_s - sf.s) * 1.0 / (g.g_n - sf.n)
+             END / 100.0, 4) AS oof_encoding
+FROM seg sf JOIN tot t ON sf.segment = t.segment
+CROSS JOIN grand g
+ORDER BY sf.segment, fold
+"""
+
+
+@register(
+    "orders_target_encoding_oof",
+    oracle=_TARGET_ENCODING_ORACLE,
+    tags=("llm", "pipeline", "stats"),
+)
+def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free (out-of-fold) target encoding — the classic
+    high-cardinality categorical feature for tabular models: each
+    (category, fold) cell is encoded with the target mean computed from
+    the OTHER folds only, so a row never sees its own target. Folds are
+    md5-deterministic (engine-stable, reproducible across re-runs and
+    ingests, same contract as `text_hash_split`); money folds to exact
+    integer cents before the sums so the subtraction identity
+    (seg_total - fold_total) is exact. Degenerate cells (a category
+    entirely inside one fold) fall back to the out-of-fold GLOBAL mean
+    rather than dividing by zero.
+
+    Scale shape: one fact-dim join (AQE broadcasts the dim at fixture
+    scale), ONE (category, fold) partial-agg'd shuffle — the per-cell
+    encodings then derive from that 25-row relation by pure arithmetic
+    (category totals and the grand total are re-aggregations of it, all
+    broadcast-sized). No per-fold pass over the fact table: K-fold
+    encoding at 100 TB costs exactly one aggregation."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.col("o_orderkey").cast("string")), 1, 8
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % _TE_FOLDS
+            ).alias("fold"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    seg = base.groupBy("segment", "fold").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    tot = seg.groupBy("segment").agg(
+        F.sum("n").alias("seg_n"), F.sum("s").alias("seg_s")
+    )
+    grand = seg.agg(
+        F.sum("n").alias("g_n"), F.sum("s").alias("g_s")
+    )
+    out = (
+        seg.join(tot, "segment")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "segment",
+            F.col("fold").cast("int").alias("fold"),
+            F.col("n").cast("long").alias("n_rows"),
+            F.round(
+                F.when(
+                    F.col("seg_n") > F.col("n"),
+                    (F.col("seg_s") - F.col("s"))
+                    * F.lit(1.0)
+                    / (F.col("seg_n") - F.col("n")),
+                ).otherwise(
+                    (F.col("g_s") - F.col("s"))
+                    * F.lit(1.0)
+                    / (F.col("g_n") - F.col("n"))
+                )
+                / F.lit(100.0),
+                4,
+            ).alias("oof_encoding"),
+        )
+    )
+    return out.orderBy("segment", "fold")

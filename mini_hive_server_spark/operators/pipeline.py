@@ -1227,3 +1227,120 @@ def shard_rendezvous_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard8")
     )
+
+
+# -------------------------- purged walk-forward split (temporal CV folds)
+
+_WF_FOLDS = 4
+_WF_EMBARGO_DAYS = 1
+
+_WALKFORWARD_ORACLE = f"""
+WITH days AS (
+  SELECT date_diff('day',
+                   (SELECT min(CAST(CAST(ts AS TIMESTAMP) AS DATE)) FROM events),
+                   CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS o
+  FROM events
+),
+bounds AS (
+  SELECT max(o) + 1 AS span,
+         CAST(ceil((max(o) + 1) * 1.0 / {_WF_FOLDS}) AS BIGINT) AS w
+  FROM days
+),
+folds AS (SELECT t.k FROM unnest(range(1, {_WF_FOLDS})) AS t(k)),
+census AS (
+  SELECT f.k,
+         count(*) FILTER (WHERE d.o < f.k * b.w - {_WF_EMBARGO_DAYS})
+           AS train_n,
+         count(*) FILTER (WHERE d.o >= f.k * b.w - {_WF_EMBARGO_DAYS}
+                            AND d.o < f.k * b.w) AS purged_n,
+         count(*) FILTER (WHERE d.o >= f.k * b.w
+                            AND d.o < least((f.k + 1) * b.w, b.span))
+           AS test_n
+  FROM folds f CROSS JOIN bounds b CROSS JOIN days d
+  GROUP BY f.k
+)
+SELECT CAST(k AS INTEGER) AS fold,
+       CAST(train_n AS BIGINT) AS train_n,
+       CAST(purged_n AS BIGINT) AS purged_n,
+       CAST(test_n AS BIGINT) AS test_n
+FROM census
+ORDER BY fold
+"""
+
+
+@register(
+    "events_walkforward_split",
+    oracle=_WALKFORWARD_ORACLE,
+    tags=("llm", "pipeline", "event-time"),
+)
+def events_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purged walk-forward (temporal) cross-validation folds — the split
+    a time-series/behavioral model NEEDS instead of the iid hash split
+    (`text_hash_split`): the timeline divides into {folds} equal-width
+    day segments; fold k trains on everything strictly BEFORE segment k
+    minus a {gap}-day embargo (rows inside the gap are PURGED — they
+    leak label horizons across the boundary), and tests on segment k.
+    Output: per-fold train/purged/test row census — the audit a
+    backtesting harness runs before trusting its folds.
+
+    Scale shape: the corpus is touched once (day-offset projection →
+    per-day counts, one partial-agg'd shuffle on a CALENDAR-bounded
+    key); fold censuses then derive from the day-count relation joined
+    against {m} fold rows — a bounded inequality join, never a second
+    corpus pass. The same day-offset expression is the writer's
+    partition predicate when materializing folds.""".format(
+        folds=_WF_FOLDS, gap=_WF_EMBARGO_DAYS, m=_WF_FOLDS - 1
+    )
+    events = load_tables(spark, sf_dir)["events"]
+    day0 = events.agg(
+        F.min(F.to_date("ts")).alias("d0"),
+        F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))).alias(
+            "max_o"
+        ),
+    )
+    days = (
+        events.crossJoin(F.broadcast(day0))
+        .select(F.datediff(F.to_date("ts"), F.col("d0")).alias("o"))
+        .groupBy("o")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    bounds = day0.select(
+        (F.col("max_o") + 1).alias("span"),
+        F.ceil((F.col("max_o") + 1) * F.lit(1.0) / _WF_FOLDS)
+        .cast("long")
+        .alias("w"),
+    )
+    folds = spark.range(1, _WF_FOLDS).select(F.col("id").alias("k"))
+    census = (
+        folds.crossJoin(F.broadcast(bounds))
+        .join(
+            F.broadcast(days),
+            F.col("o") < F.least((F.col("k") + 1) * F.col("w"), F.col("span")),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("o") < F.col("k") * F.col("w") - _WF_EMBARGO_DAYS,
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("train_n"),
+            F.sum(
+                F.when(
+                    (F.col("o") >= F.col("k") * F.col("w") - _WF_EMBARGO_DAYS)
+                    & (F.col("o") < F.col("k") * F.col("w")),
+                    F.col("n"),
+                ).otherwise(0)
+            ).alias("purged_n"),
+            F.sum(
+                F.when(F.col("o") >= F.col("k") * F.col("w"), F.col("n"))
+                .otherwise(0)
+            ).alias("test_n"),
+        )
+    )
+    return census.select(
+        F.col("k").cast("int").alias("fold"),
+        F.col("train_n").cast("long").alias("train_n"),
+        F.col("purged_n").cast("long").alias("purged_n"),
+        F.col("test_n").cast("long").alias("test_n"),
+    ).orderBy("fold")

@@ -84,6 +84,8 @@ _BNLJ_BOUNDED = {
     "graph_pagerank_golden",  # 1-row residual verdict crossed back
     "tokenizer_bpe_merges",  # per-round 1-row argmax (limit 1) crossed back
     "tokenizer_bpe_apply",  # same chain: 1-row argmax per merge round
+    "orders_target_encoding_oof",  # 1-row grand-total crossed back
+    "events_walkforward_split",  # calendar-bounded day-count inequality join
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
