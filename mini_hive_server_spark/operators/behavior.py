@@ -3543,3 +3543,130 @@ def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("segment", "fold")
+
+
+# -------------------------- seeded negative sampling (recommender duty)
+
+_NEG_K = 8
+
+_NEG_SAMPLING_ORACLE = f"""
+WITH pn AS (SELECT count(*) AS p FROM part),
+cand AS (
+  SELECT c.c_custkey AS cust, t.i,
+         CAST(('0x' || substr(md5(CAST(c.c_custkey AS VARCHAR) || ':'
+                                  || CAST(t.i AS VARCHAR)), 1, 8))
+              AS UBIGINT) % (SELECT p FROM pn) + 1 AS pk
+  FROM customer c, unnest(range(0, {_NEG_K})) AS t(i)
+),
+inter AS (
+  SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS pk
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+acc AS (
+  SELECT cand.cust, cand.pk FROM cand
+  LEFT JOIN inter ON cand.cust = inter.cust AND cand.pk = inter.pk
+  WHERE inter.cust IS NULL
+)
+SELECT (SELECT count(*) FROM cand) AS n_candidates,
+       (SELECT count(*) FROM cand) - count(*) AS n_rejected_positive,
+       count(*) AS n_accepted,
+       count(DISTINCT pk) AS n_distinct_parts,
+       CAST(sum((cust * 100000 + pk) % 1000000007) AS BIGINT) AS checksum
+FROM acc
+"""
+
+
+@register(
+    "customers_negative_sampling",
+    oracle=_NEG_SAMPLING_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def customers_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded negative sampling for recommender / contrastive training:
+    every customer draws {k} candidate parts by md5(customer:i) modulo
+    the catalog size (deterministic, engine-stable — the sampling
+    itself is oracle-checkable, unlike rand()-based draws), then true
+    interactions are REJECTED by an anti-join against the distinct
+    (customer, part) purchase relation. Output: the candidate/rejection
+    /acceptance census plus a value checksum over the accepted pairs.
+
+    Scale shape: candidate generation is map-only off the customer
+    relation (an {k}-element sequence explode — k is a constant, not a
+    data axis); the positives relation is ONE distinct projection of
+    the order-lines fact; the rejection is a single (cust, part)
+    hash-partitioned anti-join. Nothing rescans the fact per candidate,
+    and the accepted sample can be written out partitioned by the same
+    hash — the standard shape for billions of negatives per epoch.""".format(
+        k=_NEG_K
+    )
+    t = load_tables(spark, sf_dir)
+    pn = t["part"].agg(F.count(F.lit(1)).alias("p"))
+    cand = (
+        t["customer"]
+        .select(F.col("c_custkey").alias("cust"))
+        .crossJoin(F.broadcast(pn))
+        .select(
+            "cust",
+            F.explode(F.sequence(F.lit(0), F.lit(_NEG_K - 1))).alias("i"),
+            "p",
+        )
+        .select(
+            "cust",
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.col("cust").cast("string"),
+                                    F.lit(":"),
+                                    F.col("i").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.col("p"),
+                )
+                + 1
+            ).alias("pk"),
+        )
+    )
+    inter = (
+        t["orders"]
+        .join(
+            t["lineitem"],
+            t["orders"]["o_orderkey"] == t["lineitem"]["l_orderkey"],
+        )
+        .select(
+            F.col("o_custkey").alias("cust"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    from ..persistence import tracked_persist
+
+    cand = tracked_persist(cand)  # feeds the census AND the anti-join
+    acc = cand.join(inter, ["cust", "pk"], "left_anti")
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        acc.agg(
+            F.count(F.lit(1)).alias("n_accepted"),
+            F.count_distinct("pk").alias("n_distinct_parts"),
+            F.sum(
+                (F.col("cust") * 100000 + F.col("pk")) % 1000000007
+            ).alias("checksum"),
+        )
+        .crossJoin(F.broadcast(n_cand))
+        .select(
+            "n_candidates",
+            (F.col("n_candidates") - F.col("n_accepted")).alias(
+                "n_rejected_positive"
+            ),
+            "n_accepted",
+            "n_distinct_parts",
+            "checksum",
+        )
+    )

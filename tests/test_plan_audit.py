@@ -86,6 +86,7 @@ _BNLJ_BOUNDED = {
     "tokenizer_bpe_apply",  # same chain: 1-row argmax per merge round
     "orders_target_encoding_oof",  # 1-row grand-total crossed back
     "events_walkforward_split",  # calendar-bounded day-count inequality join
+    "customers_negative_sampling",  # 1-row catalog-size + census crossed
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
