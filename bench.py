@@ -68,6 +68,11 @@ EXTENDED = (
     "events_user_activity_zipf",  # top-k via TakeOrderedAndProject
     "orders_abc_analysis",  # exact integer prefix-sum over parts
     "embedding_pca_power",  # d^2 integer Gram accumulation + 2 matvecs
+    # Round-7 additions: the exact similarity join next to its LSH twin
+    # (directly comparable cost points for the same output), and the
+    # iterative BPE train+apply chain
+    "dedup_prefix_filter",
+    "tokenizer_bpe_apply",
 )
 
 HEADLINE = HEADLINE10 + EXTENDED
