@@ -784,3 +784,117 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         census = census.unionByName(p)
     return census.orderBy("distance")
+
+
+# ------------------------------------------- label propagation, 2 rounds
+
+_LP_ROUNDS = 2
+
+
+def _lp_oracle() -> str:
+    rounds = ",".join(
+        f"""
+c{k} AS (
+  SELECT e.u AS node, l.label, count(*) AS c
+  FROM und e JOIN l{k - 1} l ON l.node = e.v
+  GROUP BY 1, 2
+),
+l{k} AS (
+  SELECT node, label FROM c{k}
+  QUALIFY row_number() OVER (PARTITION BY node
+                             ORDER BY c DESC, label) = 1
+)"""
+        for k in range(1, _LP_ROUNDS + 1)
+    )
+    return f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+l0 AS (SELECT node, node AS label FROM nodes),{rounds}
+SELECT CAST(sz AS BIGINT) AS community_size,
+       count(*) AS n_communities
+FROM (
+  SELECT label, count(*) AS sz FROM l{_LP_ROUNDS} GROUP BY label
+)
+GROUP BY sz
+ORDER BY community_size
+"""
+
+
+@register("graph_label_propagation", oracle=_lp_oracle(), tags=("graph", "iterative"))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation (2 rounds, Raghavan et al. 2007)
+    over the part co-purchase graph — the community-detection member of
+    the iterative family, whose per-round reduction is an ARGMAX VOTE
+    (most frequent neighbor label, smallest-label tiebreak) where
+    PageRank's is a weighted sum and BFS's a frontier union. Every node
+    starts as its own label; per round, one equi-join of the undirected
+    edge relation against the current labeling, one (node, label) count
+    aggregate, and one per-node argmax window (hash-partitioned by
+    node — never global). Output: the community-size histogram after
+    round 2 — deterministic because the vote tiebreak is total.
+
+    Scale shape: the edge relation is support-thresholded and persisted
+    once (same bound as graph_triangle_count); rounds are statically
+    unrolled into one lazy plan; all movement keys on node ids. The
+    synchronous variant is the one that parallelizes — asynchronous LP
+    is inherently sequential."""
+    from pyspark.sql import Window
+
+    from ..persistence import tracked_persist
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    und = tracked_persist(
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            und.join(labels, und["v"] == labels["node"])
+            .select(F.col("u").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(F.count(F.lit(1)).alias("n_communities"))
+        .select(
+            F.col("sz").cast("long").alias("community_size"), "n_communities"
+        )
+        .orderBy("community_size")
+    )
