@@ -670,6 +670,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
         cid = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            # fuzz finding: a truncated chunk body previously fell
+            # through to struct.unpack and escaped as struct.error
+            raise ValueError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
             if size < 16:
                 raise ValueError("short fmt chunk")

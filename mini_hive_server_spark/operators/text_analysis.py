@@ -951,23 +951,33 @@ _BPE_MERGES = 3
 
 def _bpe_sql_chain() -> str:
     """The shared DuckDB WITH-chain replaying the 3 BPE merge rounds —
-    same delimited-string merge rule as the Spark side, dialect-adapted
+    same bracket-delimited merge rule as the Spark side, dialect-adapted
     (string_split / \\1 backreferences / scalar subselects). The word
     column rides through every round so the final state doubles as the
-    word→tokens map (`tokenizer_bpe_apply`)."""
+    word→tokens map (`tokenizer_bpe_apply`).
+
+    Token state is '[t1][t2]...': every token is wrapped on BOTH sides,
+    so replace('[a][b]', '[ab]') can only fire on exact whole-token
+    adjacency AND leaves each replacement's closing/opening brackets
+    intact for the next scan position — property-tested equal to the
+    reference greedy left-to-right list merge for ALL inputs
+    (tests/test_decoder_properties.py). The earlier single-'|' encoding
+    was NOT exact BPE: 'a|b' could match a token whose text merely
+    starts with b or ends with a (fuzz finding)."""
     rounds = ",".join(
         f"""
 p{k} AS (
   SELECT arr[i] AS a, arr[i+1] AS b, CAST(sum(freq) AS BIGINT) AS c
-  FROM (SELECT string_split(s, '|') AS arr, freq FROM s{k - 1}),
+  FROM (SELECT string_split(s[2:len(s) - 1], '][') AS arr, freq
+        FROM s{k - 1}),
        unnest(range(1, len(arr))) AS t(i)
   GROUP BY 1, 2
 ),
 best{k} AS (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
 s{k} AS (
   SELECT word,
-         replace(s, (SELECT a || '|' || b FROM best{k}),
-                    (SELECT a || b FROM best{k})) AS s, freq
+         replace(s, (SELECT '[' || a || '][' || b || ']' FROM best{k}),
+                    (SELECT '[' || a || b || ']' FROM best{k})) AS s, freq
   FROM s{k - 1}
 )"""
         for k in range(1, _BPE_MERGES + 1)
@@ -979,8 +989,7 @@ words AS (
   GROUP BY 1
 ),
 s0 AS (
-  SELECT word, rtrim(regexp_replace(word, '(.)', '\\1|', 'g'), '|') AS s,
-         freq
+  SELECT word, regexp_replace(word, '(.)', '[\\1]', 'g') AS s, freq
   FROM words
 ),{rounds}"""
 
@@ -1001,10 +1010,13 @@ ORDER BY merge_rank
 
 
 def _bpe_pair_counts(state: DataFrame) -> DataFrame:
-    """(s delimited-token string, freq) → (a, b, c): adjacent-pair counts
-    weighted by word frequency. Words with a single remaining token have
-    no pairs (guarded — `sequence(0, -1)` would DESCEND, not empty)."""
-    arr = F.split("s", "[|]")
+    """(s bracket-delimited token string, freq) → (a, b, c): adjacent
+    -pair counts weighted by word frequency. Words with a single
+    remaining token have no pairs (guarded — `sequence(0, -1)` would
+    DESCEND, not empty)."""
+    arr = F.split(
+        F.expr("substring(s, 2, length(s) - 2)"), "\\]\\["
+    )
     pairs = F.when(
         F.size(arr) >= 2,
         F.transform(
@@ -1033,11 +1045,16 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     trained over a 100 TB corpus in practice (aggregate word counts in
     one distributed pass, iterate merges on the count table).
 
-    Merge application needs no per-word fold: each word's token state is
-    a '|'-delimited string ('h|e|l|l|o'), and merging pair (a,b) is
-    `replace(s, 'a|b', 'ab')` — SQL's leftmost non-overlapping
-    greedy replace IS the BPE merge rule, identically in Spark and
-    DuckDB (tokens are [a-z]-only, so the delimiter can't collide).
+    Merge application needs no per-word fold: each word's token state
+    wraps every token in brackets ('[h][e][l][l][o]') and merging pair
+    (a,b) is `replace(s, '[a][b]', '[ab]')` — with BOTH token
+    boundaries anchored, SQL's leftmost non-overlapping replace IS the
+    greedy left-to-right BPE merge rule, identically in Spark and
+    DuckDB (tokens are [a-z]-only, so the delimiters can't collide;
+    property-tested equal to a reference list merge for ALL inputs,
+    including prefix/suffix token collisions and odd runs — a plain
+    single-separator encoding fails those, see
+    tests/test_decoder_properties.py).
     Per round: one explode+groupBy over the vocab for pair counts, a
     1-row argmax broadcast back (count desc, pair asc tiebreak), one
     map-only replace. 3 rounds statically unrolled, like
@@ -1066,11 +1083,9 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    # NB: Spark's two-arg rtrim is rtrim(trimStr, str) — argument order
-    # REVERSED from DuckDB's rtrim(str, chars); array_join avoids it
     state = words.select(
         "word",
-        F.expr("array_join(split(word, ''), '|')").alias("s"),
+        F.expr("regexp_replace(word, '(.)', '[$1]')").alias("s"),
         "freq",
     )
     merges = []
@@ -1091,7 +1106,10 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         )
         state = state.crossJoin(F.broadcast(best)).select(
             "word",
-            F.expr("replace(s, concat(a, '|', b), concat(a, b))").alias("s"),
+            F.expr(
+                "replace(s, concat('[', a, '][', b, ']'),"
+                " concat('[', a, b, ']'))"
+            ).alias("s"),
             "freq",
         )
     return state, merges
@@ -1100,7 +1118,8 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
 _BPE_APPLY_ORACLE = f"""
 WITH {_bpe_sql_chain()}
 , tokmap AS (
-  SELECT word, length(word) AS n_char, len(string_split(s, '|')) AS n_tok
+  SELECT word, length(word) AS n_char,
+         len(string_split(s[2:len(s) - 1], '][')) AS n_tok
   FROM s{_BPE_MERGES}
 ),
 src_words AS (
@@ -1141,7 +1160,9 @@ def tokenizer_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokmap = state.select(
         "word",
         F.length("word").alias("n_char"),
-        F.size(F.split("s", "[|]")).alias("n_tok"),
+        F.size(
+            F.split(F.expr("substring(s, 2, length(s) - 2)"), "\\]\\[")
+        ).alias("n_tok"),
     )
     src_words = (
         docs.select(

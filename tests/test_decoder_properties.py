@@ -1,0 +1,185 @@
+"""Property-based fuzzing of the hand-rolled container parsers and the
+BPE merge rule (pure Python — no Spark jobs, so examples are cheap).
+
+The oracle gate pins the decoders on the FORMULA-generated fixture
+payloads; these pin them on arbitrary generated containers: every
+padding width, top-down AND bottom-up row order, arbitrary extra RIFF
+chunks with odd sizes (alignment byte), and the guarantee that a
+truncated container raises instead of returning silently-wrong pixels
+or samples."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mini_hive_server_spark.operators.multimodal import (
+    decode_bmp,
+    decode_wav_pcm16,
+)
+
+_settings = settings(max_examples=60, deadline=None)
+
+
+def _build_bmp(w: int, h: int, rgb: bytes, top_down: bool) -> bytes:
+    """Independent little BMP writer for the fuzz tests: top-down
+    containers store height NEGATIVE and rows in natural order."""
+    pad = (4 - (w * 3) % 4) % 4
+    ys = range(h) if top_down else range(h - 1, -1, -1)
+    rows = []
+    for y in ys:
+        row = bytearray()
+        for x in range(w):
+            o = (y * w + x) * 3
+            row += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))  # BGR on disk
+        rows.append(bytes(row) + b"\x00" * pad)
+    pixels = b"".join(rows)
+    offset = 54
+    header = struct.pack("<2sIHHI", b"BM", offset + len(pixels), 0, 0, offset)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        w,
+        -h if top_down else h,
+        1,
+        24,
+        0,
+        len(pixels),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return header + info + pixels
+
+
+@given(
+    w=st.integers(min_value=1, max_value=13),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+    top_down=st.booleans(),
+)
+@_settings
+def test_bmp_decode_inverts_encode(w, h, data, top_down):
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    got_w, got_h, got = decode_bmp(_build_bmp(w, h, rgb, top_down))
+    assert (got_w, got_h, got) == (w, h, rgb)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=6),
+    cut=st.integers(min_value=0, max_value=200),
+)
+@_settings
+def test_bmp_truncation_raises_never_garbage(w, h, cut):
+    full = _build_bmp(w, h, bytes(w * h * 3), top_down=False)
+    needed = 54 + ((w * 3 + 3) // 4 * 4) * h
+    prefix = full[: min(cut, len(full))]
+    if len(prefix) < needed:
+        with pytest.raises(ValueError):
+            decode_bmp(prefix)
+    else:
+        assert decode_bmp(prefix)[0] == w
+
+
+def _build_wav(rate: int, samples: list[int], extra_chunks: list[bytes]) -> bytes:
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE"
+    for ch in extra_chunks:
+        body += ch
+    body += fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+_chunk = st.binary(min_size=0, max_size=7).map(
+    # arbitrary chunk id + ODD-or-even body; writer appends the RIFF
+    # alignment byte exactly when the body length is odd
+    lambda b: b"LIST"
+    + struct.pack("<I", len(b))
+    + b
+    + (b"\x00" if len(b) % 2 else b"")
+)
+
+
+@given(
+    rate=st.sampled_from([8000, 16000, 44100]),
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=40
+    ),
+    chunks=st.lists(_chunk, min_size=0, max_size=3),
+)
+@_settings
+def test_wav_decode_inverts_encode_past_arbitrary_chunks(rate, samples, chunks):
+    got_rate, got = decode_wav_pcm16(_build_wav(rate, samples, chunks))
+    assert (got_rate, got) == (rate, samples)
+
+
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=20
+    ),
+    cut=st.integers(min_value=0, max_value=100),
+)
+@_settings
+def test_wav_truncation_raises_never_garbage(samples, cut):
+    full = _build_wav(8000, samples, [])
+    prefix = full[: min(cut, len(full))]
+    if len(prefix) < len(full):
+        with pytest.raises(ValueError):
+            decode_wav_pcm16(prefix)
+    else:
+        assert decode_wav_pcm16(prefix)[1] == samples
+
+
+# ------------------------------------------- BPE merge-rule equivalence
+
+
+def _greedy_merge(tokens: list[str], a: str, b: str) -> list[str]:
+    """Reference left-to-right greedy BPE merge on a token list."""
+    out, i = [], 0
+    while i < len(tokens):
+        if i + 1 < len(tokens) and tokens[i] == a and tokens[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(tokens[i])
+            i += 1
+    return out
+
+
+@given(
+    tokens=st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "bc", "aa"]),
+        min_size=1,
+        max_size=12,
+    ),
+    pair=st.sampled_from(
+        [("a", "a"), ("a", "b"), ("b", "c"), ("ab", "c"), ("c", "ab")]
+    ),
+)
+@_settings
+def test_bpe_string_replace_equals_greedy_list_merge(tokens, pair):
+    """The bracket-delimited trick `tokenizer_bpe_merges` runs in BOTH
+    engines — replace('[a][b]', '[ab]') on '[t1][t2]...' — must equal
+    the reference greedy left-to-right list merge for EVERY token
+    sequence: overlapping runs ([a,a,a] with pair (a,a) → [aa,a]),
+    tokens that have the pair members as prefixes/suffixes ([a,ab] with
+    (a,a) must NOT merge), and tokens that are concatenations. The fuzz
+    originally falsified the plain single-'|' encoding on exactly the
+    prefix case — the reason the operator wraps both token boundaries."""
+    a, b = pair
+    s = "".join(f"[{t}]" for t in tokens)
+    merged = s.replace(f"[{a}][{b}]", f"[{a}{b}]")
+    via_string = merged[1:-1].split("][")
+    assert via_string == _greedy_merge(tokens, a, b)
