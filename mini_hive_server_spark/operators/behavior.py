@@ -3670,3 +3670,131 @@ def customers_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "checksum",
         )
     )
+
+
+# ----------------- mix/rate decomposition of period-over-period change
+
+_MIX_Y1, _MIX_Y2 = 1996, 1997
+
+_MIX_RATE_ORACLE = f"""
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y') AS INTEGER)
+           AS yr,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE CAST(strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y') AS INTEGER)
+        IN ({_MIX_Y1}, {_MIX_Y2})
+),
+cell AS (
+  SELECT segment, yr, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+  FROM base GROUP BY 1, 2
+),
+tot AS (SELECT yr, CAST(sum(n) AS BIGINT) AS tn FROM cell GROUP BY 1),
+wide AS (
+  SELECT seg.segment,
+         coalesce(c1.n, 0) AS n1, coalesce(c1.s, 0) AS s1,
+         coalesce(c2.n, 0) AS n2, coalesce(c2.s, 0) AS s2,
+         (SELECT tn FROM tot WHERE yr = {_MIX_Y1}) AS tn1,
+         (SELECT tn FROM tot WHERE yr = {_MIX_Y2}) AS tn2
+  FROM (SELECT DISTINCT segment FROM cell) seg
+  LEFT JOIN cell c1 ON c1.segment = seg.segment AND c1.yr = {_MIX_Y1}
+  LEFT JOIN cell c2 ON c2.segment = seg.segment AND c2.yr = {_MIX_Y2}
+)
+SELECT segment,
+       round(n1 * 1.0 / tn1, 4) AS share_y1,
+       round(n2 * 1.0 / tn2, 4) AS share_y2,
+       round(CASE WHEN n1 > 0 THEN s1 * 1.0 / n1 / 100 ELSE 0 END, 2)
+         AS avg_value_y1,
+       round(CASE WHEN n2 > 0 THEN s2 * 1.0 / n2 / 100 ELSE 0 END, 2)
+         AS avg_value_y2,
+       round((n2 * 1.0 / tn2 - n1 * 1.0 / tn1)
+             * (CASE WHEN n1 > 0 THEN s1 * 1.0 / n1 / 100 ELSE 0 END), 4)
+         AS mix_effect,
+       round((n2 * 1.0 / tn2)
+             * ((CASE WHEN n2 > 0 THEN s2 * 1.0 / n2 / 100 ELSE 0 END)
+                - (CASE WHEN n1 > 0 THEN s1 * 1.0 / n1 / 100 ELSE 0 END)),
+             4) AS rate_effect
+FROM wide
+ORDER BY segment
+"""
+
+
+@register(
+    "orders_mix_rate_decomposition",
+    oracle=_MIX_RATE_ORACLE,
+    tags=("agg", "stats"),
+)
+def orders_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix/rate (Oaxaca-style) decomposition of the year-over-year
+    change in average order value, per customer segment: the change in
+    the overall mean splits EXACTLY into a MIX effect (the segment's
+    share of orders shifted, valued at its baseline rate) and a RATE
+    effect (the segment's own average moved, weighted at its new
+    share) — sum the two columns over segments and you reconstruct
+    total_mean_y2 - total_mean_y1. The decomposition every revenue
+    dashboard needs before attributing a drop to "customers spend less"
+    vs "the customer base shifted".
+
+    Determinism: counts and cent sums are exact integers; every ratio
+    and effect derives from those integer operands by identical IEEE
+    arithmetic in both engines, rounded only at presentation. One
+    fact-dim join and ONE (segment, year) partial-agg'd shuffle; the
+    year totals re-aggregate the 10-cell relation; the two-year pivot
+    is a self-join of that same bounded relation."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(
+            t["customer"],
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("yr"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .filter(F.col("yr").isin(_MIX_Y1, _MIX_Y2))
+    )
+    cell = base.groupBy("segment", "yr").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    from ..persistence import tracked_persist
+
+    cell = tracked_persist(cell)  # 10 rows; read 4x (pivot sides, totals)
+    tot = cell.groupBy("yr").agg(F.sum("n").alias("tn"))
+    t1 = tot.filter(F.col("yr") == _MIX_Y1).select(F.col("tn").alias("tn1"))
+    t2 = tot.filter(F.col("yr") == _MIX_Y2).select(F.col("tn").alias("tn2"))
+    segs = cell.select("segment").distinct()
+    c1 = cell.filter(F.col("yr") == _MIX_Y1).select(
+        "segment", F.col("n").alias("n1"), F.col("s").alias("s1")
+    )
+    c2 = cell.filter(F.col("yr") == _MIX_Y2).select(
+        "segment", F.col("n").alias("n2"), F.col("s").alias("s2")
+    )
+    wide = (
+        segs.join(c1, "segment", "left")
+        .join(c2, "segment", "left")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .na.fill(0, ["n1", "s1", "n2", "s2"])
+    )
+    r1 = F.when(
+        F.col("n1") > 0, F.col("s1") * 1.0 / F.col("n1") / 100
+    ).otherwise(0.0)
+    r2 = F.when(
+        F.col("n2") > 0, F.col("s2") * 1.0 / F.col("n2") / 100
+    ).otherwise(0.0)
+    w1 = F.col("n1") * 1.0 / F.col("tn1")
+    w2 = F.col("n2") * 1.0 / F.col("tn2")
+    return wide.select(
+        "segment",
+        F.round(w1, 4).alias("share_y1"),
+        F.round(w2, 4).alias("share_y2"),
+        F.round(r1, 2).alias("avg_value_y1"),
+        F.round(r2, 2).alias("avg_value_y2"),
+        F.round((w2 - w1) * r1, 4).alias("mix_effect"),
+        F.round(w2 * (r2 - r1), 4).alias("rate_effect"),
+    ).orderBy("segment")

@@ -87,6 +87,7 @@ _BNLJ_BOUNDED = {
     "orders_target_encoding_oof",  # 1-row grand-total crossed back
     "events_walkforward_split",  # calendar-bounded day-count inequality join
     "customers_negative_sampling",  # 1-row catalog-size + census crossed
+    "orders_mix_rate_decomposition",  # two 1-row year totals crossed
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
