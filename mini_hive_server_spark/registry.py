@@ -87,7 +87,10 @@ _QUERY_MODULES = (
 # additions that have never had a driver row (the COVERAGE.md round-7
 # queue: the statistics suite, the ranking-family anchors, PCA/RRF/SCD2,
 # dynamic partition pruning; all locally oracle-green), so after this
-# round EVERY registered query again has at least one green driver row.
+# round every registered query has a green driver row EXCEPT the late
+# round-7 additions listed in COVERAGE.md's round-8 queue (the window's
+# 50 slots were full when they landed; each is locally oracle-green,
+# hostile-swept, and first in line for the round-8 window).
 # The re-confirm slots gate the heaviest dedup/ANN tiers (including the
 # three whose round-6 timings regressed — re-measured under bench.py's
 # new repeat-median), the three reference WRITE lifecycles, one
