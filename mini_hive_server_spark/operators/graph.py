@@ -786,6 +786,198 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return census.orderBy("distance")
 
 
+# ---------------------------- connected components, large-star/small-star
+
+_CC_MAX_ROUNDS = 64
+
+_CC_ORACLE = f"""
+WITH RECURSIVE op AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+edges AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {_TRI_MIN_SUPPORT}
+),
+und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
+nodes AS (SELECT DISTINCT u AS node FROM und),
+-- transitive closure restricted to (node, r) pairs with r <= node: the
+-- component minimum m satisfies m <= w for every w on any path to it, so
+-- every (v, m) tuple stays derivable under the restriction while the
+-- materialized closure halves. UNION (not UNION ALL) dedups per step,
+-- which is what terminates the fixpoint.
+reach AS (
+  SELECT node, node AS r FROM nodes
+  UNION
+  SELECT e.u AS node, rr.r
+  FROM und e JOIN reach rr ON rr.node = e.v
+  WHERE rr.r <= e.u
+),
+comp AS (SELECT node, min(r) AS label FROM reach GROUP BY node),
+sizes AS (SELECT label, count(*) AS sz FROM comp GROUP BY label)
+SELECT CAST(sz AS BIGINT) AS component_size,
+       count(*) AS n_components,
+       CAST(sum(label) AS BIGINT) AS min_label_sum
+FROM sizes
+GROUP BY sz
+ORDER BY component_size
+"""
+
+
+@register(
+    "graph_connected_components", oracle=_CC_ORACLE, tags=("graph", "iterative")
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the part co-purchase graph via alternating
+    LARGE-STAR / SMALL-STAR rounds (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC 2014) — the primitive that turns any
+    pairwise-duplicate relation (MinHash/LSH candidate pairs, entity-
+    resolution matches) into cluster ids at scale. Unlike plain min-label
+    propagation (rounds = graph DIAMETER — unbounded on chain-shaped
+    near-dup clusters), star contraction converges in O(log n) rounds:
+    each round is two (groupBy-min + equi-join + distinct) passes over an
+    edge relation that only ever shrinks toward one star per component.
+
+    This is the registry's first CONVERGED iterative query that still
+    carries a full value oracle: a data-dependent stopping rule made
+    `graph_pagerank_converged` rows-only (an ε-stopped float fixpoint is
+    path-dependent), but CC's fixpoint is EXACT — however many rounds the
+    loop takes, the converged labels equal the transitive-closure minimum,
+    which DuckDB computes independently via a recursive CTE (restricted to
+    r <= node tuples; see the oracle comment). Convergence is detected by
+    an edge-set checksum (count + xor-fold of xxhash64(a,b)) going stable — one
+    2-scalar action per round, the same driver-touches-only-scalars
+    contract as PageRank.
+
+    Output pins the assignment, not just the shape: per component-size
+    bucket, the number of components AND the sum of their min-labels.
+
+    Block lifecycle: mirrors `graph_pagerank_converged` — each round's
+    edge set is eagerly localCheckpoint-ed (lineage truncation; without it
+    the plan doubles per round), at most two rounds' blocks are ever live,
+    and the final block outlives the function via `tracked_release`."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    support_edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    labels = star_contraction_labels(support_edges)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum("label").cast("bigint").alias("min_label_sum"),
+        )
+        .select(
+            F.col("sz").cast("bigint").alias("component_size"),
+            "n_components",
+            "min_label_sum",
+        )
+        .orderBy("component_size")
+    )
+
+
+def star_contraction_labels(edges: DataFrame) -> DataFrame:
+    """Run alternating large-star/small-star to convergence over an edge
+    relation (columns `u`, `v`; direction and self-loops irrelevant) and
+    return the (node, label) assignment, label = component minimum. The
+    reusable core of `graph_connected_components`, property-tested against
+    union-find on synthetic path/star/random graphs in
+    tests/test_llm_ops.py."""
+    from ..persistence import tracked_persist, tracked_release
+
+    # canonical big->small orientation; the star rounds preserve it
+    cur = edges.filter(F.col("u") != F.col("v")).select(
+        F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+    ).distinct()
+    nodes = tracked_persist(
+        cur.select(F.col("a").alias("node"))
+        .union(cur.select(F.col("b").alias("node")))
+        .distinct()
+    )
+
+    def _ckpt_rdd(df: DataFrame):
+        # the LogicalRDD's backing rdd (same form as graph_pagerank_converged)
+        return df._jdf.queryExecution().analyzed().rdd()
+
+    prev_ckpt = None
+    prev_sig: tuple | None = None
+    n_rounds = 0
+    while n_rounds < _CC_MAX_ROUNDS:
+        # large-star: around every node u, attach all LARGER neighbors to
+        # m(u) = min(N(u) ∪ {u}); emitted pairs (v, m) keep v > m.
+        und = cur.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            cur.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("mu"))
+        )
+        ls = (
+            und.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("a"), F.col("mu").alias("b"))
+            .distinct()
+        )
+        # small-star: group by the larger endpoint a, attach a and all its
+        # smaller neighbors to m = min of those neighbors.
+        sm = ls.groupBy("a").agg(F.min("b").alias("m"))
+        nxt = (
+            sm.select("a", F.col("m").alias("b"))
+            .union(
+                ls.join(sm, "a")
+                .filter(F.col("b") != F.col("m"))
+                .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            )
+            .distinct()
+            .localCheckpoint()  # eager: this round's blocks exist from here
+        )
+        sig_row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold of per-edge hashes: order-insensitive and immune to
+            # the long overflow an ANSI-mode sum() of 2^63-range hashes hits
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        ).first()
+        sig = (sig_row["n"], sig_row["h"])
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist(False)
+        prev_ckpt = _ckpt_rdd(nxt)
+        cur = nxt
+        n_rounds += 1
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"large-star/small-star did not converge in {_CC_MAX_ROUNDS} rounds"
+        )
+    if prev_ckpt is not None:
+        final_ckpt = prev_ckpt
+        tracked_release(lambda: final_ckpt.unpersist(False))
+    # converged: `cur` is one star per component, every non-min node
+    # pointing at its component min; mins themselves label as self.
+    return cur.select(F.col("a").alias("node"), F.col("b").alias("label")).union(
+        nodes.join(
+            cur.select(F.col("a").alias("node")), "node", "left_anti"
+        ).select("node", F.col("node").alias("label"))
+    )
+
+
 # ------------------------------------------- label propagation, 2 rounds
 
 _LP_ROUNDS = 2

@@ -350,3 +350,48 @@ def test_pagerank_converged_matches_golden_fixed_depth(spark):
         assert set(conv) == set(gold), sf
         for v in conv:
             assert abs(conv[v] - gold[v]) < 1e-5, (sf, v, conv[v], gold[v])
+
+
+def test_star_contraction_matches_union_find(spark):
+    """`star_contraction_labels` (the large-star/small-star core of
+    `graph_connected_components`) must agree with a driver-side union-find
+    on adversarial synthetic shapes: a long PATH (the diameter case plain
+    min-label propagation is linear on, star contraction logarithmic), a
+    forest of STARS (already-converged input), and a seeded random
+    multigraph with self-loops and both edge orientations (canonicalization
+    paths)."""
+    import collections
+    import random
+
+    from mini_hive_server_spark.operators.graph import star_contraction_labels
+
+    rng = random.Random(7)
+    edge_sets = {
+        "path40": [(i, i + 1) for i in range(40)],
+        "stars": [(100, 100 + i) for i in range(1, 8)]
+        + [(200, 200 + i) for i in range(1, 4)],
+        "rand": sorted(
+            {(rng.randrange(60), rng.randrange(60)) for _ in range(90)}
+        ),
+    }
+    for name, es in edge_sets.items():
+        sdf = spark.createDataFrame(es, "u: long, v: long")
+        got = dict(star_contraction_labels(sdf).collect())
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        undirected = [(u, v) for u, v in es if u != v]
+        for u, v in undirected:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        comp = collections.defaultdict(set)
+        for x in parent:
+            comp[find(x)].add(x)
+        want = {x: min(comp[find(x)]) for x in parent}
+        assert got == want, name
