@@ -577,3 +577,131 @@ def orders_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term), 4).alias("psi"),
         (F.sum(term) > 0.1).alias("drifted"),
     )
+
+
+# ---------------------------- incremental materialized-view maintenance
+
+_MV_ORACLE = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+base AS (SELECT * FROM cents WHERE o_orderkey % 10 <> 0),
+ins  AS (SELECT * FROM cents WHERE o_orderkey % 10 = 0),
+dels AS (SELECT * FROM base  WHERE o_orderkey % 7 = 0),
+final AS (
+  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM ins
+),
+mv AS (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_before, CAST(sum(cents) AS BIGINT) AS rev_before_cents
+  FROM base GROUP BY 1, 2
+),
+delta AS (
+  SELECT o_orderstatus, o_orderpriority,
+         CAST(sum(sign) AS BIGINT) AS n_delta,
+         CAST(sum(sign * cents) AS BIGINT) AS rev_delta_cents
+  FROM (
+    SELECT o_orderstatus, o_orderpriority, cents, 1 AS sign FROM ins
+    UNION ALL
+    SELECT o_orderstatus, o_orderpriority, cents, -1 AS sign FROM dels
+  )
+  GROUP BY 1, 2
+),
+-- the AFTER side is an independent DIRECT RECOMPUTE over the final row
+-- set; the engine under test derives it algebraically (before + delta),
+-- so the comparison checks the maintenance identity itself
+after AS (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_after, CAST(sum(cents) AS BIGINT) AS rev_after_cents
+  FROM final GROUP BY 1, 2
+)
+SELECT a.o_orderstatus, a.o_orderpriority,
+       coalesce(m.n_before, 0) AS n_before,
+       coalesce(m.rev_before_cents, 0) AS rev_before_cents,
+       coalesce(d.n_delta, 0) AS n_delta,
+       coalesce(d.rev_delta_cents, 0) AS rev_delta_cents,
+       a.n_after, a.rev_after_cents
+FROM after a
+LEFT JOIN mv m USING (o_orderstatus, o_orderpriority)
+LEFT JOIN delta d USING (o_orderstatus, o_orderpriority)
+ORDER BY a.o_orderstatus, a.o_orderpriority
+"""
+
+
+@register("mv_incremental_refresh", oracle=_MV_ORACLE, tags=("ingest", "agg", "mv"))
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of an aggregate materialized view — the
+    self-maintainable-view algebra (Gupta & Mumick, "Maintenance of
+    Materialized Views", IEEE Data Eng. Bull. 1995) every warehouse
+    refresh path runs: given a standing MV of additively-mergeable
+    aggregates (count, sum) and a signed delta batch (+1 inserts, -1
+    deletes), the refreshed view is MV ⊕ agg(delta) — an outer merge on
+    the group keys, never a rescan of the base relation. Deterministic
+    folds: inserts = o_orderkey % 10 == 0 (not in base), deletes = base
+    rows with o_orderkey % 7 == 0.
+
+    The output exposes the maintenance identity per group — before,
+    signed delta, after — and the AFTER columns are where the check has
+    teeth: this engine computes them ALGEBRAICALLY (before + delta,
+    groups at zero dropped), while the DuckDB oracle recomputes them
+    directly over the post-delta row set. A sign error, a lost group, or
+    a non-additive fold shows up as a value mismatch, not just a shape
+    difference.
+
+    Scale shape: refresh cost is agg(|delta|) + merge(|MV|), independent
+    of |base| — the entire point of a materialized view at 100 TB (the
+    base aggregation here stands in for the PERSISTED view; in
+    production it is read back, not recomputed). Both aggregations are
+    map-side partial; the merge is a full-outer equi-join of two
+    group-cardinality relations (bounded by status x priority arity).
+    Money folds to integer cents BEFORE summation (floor(x*100+0.5),
+    the engine-identical IEEE op) so the sums are exact integers on
+    both engines."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    cents = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    base = cents.filter(F.col("o_orderkey") % 10 != 0)
+    ins = cents.filter(F.col("o_orderkey") % 10 == 0)
+    dels = base.filter(F.col("o_orderkey") % 7 == 0)
+
+    keys = ["o_orderstatus", "o_orderpriority"]
+    mv = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_before"),
+        F.sum("cents").alias("rev_before_cents"),
+    )
+    signed = ins.withColumn("sign", F.lit(1)).unionByName(
+        dels.withColumn("sign", F.lit(-1))
+    )
+    delta = signed.groupBy(*keys).agg(
+        F.sum("sign").cast("bigint").alias("n_delta"),
+        F.sum(F.col("sign") * F.col("cents")).cast("bigint").alias("rev_delta_cents"),
+    )
+    merged = mv.join(delta, keys, "full_outer").select(
+        *keys,
+        F.coalesce("n_before", F.lit(0)).alias("n_before"),
+        F.coalesce("rev_before_cents", F.lit(0)).alias("rev_before_cents"),
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+        F.coalesce("rev_delta_cents", F.lit(0)).alias("rev_delta_cents"),
+    )
+    return (
+        merged.select(
+            *keys,
+            "n_before",
+            "rev_before_cents",
+            "n_delta",
+            "rev_delta_cents",
+            (F.col("n_before") + F.col("n_delta")).alias("n_after"),
+            (F.col("rev_before_cents") + F.col("rev_delta_cents")).alias(
+                "rev_after_cents"
+            ),
+        )
+        .filter(F.col("n_after") > 0)
+        .orderBy(*keys)
+    )
