@@ -1225,3 +1225,130 @@ def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("k") == 100, F.col("cum_tp"))) / 100.0, 4
         ).alias("p_at_100"),
     )
+
+
+# ------------------------- DSIR-style hashed-ngram importance selection
+
+_DSIR_BUCKETS = 256
+_DSIR_TOPK = 100
+
+_DSIR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+hashed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 4))::UBIGINT % {_DSIR_BUCKETS}
+              AS BIGINT) AS bucket
+  FROM toks
+),
+target_docs AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+tgt AS (
+  SELECT bucket, count(*) AS c FROM hashed
+  WHERE doc_id IN (SELECT doc_id FROM target_docs)
+  GROUP BY bucket
+),
+raw AS (SELECT bucket, count(*) AS c FROM hashed GROUP BY bucket),
+tot AS (
+  SELECT (SELECT sum(c) FROM tgt) AS t_tgt, (SELECT sum(c) FROM raw) AS t_raw
+),
+ratio AS (
+  SELECT r.bucket,
+         ln((coalesce(t.c, 0) + 1.0) / (tot.t_tgt + {_DSIR_BUCKETS}))
+           - ln((r.c + 1.0) / (tot.t_raw + {_DSIR_BUCKETS})) AS lr
+  FROM raw r CROSS JOIN tot
+  LEFT JOIN tgt t ON t.bucket = r.bucket
+),
+doc_buckets AS (
+  SELECT doc_id, bucket, count(*) AS c FROM hashed GROUP BY 1, 2
+),
+weights AS (
+  SELECT d.doc_id, round(sum(d.c * ratio.lr), 4) AS log_importance
+  FROM doc_buckets d JOIN ratio ON ratio.bucket = d.bucket
+  GROUP BY d.doc_id
+)
+SELECT w.doc_id, w.log_importance, docs.lang, docs.source
+FROM weights w JOIN documents docs USING (doc_id)
+ORDER BY w.log_importance DESC, w.doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register("corpus_dsir_selection", oracle=_DSIR_ORACLE, tags=("llm", "curation", "text"))
+def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    its log importance weight log p_target(x) − log p_raw(x) under
+    hashed-unigram bag-of-words LMs (tokens md5-hashed into 256 buckets,
+    add-one smoothing), target = the English slice, raw = the full
+    corpus; keep the top-100. This is the published recipe for tilting a
+    web-scale crawl toward a target distribution without training a
+    classifier — the selection tier that sits between the rule filters
+    (Gopher) and the model-based quality screens (CCNet) this family
+    already carries.
+
+    Plan at 100 TB: tokenize+hash is one map-only explode (the same
+    `split` expression every text query shares); BOTH corpus LMs are
+    256-row aggregates with map-side partial combine; the per-bucket
+    log-ratio table is a 256-row BROADCAST joined to per-doc bucket
+    counts (one key-shuffled agg on doc_id); the final top-K is
+    TakeOrderedAndProject. Zero Python, zero UDFs — the whole DSIR
+    scoring pass is whole-stage-codegen'd expression work.
+
+    Determinism: the md5-hex→bucket map is engine-identical; per-doc
+    sums re-associate across partitions, absorbed by round(…,4); the
+    top-K orders by the ROUNDED weight with doc_id tiebreak on both
+    engines so the selected SET is stable, not just the scores."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.expr(_WORDS_SPARK)).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("long")
+            % _DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    hashed = tracked_persist(hashed)  # feeds both LMs + per-doc counts
+    tgt = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    raw = hashed.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tot = raw.agg(F.sum("c_raw").alias("t_raw")).crossJoin(
+        F.broadcast(tgt.agg(F.sum("c_tgt").alias("t_tgt")))
+    )
+    ratio = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            (
+                F.log(
+                    (F.coalesce("c_tgt", F.lit(0)) + 1.0)
+                    / (F.col("t_tgt") + _DSIR_BUCKETS)
+                )
+                - F.log((F.col("c_raw") + 1.0) / (F.col("t_raw") + _DSIR_BUCKETS))
+            ).alias("lr"),
+        )
+    )
+    doc_buckets = hashed.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    weights = (
+        doc_buckets.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("log_importance"))
+    )
+    return (
+        weights.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy(F.col("log_importance").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select("doc_id", "log_importance", "lang", "source")
+    )
