@@ -73,6 +73,13 @@ EXTENDED = (
     # iterative BPE train+apply chain
     "dedup_prefix_filter",
     "tokenizer_bpe_apply",
+    # Round-7 late additions: the converged star-contraction CC (its ~9s
+    # at sf0.1 is dominated by per-round scheduling overhead — ~8 rounds
+    # x a few small jobs — not data volume; see the cc_path experiment
+    # for the growth curve), DSIR selection, and the MV delta refresh
+    "graph_connected_components",
+    "corpus_dsir_selection",
+    "mv_incremental_refresh",
 )
 
 HEADLINE = HEADLINE10 + EXTENDED
@@ -166,6 +173,7 @@ def main() -> None:
         _ntile_scale_experiment,
         _cumsum_scale_experiment,
         _lsh_band_scale_experiment,
+        _cc_scale_experiment,
     ):
         try:
             got = exp(spark, sf_dir)
@@ -378,6 +386,82 @@ def _lsh_band_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         rel.unpersist()
         out[f"lsh_band_join_{mult}x"] = round(best, 3)
+    return out
+
+
+def _cc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the star-contraction connected-components core on
+    its ADVERSARIAL shape — a path graph, where min-label propagation
+    needs diameter(=n) rounds but large-star/small-star needs O(log n).
+    Two measurements per size: (a) star contraction run to convergence
+    (rounds + seconds; the round count growing logarithmically while n
+    grows 10x is the scalability claim, measured), and (b) plain
+    synchronous min-label propagation given the SAME round budget on the
+    same graph, reporting the fraction of nodes still mislabeled — at
+    round budget R a path leaves ~(n-R)/n of the graph unconverged,
+    which is why the naive algorithm cannot ship at 100 TB even though
+    its per-round dataflow is identical (one equi-join + one groupBy)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.graph import star_contraction_labels
+
+    out: dict[str, float] = {}
+    for n in (30_000, 300_000):
+        edges = spark.range(n - 1).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+        stats: dict = {}
+        t0 = time.perf_counter()
+        bad = star_contraction_labels(edges, stats).filter(
+            F.col("label") != 0
+        ).count()
+        sec = time.perf_counter() - t0
+        rounds = stats["rounds"]
+        out[f"cc_path_{n}_star_sec"] = round(sec, 3)
+        out[f"cc_path_{n}_star_rounds"] = float(rounds)
+        out[f"cc_path_{n}_star_mislabeled"] = float(bad)  # 0 = exact
+        spark.catalog.clearCache()
+
+        # min-label propagation, SAME round budget, same checkpoint cadence
+        labels = (
+            edges.select(F.col("u").alias("node"))
+            .union(edges.select(F.col("v").alias("node")))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+        und = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).persist()
+        prev = None
+        for _ in range(rounds):
+            nb = (
+                und.join(labels, und["v"] == labels["node"])
+                .groupBy(F.col("u").alias("node"))
+                .agg(F.min("label").alias("nb_min"))
+            )
+            labels = (
+                labels.join(nb, "node", "left")
+                .select(
+                    "node",
+                    F.least(
+                        "label", F.coalesce("nb_min", F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint()
+            )
+            if prev is not None:
+                prev.unpersist(False)
+            prev = labels._jdf.queryExecution().analyzed().rdd()
+        unconv = labels.filter(F.col("label") != 0).count()
+        out[f"cc_path_{n}_labelprop_same_rounds_unconverged_frac"] = round(
+            unconv / n, 4
+        )
+        und.unpersist()
+        if prev is not None:
+            prev.unpersist(False)
+        spark.catalog.clearCache()
     return out
 
 

@@ -891,13 +891,16 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def star_contraction_labels(edges: DataFrame) -> DataFrame:
+def star_contraction_labels(
+    edges: DataFrame, stats: dict | None = None
+) -> DataFrame:
     """Run alternating large-star/small-star to convergence over an edge
     relation (columns `u`, `v`; direction and self-loops irrelevant) and
     return the (node, label) assignment, label = component minimum. The
     reusable core of `graph_connected_components`, property-tested against
     union-find on synthetic path/star/random graphs in
-    tests/test_llm_ops.py."""
+    tests/test_llm_ops.py. Pass `stats` to receive {"rounds": k} — the
+    bench scale experiment reads it to chart round growth vs graph size."""
     from ..persistence import tracked_persist, tracked_release
 
     # canonical big->small orientation; the star rounds preserve it
@@ -969,6 +972,8 @@ def star_contraction_labels(edges: DataFrame) -> DataFrame:
     if prev_ckpt is not None:
         final_ckpt = prev_ckpt
         tracked_release(lambda: final_ckpt.unpersist(False))
+    if stats is not None:
+        stats["rounds"] = n_rounds
     # converged: `cur` is one star per component, every non-min node
     # pointing at its component min; mins themselves label as self.
     return cur.select(F.col("a").alias("node"), F.col("b").alias("label")).union(
