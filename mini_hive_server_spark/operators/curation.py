@@ -1232,8 +1232,9 @@ def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DSIR_BUCKETS = 256
 _DSIR_TOPK = 100
 
-_DSIR_ORACLE = f"""
-WITH toks AS (
+# Shared CTE prefix: hashed-unigram LMs -> per-doc log importance weights
+# (used by the deterministic top-K selection AND the Gumbel resample).
+_DSIR_WEIGHTS_CTES = f"""toks AS (
   SELECT doc_id,
          unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
   FROM documents
@@ -1268,13 +1269,15 @@ weights AS (
   SELECT d.doc_id, round(sum(d.c * ratio.lr), 4) AS log_importance
   FROM doc_buckets d JOIN ratio ON ratio.bucket = d.bucket
   GROUP BY d.doc_id
-)
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_WEIGHTS_CTES}
 SELECT w.doc_id, w.log_importance, docs.lang, docs.source
 FROM weights w JOIN documents docs USING (doc_id)
 ORDER BY w.log_importance DESC, w.doc_id
 LIMIT {_DSIR_TOPK}
 """
-
 
 @register("corpus_dsir_selection", oracle=_DSIR_ORACLE, tags=("llm", "curation", "text"))
 def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1302,6 +1305,20 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-K orders by the ROUNDED weight with doc_id tiebreak on both
     engines so the selected SET is stable, not just the scores."""
     docs = load_tables(spark, sf_dir)["documents"]
+    weights = dsir_log_weights(docs)
+    return (
+        weights.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .orderBy(F.col("log_importance").desc(), "doc_id")
+        .limit(_DSIR_TOPK)
+        .select("doc_id", "log_importance", "lang", "source")
+    )
+
+
+def dsir_log_weights(docs: DataFrame) -> DataFrame:
+    """Per-document DSIR log importance weights (doc_id, log_importance
+    rounded to 4) under hashed-unigram LMs — the shared scoring core of
+    `corpus_dsir_selection` (deterministic top-K) and
+    `corpus_dsir_gumbel_resample` (the paper's actual resampling step)."""
     hashed = docs.select(
         "doc_id",
         "lang",
@@ -1341,14 +1358,82 @@ def corpus_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_buckets = hashed.groupBy("doc_id", "bucket").agg(
         F.count(F.lit(1)).alias("c")
     )
-    weights = (
+    return (
         doc_buckets.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")
         .agg(F.round(F.sum(F.col("c") * F.col("lr")), 4).alias("log_importance"))
     )
+
+
+# --------------------------- DSIR Gumbel-top-k importance resampling
+
+_GUMBEL_MOD = 1_000_000
+
+_DSIR_GUMBEL_ORACLE = f"""
+WITH {_DSIR_WEIGHTS_CTES},
+gumbel AS (
+  SELECT w.doc_id, w.log_importance,
+         -ln(-ln(
+           ((('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+             % {_GUMBEL_MOD}) + 0.5) / {_GUMBEL_MOD}.0
+         )) AS g
+  FROM weights w
+)
+SELECT g.doc_id, g.log_importance,
+       round(g.log_importance + g.g, 4) AS resample_key,
+       docs.lang
+FROM gumbel g JOIN documents docs USING (doc_id)
+ORDER BY resample_key DESC, g.doc_id
+LIMIT {_DSIR_TOPK}
+"""
+
+
+@register(
+    "corpus_dsir_gumbel_resample",
+    oracle=_DSIR_GUMBEL_ORACLE,
+    tags=("llm", "curation", "sample"),
+)
+def corpus_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING step of DSIR proper: the paper selects documents by
+    Gumbel-top-k over the importance weights (sampling WITHOUT
+    replacement proportional to softmax(log w) — Vieira 2014's
+    equivalence: top-k of log w_i + Gumbel_i), not by a deterministic
+    weight cut, so high-weight duplicates cannot crowd the selection.
+    The Gumbel noise here is SEEDED AND REPRODUCIBLE rather than drawn:
+    u_i = (md5(doc_id) mod 1e6 + 0.5) / 1e6, g_i = -ln(-ln(u_i)) — a
+    hash-derived uniform, the same engine-identical md5 device every
+    sketch in this repo uses, which makes a stochastic selection
+    operator fully oracle-checkable (both engines compute bit-identical
+    u_i from bit-identical integer inputs; sqrt/division/ln on identical
+    doubles, and the selection orders by the ROUNDED key with doc_id
+    tiebreak so a last-ulp libm delta cannot flip the set).
+
+    Plan: weights come from the shared `dsir_log_weights` core (map-only
+    hash+explode, two 256-row LMs, broadcast ratio join); the Gumbel key
+    is one map-only expression over the doc-cardinality weight relation;
+    selection is TakeOrderedAndProject. At 100 TB the resample adds ZERO
+    shuffles to the scoring pass."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    weights = dsir_log_weights(docs)
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("long")
+            % _GUMBEL_MOD
+        )
+        + 0.5
+    ) / float(_GUMBEL_MOD)
+    keyed = weights.select(
+        "doc_id",
+        "log_importance",
+        F.round(
+            F.col("log_importance") + (-F.log(-F.log(u))), 4
+        ).alias("resample_key"),
+    )
     return (
-        weights.join(docs.select("doc_id", "lang", "source"), "doc_id")
-        .orderBy(F.col("log_importance").desc(), "doc_id")
+        keyed.join(docs.select("doc_id", "lang"), "doc_id")
+        .orderBy(F.col("resample_key").desc(), "doc_id")
         .limit(_DSIR_TOPK)
-        .select("doc_id", "log_importance", "lang", "source")
+        .select("doc_id", "log_importance", "resample_key", "lang")
     )

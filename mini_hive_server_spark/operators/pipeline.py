@@ -1344,3 +1344,126 @@ def events_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("purged_n").cast("long").alias("purged_n"),
         F.col("test_n").cast("long").alias("test_n"),
     ).orderBy("fold")
+
+
+# ---------------------- temperature-scaled source mixture composition
+
+_MIX_BUDGET = 200  # total docs the mixture selects
+_MIX_W_SCALE = 1000  # fixed-point scale for the sqrt weights
+
+_MIX_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, doc_id, n_chars,
+         len({_WORDS_DUCK}) AS n_tok
+  FROM documents
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM per_doc GROUP BY source
+),
+weighted AS (
+  SELECT source, n_docs, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * {_MIX_W_SCALE})
+              AS BIGINT) AS w
+  FROM per_source
+),
+tot AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM weighted),
+quotas AS (
+  SELECT source, n_docs, n_tokens, w,
+         greatest(1, ({_MIX_BUDGET} * w) // tot.w_total) AS quota,
+         round(CAST(w AS DOUBLE) / tot.w_total, 6) AS share_temp
+  FROM weighted CROSS JOIN tot
+),
+ranked AS (
+  SELECT d.source, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rn
+  FROM per_doc d
+),
+selected AS (
+  SELECT r.source, r.n_chars
+  FROM ranked r JOIN quotas q ON q.source = r.source
+  WHERE r.rn <= q.quota
+),
+census AS (
+  SELECT source, count(*) AS n_selected,
+         CAST(sum(n_chars) AS BIGINT) AS selected_chars
+  FROM selected GROUP BY source
+)
+SELECT q.source, q.n_docs, q.n_tokens, q.w, CAST(q.quota AS BIGINT) AS quota,
+       q.share_temp, c.n_selected, c.selected_chars
+FROM quotas q JOIN census c USING (source)
+ORDER BY q.source
+"""
+
+
+@register(
+    "corpus_temperature_mixture", oracle=_MIX_ORACLE, tags=("llm", "pipeline", "sample")
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixture (the multilingual/source
+    balancing recipe from mT5/XLM-R: sample sources proportional to
+    p^(1/τ), here τ=2 i.e. sqrt) — the composition step that decides how
+    many documents each source contributes to a training mixture so
+    head sources stop drowning tail sources. Per-source quotas derive
+    from token mass, selection within a source is deterministic
+    (longest-first, doc_id tiebreak), and the output census pins quota,
+    selection count, and selected character mass per source.
+
+    Exactness device: the tempered weights are FIXED-POINT integers —
+    w_s = floor(sqrt(tokens_s) * 1000) — and quotas use integer
+    division (budget * w_s) div (Σ w_s), so no cross-source float sum
+    ever decides a quota (sqrt of an exact integer is correctly rounded
+    IEEE on both engines; everything after is bigint arithmetic). The
+    only floats in the output are display shares, rounded.
+
+    Plan: token counts are map-only `size(split(...))`; the source
+    census is a 20-row aggregate (map-side partial); quotas are a
+    20-row broadcast crossed with a 1-row total; the per-source top-rn
+    window partitions by source (never global); final census is one
+    more 20-row agg. One corpus scan end to end."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    per_doc = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.size(F.expr(_WORDS_SPARK)).alias("n_tok"),
+    )
+    per_source = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    weighted = per_source.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * _MIX_W_SCALE)
+        .cast("bigint")
+        .alias("w"),
+    )
+    tot = weighted.agg(F.sum("w").cast("bigint").alias("w_total"))
+    quotas = weighted.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "w",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"({_MIX_BUDGET} * w) div w_total"),
+        ).alias("quota"),
+        F.round(F.col("w").cast("double") / F.col("w_total"), 6).alias(
+            "share_temp"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    )
+    ranked = per_doc.select("source", "n_chars", rn.alias("rn"))
+    selected = ranked.join(
+        F.broadcast(quotas.select("source", "quota")), "source"
+    ).filter(F.col("rn") <= F.col("quota"))
+    census = selected.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum("n_chars").cast("bigint").alias("selected_chars"),
+    )
+    return quotas.join(census, "source").orderBy("source")
