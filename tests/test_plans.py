@@ -547,3 +547,28 @@ def test_pipe_syntax_plan_equals_classic_sql(spark):
     plan = _plan_simple(spark, "sql_pipe_syntax")
     assert "HashAggregate" in plan and "Exchange hashpartitioning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dsir_ratio_join_broadcasts_the_lm(spark):
+    """`corpus_dsir_selection`'s scoring join must broadcast the 256-row
+    log-ratio relation against the per-doc bucket counts (a shuffle join
+    there would key-exchange the whole corpus for a model table that fits
+    in one packet), and the top-K must be TakeOrderedAndProject, never a
+    global sort."""
+    plan = _plan(spark, "corpus_dsir_selection")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_temperature_mixture_window_is_partitioned_and_quota_broadcast(spark):
+    """`corpus_temperature_mixture`: the per-source ranking window must
+    partition by source (a global row_number would single-partition the
+    corpus), and the 20-row quota relation must broadcast."""
+    plan = _plan(spark, "corpus_temperature_mixture")
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"row_number", plan), plan
+    # no single-partition exchange may feed the ranking window
+    assert not re.search(
+        r"Exchange SinglePartition[\s\S]{0,400}Window", plan
+    ), plan
