@@ -1401,14 +1401,15 @@ ORDER BY q.source
     "corpus_temperature_mixture", oracle=_MIX_ORACLE, tags=("llm", "pipeline", "sample")
 )
 def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Temperature-scaled source mixture (the multilingual/source
-    balancing recipe from mT5/XLM-R: sample sources proportional to
-    p^(1/τ), here τ=2 i.e. sqrt) — the composition step that decides how
-    many documents each source contributes to a training mixture so
-    head sources stop drowning tail sources. Per-source quotas derive
-    from token mass, selection within a source is deterministic
-    (longest-first, doc_id tiebreak), and the output census pins quota,
-    selection count, and selected character mass per source.
+    """Temperature-scaled source mixture MATERIALIZATION: turn tempered
+    source weights (the mT5/XLM-R p^(1/τ) recipe, here τ=2 i.e. sqrt)
+    into integer per-source document quotas and actually SELECT the
+    documents — the step downstream of `source_mixture_weights` /
+    `source_mixture_temperature` (which compute the share vectors but
+    select nothing). Per-source quotas derive from token mass, selection
+    within a source is deterministic (longest-first, doc_id tiebreak),
+    and the output census pins quota, selection count, and selected
+    character mass per source.
 
     Exactness device: the tempered weights are FIXED-POINT integers —
     w_s = floor(sqrt(tokens_s) * 1000) — and quotas use integer

@@ -88,6 +88,9 @@ _BNLJ_BOUNDED = {
     "events_walkforward_split",  # calendar-bounded day-count inequality join
     "customers_negative_sampling",  # 1-row catalog-size + census crossed
     "orders_mix_rate_decomposition",  # two 1-row year totals crossed
+    "corpus_dsir_selection",  # two 1-row LM totals crossed (256-row ratio join is BHJ)
+    "corpus_dsir_gumbel_resample",  # same shared scoring core as dsir_selection
+    "corpus_temperature_mixture",  # 1-row grand fixed-point weight total crossed
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
