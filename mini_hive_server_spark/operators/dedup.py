@@ -548,6 +548,11 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its own label and its neighbors' labels; fixpoint when no label
     changes. Near-dup components are small (duplicate families, not a web
     graph), so the loop converges in O(component diameter) ≈ 2-4 rounds.
+    (If duplicate families could chain — boilerplate threading thousands
+    of docs into one long component — the O(log n) star-contraction core
+    `operators.graph.star_contraction_labels` computes the same labels
+    with a diameter-independent round count; a pytest pins the two
+    algorithms equal on this very pair graph.)
     Each round is one shuffle join + groupBy; `localCheckpoint` cuts the
     growing lineage so round N doesn't replay rounds 1..N-1 (at cluster
     scale: reliable checkpoint dir instead, same call shape). The oracle

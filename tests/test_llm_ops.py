@@ -395,3 +395,31 @@ def test_star_contraction_matches_union_find(spark):
             comp[find(x)].add(x)
         want = {x: min(comp[find(x)]) for x in parent}
         assert got == want, name
+
+
+def test_lsh_clusters_agree_with_star_contraction(spark):
+    """Two independent connected-components implementations — the
+    min-label propagation inside `dedup_lsh_clusters` (O(diameter)
+    rounds) and the large-star/small-star core `star_contraction_labels`
+    (O(log n) rounds) — must produce identical cluster labels on the
+    real verified LSH pair graph. Cross-validates both fixpoints on live
+    data, not just synthetic shapes."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.dedup import dedup_minhash_lsh
+    from mini_hive_server_spark.operators.graph import star_contraction_labels
+
+    pairs = dedup_minhash_lsh(spark, SF_SMOKE).select("d1", "d2")
+    star = dict(
+        star_contraction_labels(
+            pairs.select(F.col("d1").alias("u"), F.col("d2").alias("v"))
+        ).collect()
+    )
+    prop = {
+        r["doc_id"]: r["cluster_id"]
+        for r in registry.queries()["dedup_lsh_clusters"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert star == prop
+    assert star, "no near-dup clusters in the smoke fixture?"
