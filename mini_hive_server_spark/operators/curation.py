@@ -1437,3 +1437,86 @@ def corpus_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_DSIR_TOPK)
         .select("doc_id", "log_importance", "resample_key", "lang")
     )
+
+
+# ---------------------- per-source ablation of DSIR importance mass
+
+_DSIR_ABLATION_ORACLE = f"""
+WITH {_DSIR_WEIGHTS_CTES},
+with_src AS (
+  SELECT w.doc_id, w.log_importance, d.source
+  FROM weights w JOIN documents d USING (doc_id)
+),
+per_source AS (
+  SELECT source, count(*) AS n_docs,
+         sum(log_importance) AS mass
+  FROM with_src GROUP BY source
+),
+grand AS (
+  -- named 'grand', not 'tot': the shared weights prefix already binds tot
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n_total, sum(mass) AS mass_total
+  FROM per_source
+)
+SELECT p.source, p.n_docs,
+       round(p.mass, 4) AS importance_mass,
+       round(p.mass / p.n_docs, 6) AS mean_importance,
+       round(
+         (grand.mass_total - p.mass) / (grand.n_total - p.n_docs)
+           - grand.mass_total / grand.n_total, 6
+       ) AS loo_delta
+FROM per_source p CROSS JOIN grand
+ORDER BY p.source
+"""
+
+
+@register(
+    "source_dsir_ablation",
+    oracle=_DSIR_ABLATION_ORACLE,
+    tags=("llm", "curation", "agg"),
+)
+def source_dsir_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-ablation data valuation over the DSIR importance weights:
+    for every source, the LEAVE-ONE-SOURCE-OUT delta of the corpus's
+    mean log-importance — a positive `loo_delta` means removing the
+    source would move the corpus TOWARD the target distribution (the
+    source is dragging it away), the additive-metric special case of
+    group ablation where the counterfactual is exact arithmetic instead
+    of a retraining run. This is the diagnostic a mixture tuner reads
+    next to the share tiers (`source_mixture_*`) before reweighting.
+
+    Plan: the per-doc weights come from the shared `dsir_log_weights`
+    core; everything after is a source-cardinality aggregate crossed
+    with a 1-row grand total — the LOO counterfactual for EVERY source
+    falls out of one pass, no per-source rescans. Determinism: per-doc
+    weights are pre-rounded; the mass sums re-associate across
+    partitions, absorbed by round(…,4/6)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    weights = dsir_log_weights(docs)
+    per_source = (
+        weights.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("log_importance").alias("mass"),
+        )
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum("mass").alias("mass_total"),
+    )
+    return (
+        per_source.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round("mass", 4).alias("importance_mass"),
+            F.round(F.col("mass") / F.col("n_docs"), 6).alias("mean_importance"),
+            F.round(
+                (F.col("mass_total") - F.col("mass"))
+                / (F.col("n_total") - F.col("n_docs"))
+                - F.col("mass_total") / F.col("n_total"),
+                6,
+            ).alias("loo_delta"),
+        )
+        .orderBy("source")
+    )

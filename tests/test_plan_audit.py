@@ -91,6 +91,7 @@ _BNLJ_BOUNDED = {
     "corpus_dsir_selection",  # two 1-row LM totals crossed (256-row ratio join is BHJ)
     "corpus_dsir_gumbel_resample",  # same shared scoring core as dsir_selection
     "corpus_temperature_mixture",  # 1-row grand fixed-point weight total crossed
+    "source_dsir_ablation",  # source-cardinality agg x 1-row grand total crossed
     "mutation_cascade_delete",
     "q11_value_concentration",
     "q22_idle_capital",
