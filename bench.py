@@ -179,7 +179,9 @@ def main() -> None:
             got = exp(spark, sf_dir)
             experiments.update(got)
             for k, v in got.items():
-                print(f"# experiment {k}: {v:.3f}s", file=sys.stderr)
+                # only *_sec / *x keys are seconds; rounds / fracs are unitless
+                unit = "s" if (k.endswith("_sec") or k.endswith("x") or "x_" in k) else ""
+                print(f"# experiment {k}: {v:.3f}{unit}", file=sys.stderr)
         except Exception:
             print(
                 f"# experiment {exp.__name__} failed:\n{traceback.format_exc()}",
