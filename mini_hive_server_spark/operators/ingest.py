@@ -705,3 +705,137 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_after") > 0)
         .orderBy(*keys)
     )
+
+
+# -------------- min/max MV maintenance: dirty-group partial recompute
+
+_MV_MINMAX_ORACLE = """
+WITH cents AS (
+  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+),
+base AS (SELECT * FROM cents WHERE o_orderkey % 10 <> 0),
+ins  AS (SELECT * FROM cents WHERE o_orderkey % 10 = 0),
+dels AS (SELECT * FROM base  WHERE o_orderkey % 7 = 0),
+mv AS (
+  SELECT o_orderstatus, o_orderpriority,
+         min(cents) AS mn0, max(cents) AS mx0
+  FROM base GROUP BY 1, 2
+),
+-- a group is dirty iff some DELETED row carries the group's standing
+-- extreme: only then can the min/max have moved, so only then is a
+-- rescan of the group's surviving rows needed
+dirty AS (
+  SELECT DISTINCT d.o_orderstatus, d.o_orderpriority
+  FROM dels d JOIN mv USING (o_orderstatus, o_orderpriority)
+  WHERE d.cents = mv.mn0 OR d.cents = mv.mx0
+),
+final AS (
+  SELECT * FROM base WHERE o_orderkey % 7 <> 0
+  UNION ALL SELECT * FROM ins
+),
+after AS (
+  SELECT o_orderstatus, o_orderpriority,
+         count(*) AS n_after,
+         min(cents) AS min_after, max(cents) AS max_after
+  FROM final GROUP BY 1, 2
+)
+SELECT a.o_orderstatus, a.o_orderpriority, a.n_after, a.min_after,
+       a.max_after,
+       EXISTS (
+         SELECT 1 FROM dirty dt
+         WHERE dt.o_orderstatus = a.o_orderstatus
+           AND dt.o_orderpriority = a.o_orderpriority
+       ) AS recomputed
+FROM after a
+ORDER BY a.o_orderstatus, a.o_orderpriority
+"""
+
+
+@register(
+    "mv_minmax_partial_recompute",
+    oracle=_MV_MINMAX_ORACLE,
+    tags=("ingest", "agg", "mv"),
+)
+def mv_minmax_partial_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX materialized-view maintenance under deletes — the
+    non-self-maintainable counterpart to `mv_incremental_refresh`
+    (count/sum fold algebraically; min/max cannot, because a delete that
+    removes the standing extreme leaves no way to derive the new one
+    from the view alone). The production pattern is DIRTY-GROUP PARTIAL
+    RECOMPUTE: a group is dirty iff some deleted row carries the group's
+    current extreme; clean groups merge cheaply (inserts can only extend
+    extremes: least/greatest against the insert-batch extremes), and
+    ONLY dirty groups rescan their surviving rows — the rescan is
+    semi-join-filtered to the dirty key set, so its cost scales with the
+    dirty groups' data, not the base relation.
+
+    The output's `recomputed` flag pins the dirty-detection logic and
+    the min/max columns pin BOTH maintenance paths (the engine's clean
+    path is least/greatest algebra; the oracle derives every value by
+    direct recompute — a wrong clean-path shortcut or a missed dirty
+    group shows up as a value mismatch). Same deterministic folds as
+    the additive MV: inserts o_orderkey%10==0, deletes base%7==0."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    keys = ["o_orderstatus", "o_orderpriority"]
+    cents = orders.select(
+        "o_orderkey",
+        *keys,
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint").alias("cents"),
+    )
+    base = cents.filter(F.col("o_orderkey") % 10 != 0)
+    ins = cents.filter(F.col("o_orderkey") % 10 == 0)
+    dels = base.filter(F.col("o_orderkey") % 7 == 0)
+    survivors = base.filter(F.col("o_orderkey") % 7 != 0)
+
+    from ..persistence import tracked_persist
+
+    mv = tracked_persist(
+        base.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n0"),
+            F.min("cents").alias("mn0"),
+            F.max("cents").alias("mx0"),
+        )
+    )  # read by the dirty probe AND the clean merge
+    dirty = (
+        dels.join(mv.select(*keys, "mn0", "mx0"), keys)
+        .filter((F.col("cents") == F.col("mn0")) | (F.col("cents") == F.col("mx0")))
+        .select(*keys)
+        .distinct()
+    )
+    dirty = tracked_persist(dirty)  # drives one anti-join + two semi-joins
+    insagg = ins.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("ni"),
+        F.min("cents").alias("mni"),
+        F.max("cents").alias("mxi"),
+    )
+    delagg = dels.groupBy(*keys).agg(F.count(F.lit(1)).alias("nd"))
+
+    # clean path: pure view algebra, no base rescan (least/greatest skip
+    # nulls in both engines, covering new-group and no-insert cases)
+    clean = (
+        mv.join(insagg, keys, "full_outer")
+        .join(delagg, keys, "left")
+        .join(dirty, keys, "left_anti")
+        .select(
+            *keys,
+            (
+                F.coalesce("n0", F.lit(0))
+                - F.coalesce("nd", F.lit(0))
+                + F.coalesce("ni", F.lit(0))
+            ).alias("n_after"),
+            F.least("mn0", "mni").alias("min_after"),
+            F.greatest("mx0", "mxi").alias("max_after"),
+            F.lit(False).alias("recomputed"),
+        )
+        .filter(F.col("n_after") > 0)
+    )
+    # dirty path: rescan ONLY the dirty groups' surviving rows
+    dirty_rows = survivors.unionByName(ins).join(dirty, keys, "left_semi")
+    recomputed = dirty_rows.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_after"),
+        F.min("cents").alias("min_after"),
+        F.max("cents").alias("max_after"),
+    ).withColumn("recomputed", F.lit(True))
+    return clean.unionByName(recomputed).orderBy(*keys)
