@@ -788,7 +788,21 @@ def mv_minmax_partial_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     ins = cents.filter(F.col("o_orderkey") % 10 == 0)
     dels = base.filter(F.col("o_orderkey") % 7 == 0)
     survivors = base.filter(F.col("o_orderkey") % 7 != 0)
+    return minmax_mv_refresh(base, ins, dels, survivors, keys)
 
+
+def minmax_mv_refresh(
+    base: DataFrame,
+    ins: DataFrame,
+    dels: DataFrame,
+    survivors: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """The dirty-group min/max maintenance core of
+    `mv_minmax_partial_recompute`, factored over arbitrary
+    (key..., cents) relations so tests can drive the edge cases the
+    fixture folds may not hit (fully-deleted group, insert-only new
+    group, duplicated extremes) against a brute-force recompute."""
     from ..persistence import tracked_persist
 
     mv = tracked_persist(

@@ -423,3 +423,58 @@ def test_lsh_clusters_agree_with_star_contraction(spark):
     }
     assert star == prop
     assert star, "no near-dup clusters in the smoke fixture?"
+
+
+def test_minmax_mv_refresh_edge_cases(spark):
+    """Drive the dirty-group min/max maintenance core through the edge
+    cases the fixture's modulo folds may not produce — a fully-deleted
+    group (must vanish), an insert-only new group (clean path from
+    nulls), a duplicated extreme with one copy deleted (conservatively
+    dirty, value unchanged), and a deleted unique extreme (dirty, value
+    moves) — and compare against a brute-force recompute."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.ingest import minmax_mv_refresh
+
+    # (group, cents, fold): fold b=base-survivor, d=deleted, i=insert
+    rows = [
+        ("gone", 10, "d"), ("gone", 20, "d"),          # fully deleted
+        ("new", 7, "i"), ("new", 3, "i"),              # insert-only group
+        ("dupmin", 5, "b"), ("dupmin", 5, "d"), ("dupmin", 9, "b"),
+        ("uniqmax", 1, "b"), ("uniqmax", 8, "d"),      # deleted unique max
+        ("clean", 2, "b"), ("clean", 6, "b"), ("clean", 4, "d"),
+        ("extended", 5, "b"), ("extended", 1, "i"), ("extended", 9, "i"),
+    ]
+    df = spark.createDataFrame(rows, "g: string, cents: long, fold: string")
+    base = df.filter(F.col("fold") != "i").select("g", "cents")
+    ins = df.filter(F.col("fold") == "i").select("g", "cents")
+    dels = df.filter(F.col("fold") == "d").select("g", "cents")
+    survivors = df.filter(F.col("fold") == "b").select("g", "cents")
+    got = {
+        r["g"]: (r["n_after"], r["min_after"], r["max_after"], r["recomputed"])
+        for r in minmax_mv_refresh(base, ins, dels, survivors, ["g"]).collect()
+    }
+    # brute force
+    final = collections.defaultdict(list)
+    for g, c, fold in rows:
+        if fold in ("b", "i"):
+            final[g].append(c)
+    base_rows = collections.defaultdict(list)
+    for g, c, fold in rows:
+        if fold in ("b", "d"):
+            base_rows[g].append(c)
+    want = {}
+    for g, cs in final.items():
+        dirty = any(
+            fold == "d" and base_rows[g] and c in (min(base_rows[g]), max(base_rows[g]))
+            for gg, c, fold in rows
+            if gg == g
+        )
+        want[g] = (len(cs), min(cs), max(cs), dirty)
+    assert got == want, (got, want)
+    assert "gone" not in got
+    assert got["dupmin"] == (2, 5, 9, True)      # conservative recompute
+    assert got["new"][3] is False                # clean path from nulls
+    assert got["uniqmax"] == (1, 1, 1, True)     # extreme moved
