@@ -397,6 +397,57 @@ def test_star_contraction_matches_union_find(spark):
         assert got == want, name
 
 
+def test_kcore_peel_matches_bruteforce(spark):
+    """`kcore_peel` (the iterative core of `graph_kcore_decomposition`)
+    must agree with a driver-side brute-force peel on adversarial shapes:
+    a PATH at k=2 (endpoints peel one layer per round — the maximal
+    cascade-depth case, ending empty), a CYCLE with a pendant tail at k=2
+    (the cycle is exactly the 2-core, the tail cascades away), a CLIQUE
+    with pendant vertices at k=3 (already-converged core after one
+    round), and a seeded random graph at k=3 (mixed survivors)."""
+    import collections
+    import random
+
+    from mini_hive_server_spark.operators.graph import kcore_peel
+
+    def brute(es, k):
+        es = {tuple(sorted(e)) for e in es if e[0] != e[1]}
+        while True:
+            deg = collections.Counter()
+            for u, v in es:
+                deg[u] += 1
+                deg[v] += 1
+            keep = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in es if u in keep and v in keep}
+            if nxt == es:
+                return es
+            es = nxt
+
+    rng = random.Random(13)
+    cases = {
+        "path12@2": ([(i, i + 1) for i in range(12)], 2),
+        "cycle8_tail@2": (
+            [(i, (i + 1) % 8) for i in range(8)]
+            + [(7, 20), (20, 21), (21, 22)],
+            2,
+        ),
+        "k5_pendants@3": (
+            [(i, j) for i in range(5) for j in range(i + 1, 5)]
+            + [(0, 50), (1, 51), (2, 52)],
+            3,
+        ),
+        "rand@3": (
+            sorted({(rng.randrange(40), rng.randrange(40)) for _ in range(120)}),
+            3,
+        ),
+    }
+    for name, (es, k) in cases.items():
+        canon = sorted({(min(u, v), max(u, v)) for u, v in es if u != v})
+        sdf = spark.createDataFrame(canon, "u: long, v: long")
+        got = {(r["u"], r["v"]) for r in kcore_peel(sdf, k).collect()}
+        assert got == brute(canon, k), name
+
+
 def test_lsh_clusters_agree_with_star_contraction(spark):
     """Two independent connected-components implementations — the
     min-label propagation inside `dedup_lsh_clusters` (O(diameter)

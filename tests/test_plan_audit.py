@@ -45,6 +45,7 @@ _BNLJ_BOUNDED = {
     "events_conversion_hazard",  # day-offset histogram x 1-row signup total
     "events_changepoint_cusum",  # day series x 1-row peak x 1-row count
     "graph_triangle_count",  # summary row: four 1-row aggregates crossed
+    "graph_kcore_decomposition",  # summary row: three 1-row core aggregates crossed
     "embedding_kmeans_2iter",  # k=4 broadcast centroid rows x vectors
     "events_abtest_ttest",  # two 1-row arm aggregates crossed
     "events_abtest_power",  # two 1-row arm aggregates crossed
