@@ -478,15 +478,13 @@ def _bmp_dims(doc_id: int) -> tuple[int, int]:
     return doc_id % 5 + 3, doc_id % 4 + 2  # width 3-7, height 2-5
 
 
-def synthesize_bmp(doc_id: int) -> bytes:
-    """Deterministic 24-bit uncompressed BMP for one doc: pixel byte i of
-    the TOP-DOWN ROW-MAJOR RGB stream is (doc_id*31 + i*7) % 251. The
-    container stores rows BOTTOM-UP in BGR with rows padded to 4 bytes —
-    the three traps a naive reader gets wrong, deliberately present."""
+def _pack_bmp24(w: int, h: int, rgb: bytes) -> bytes:
+    """Wrap a top-down row-major RGB stream in a 24-bit uncompressed BMP
+    container. The container stores rows BOTTOM-UP in BGR with rows
+    padded to 4 bytes — the three traps a naive reader gets wrong,
+    deliberately present."""
     import struct
 
-    w, h = _bmp_dims(doc_id)
-    rgb = bytes((doc_id * 31 + i * 7) % _BMP_MOD for i in range(w * h * 3))
     pad = (4 - (w * 3) % 4) % 4
     rows = []
     for y in range(h - 1, -1, -1):  # bottom-up
@@ -502,6 +500,14 @@ def synthesize_bmp(doc_id: int) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
     )
     return header + info + pixels
+
+
+def synthesize_bmp(doc_id: int) -> bytes:
+    """Deterministic 24-bit uncompressed BMP for one doc: pixel byte i of
+    the TOP-DOWN ROW-MAJOR RGB stream is (doc_id*31 + i*7) % 251."""
+    w, h = _bmp_dims(doc_id)
+    rgb = bytes((doc_id * 31 + i * 7) % _BMP_MOD for i in range(w * h * 3))
+    return _pack_bmp24(w, h, rgb)
 
 
 def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
@@ -805,4 +811,192 @@ def multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         records.select("doc_id", "payload")
         .mapInPandas(_detect_scene_cuts, schema=_SCENE_SCHEMA)
         .orderBy("doc_id")
+    )
+
+
+# --------------------------------------- perceptual-hash image dedup (dHash)
+
+_PHASH_GROUPS = 37  # distinct base images planted across the corpus
+_PHASH_BASE_MOD = 200  # base byte range [0,200) + shift [0,40) stays < 256
+_PHASH_SHIFTS = 40
+
+
+def _phash_group_dims(grp: int) -> tuple[int, int]:
+    return grp % 5 + 3, grp % 4 + 2  # width 3-7, height 2-5
+
+
+def synthesize_bmp_variant(doc_id: int) -> bytes:
+    """Deterministic near-duplicate BMP: docs sharing `doc_id % 37` carry
+    the SAME base image — byte i of the RGB stream is
+    (grp*17 + i*11) % 200 — plus a per-doc global brightness shift
+    (doc_id*7) % 40 added to every byte. Base < 200 and shift < 40 keep
+    bytes below 256, so no wraparound: every pairwise luminance
+    comparison survives the shift and all variants of a group dHash
+    identically while their raw bytes (and exact hashes) differ — the
+    planted near-duplicate structure a perceptual dedup must recover."""
+    grp = doc_id % _PHASH_GROUPS
+    w, h = _phash_group_dims(grp)
+    shift = (doc_id * 7) % _PHASH_SHIFTS
+    rgb = bytes(
+        (grp * 17 + i * 11) % _PHASH_BASE_MOD + shift
+        for i in range(w * h * 3)
+    )
+    return _pack_bmp24(w, h, rgb)
+
+
+def dhash_rgb(w: int, h: int, rgb: bytes) -> int:
+    """Difference hash over a decoded top-down RGB stream: integer luma
+    L = r + 2g + b per pixel, bit (y,x) = 1 iff L(y,x) < L(y,x+1),
+    packed at position y*(w-1)+x. At most (7-1)*5 = 30 bits here, so the
+    hash fits a BIGINT on both engines. A global brightness shift adds
+    4*shift to every luma and leaves every strict comparison — hence the
+    hash — unchanged; that invariance is what makes dHash a NEAR-dup
+    key where the exact md5 tier (`text_fingerprint_md5`) sees 40
+    distinct payloads."""
+    code = 0
+    for y in range(h):
+        for x in range(w - 1):
+            o = (y * w + x) * 3
+            left = rgb[o] + 2 * rgb[o + 1] + rgb[o + 2]
+            right = rgb[o + 3] + 2 * rgb[o + 4] + rgb[o + 5]
+            if left < right:
+                code |= 1 << (y * (w - 1) + x)
+    return code
+
+
+def _synthesize_bmp_variant_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "payload": pdf["doc_id"].map(
+                    lambda d: synthesize_bmp_variant(int(d))
+                ),
+            }
+        )
+
+
+def _decode_dhash_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, ws, hs, ph, ps = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_bmp(bytes(payload))
+            ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            ph.append(dhash_rgb(w, h, rgb))
+            ps.append(sum(rgb))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "phash": pd.Series(ph, dtype="int64"),
+                "pixel_sum": pd.Series(ps, dtype="int64"),
+            }
+        )
+
+
+# The oracle recomputes luminance — hence the dHash — ARITHMETICALLY from
+# the generator's closed form; it never parses a container. Both sides
+# cluster on (phash, width, height), so a chance hash collision between
+# two base images would merge clusters identically on both engines.
+# n_variants counts distinct per-doc pixel sums (base_sum + 3*w*h*shift),
+# the same column the Spark side distinct-counts.
+_PHASH_ORACLE = f"""
+WITH grps AS (
+  SELECT DISTINCT doc_id % {_PHASH_GROUPS} AS grp FROM documents
+),
+dims AS (
+  SELECT grp, grp % 5 + 3 AS w, grp % 4 + 2 AS h FROM grps
+),
+lum AS (
+  SELECT grp, w, h, t.p AS p,
+         (grp * 17 + (3 * t.p) * 11) % {_PHASH_BASE_MOD}
+         + 2 * ((grp * 17 + (3 * t.p + 1) * 11) % {_PHASH_BASE_MOD})
+         + (grp * 17 + (3 * t.p + 2) * 11) % {_PHASH_BASE_MOD} AS luma
+  FROM dims, unnest(range(0, w * h)) AS t(p)
+),
+ghash AS (
+  SELECT a.grp, a.w, a.h,
+         coalesce(sum(
+           CASE WHEN a.luma < b.luma
+                THEN (CAST(1 AS BIGINT) << ((a.p // a.w) * (a.w - 1) + a.p % a.w))
+                ELSE 0 END
+         ), 0) AS phash
+  FROM lum a JOIN lum b ON a.grp = b.grp AND b.p = a.p + 1
+  WHERE a.p % a.w < a.w - 1
+  GROUP BY a.grp, a.w, a.h
+),
+gbase AS (
+  SELECT grp, sum((grp * 17 + t.i * 11) % {_PHASH_BASE_MOD}) AS base_sum
+  FROM dims, unnest(range(0, w * h * 3)) AS t(i)
+  GROUP BY grp
+),
+docs AS (
+  SELECT doc_id, doc_id % {_PHASH_GROUPS} AS grp FROM documents
+)
+SELECT CAST(phash AS BIGINT) AS phash,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       count(*) AS n_docs,
+       count(DISTINCT base_sum + 3 * w * h * ((doc_id * 7) % {_PHASH_SHIFTS}))
+         AS n_variants,
+       min(doc_id) AS min_doc_id,
+       CAST(sum(doc_id) AS BIGINT) AS doc_id_sum
+FROM docs
+JOIN ghash USING (grp)
+JOIN gbase USING (grp)
+GROUP BY phash, w, h
+ORDER BY min_doc_id
+"""
+
+
+@register("multimodal_phash_dedup", oracle=_PHASH_ORACLE, tags=("llm", "multimodal", "dedup"))
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE dedup over really-decoded pixels: each doc
+    carries a 24-bit BMP that is a brightness-shifted variant of one of
+    37 planted base images; the generic `decode_bmp` parser (padding /
+    bottom-up / BGR normalization) feeds a difference hash (dHash —
+    adjacent-luminance comparison bits), and clustering on
+    (phash, width, height) recovers the planted groups even though every
+    payload's raw bytes — and exact hashes — are distinct. This is the
+    multimodal member of the dedup family: the perceptual analogue of
+    `dedup_simhash`, running on decoded pixels instead of tokens, and
+    the standard first pass over a 100 TB image corpus (CC-style pools
+    are ~40% near-dup frames/resizes/brightness variants).
+
+    The DuckDB oracle recomputes luminance and the packed hash
+    arithmetically from the generator's closed form — any decoder or
+    hash bug (channel order, row flip, bit position, strict-vs-lax
+    comparison) shifts phash and surfaces as a value mismatch.
+
+    Scale shape: two map-only Arrow stages (synthesize ~ object-storage
+    read, decode+hash); payloads are projected away before the single
+    hash-keyed exchange, so only (doc_id, dims, 2 longs) shuffle — the
+    same payload-never-shuffles rule as every multimodal query. dHash
+    buckets are bounded by the 64-bit hash space; a hot bucket IS a
+    duplicate cluster, which downstream keeps-one-per-cluster sampling
+    (`dedup_provenance_best`) consumes directly."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select("doc_id").mapInPandas(
+        _synthesize_bmp_variant_batches, schema="doc_id long, payload binary"
+    )
+    hashed = payloads.mapInPandas(
+        _decode_dhash_batches,
+        schema="doc_id long, width int, height int, phash long, pixel_sum long",
+    )
+    return (
+        hashed.groupBy("phash", "width", "height")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("pixel_sum").alias("n_variants"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.sum("doc_id").alias("doc_id_sum"),
+        )
+        .orderBy("min_doc_id")
     )

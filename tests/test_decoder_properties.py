@@ -183,3 +183,59 @@ def test_bpe_string_replace_equals_greedy_list_merge(tokens, pair):
     merged = s.replace(f"[{a}][{b}]", f"[{a}{b}]")
     via_string = merged[1:-1].split("][")
     assert via_string == _greedy_merge(tokens, a, b)
+
+
+@given(
+    w=st.integers(min_value=2, max_value=8),
+    h=st.integers(min_value=1, max_value=6),
+    data=st.data(),
+    shift=st.integers(min_value=0, max_value=40),
+)
+@_settings
+def test_dhash_invariant_under_brightness_shift(w, h, data, shift):
+    """dHash's defining property — the reason `multimodal_phash_dedup`
+    clusters brightness variants: adding a constant to every byte (no
+    wraparound) preserves every pairwise luminance comparison, so the
+    hash is unchanged for ANY base image, not just the planted ones."""
+    from mini_hive_server_spark.operators.multimodal import dhash_rgb
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 215), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    shifted = bytes(v + shift for v in rgb)
+    assert dhash_rgb(w, h, rgb) == dhash_rgb(w, h, shifted)
+
+
+def test_dhash_survives_container_roundtrip_and_separates_groups():
+    """The planted-variant generator → generic BMP parse → dHash chain
+    must (a) yield the hash of the closed-form pixel stream (container
+    normalization loses nothing), (b) collapse every brightness variant
+    of one base image to one hash, and (c) keep distinct base images
+    apart (the fixture's 37 bases produce 37 distinct (hash, dims)
+    keys — verified exhaustively, not probabilistically)."""
+    from mini_hive_server_spark.operators.multimodal import (
+        _PHASH_BASE_MOD,
+        _PHASH_GROUPS,
+        _phash_group_dims,
+        decode_bmp,
+        dhash_rgb,
+        synthesize_bmp_variant,
+    )
+
+    keys = {}
+    for doc_id in range(3 * _PHASH_GROUPS):
+        w, h, rgb = decode_bmp(synthesize_bmp_variant(doc_id))
+        grp = doc_id % _PHASH_GROUPS
+        assert (w, h) == _phash_group_dims(grp)
+        base = bytes(
+            (grp * 17 + i * 11) % _PHASH_BASE_MOD for i in range(w * h * 3)
+        )
+        code = dhash_rgb(w, h, rgb)
+        assert code == dhash_rgb(w, h, base), doc_id  # (a) + (b)
+        keys.setdefault(grp, (code, w, h))
+        assert keys[grp] == (code, w, h), doc_id  # (b) across variants
+    assert len(set(keys.values())) == _PHASH_GROUPS  # (c)
