@@ -80,6 +80,11 @@ EXTENDED = (
     "graph_connected_components",
     "corpus_dsir_selection",
     "mv_incremental_refresh",
+    # Round-7 final additions: the degree-peeling fixpoint (like CC, its
+    # sf0.1 wall time is per-round scheduling, not data volume) and the
+    # decoded-pixel perceptual dedup (two Arrow map stages + one 37-key agg)
+    "graph_kcore_decomposition",
+    "multimodal_phash_dedup",
 )
 
 HEADLINE = HEADLINE10 + EXTENDED
