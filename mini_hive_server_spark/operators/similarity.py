@@ -1540,3 +1540,166 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# ----------------------------- MMR diversity re-rank (retrieval 2nd stage)
+
+_MMR_K = 8  # results to select
+_MMR_POOL = 64  # relevance-ranked candidate pool the re-rank runs over
+_MMR_Q = 1000  # quantization scale: floor(x*1000 + 0.5) -> bigint
+_MMR_QUERY_ID = 0  # the query vector
+# score = 7*rel - 3*maxsim, i.e. lambda = 0.7 scaled by 10 so every
+# comparison the argmax makes is INTEGER arithmetic on both engines
+_MMR_LAM, _MMR_DIV = 7, 3
+
+_MMR_QV = (
+    "transform(cast(embedding as array<double>), "
+    f"x -> CAST(floor(x * {_MMR_Q}.0D + 0.5D) AS BIGINT))"
+)
+_DOT_L = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR: step k scores every not-yet-picked pool
+    member as lam*rel - div*max(similarity to the picked set) and takes
+    the argmax (ties on vec_id). All similarities are integer dot
+    products of floor(x*Q + 0.5)-quantized vectors — floor(+0.5) is the
+    same IEEE op in both engines (the money-fold trick), and the dots
+    (<= 64 * 526^2) are exact in BIGINT and DOUBLE alike, so the greedy
+    argmax trajectory is bit-reproducible, not tolerance-matched.
+    MATERIALIZED CTEs keep DuckDB from exponentially inlining the
+    step recurrence (the `_kcore_oracle` lesson)."""
+    steps = "".join(
+        f""",
+m{k} AS MATERIALIZED (
+  SELECT c.vec_id, c.rel, max(p.dot) AS maxsim
+  FROM pool c JOIN pairs p ON p.a = c.vec_id
+  WHERE p.b IN (SELECT vec_id FROM sel{k - 1})
+    AND c.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+  GROUP BY c.vec_id, c.rel
+),
+pick{k} AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(maxsim AS BIGINT) AS maxsim,
+         CAST({_MMR_LAM} * rel - {_MMR_DIV} * maxsim AS BIGINT) AS score,
+         {k} AS pick_order
+  FROM m{k} ORDER BY score DESC, vec_id LIMIT 1
+),
+sel{k} AS MATERIALIZED (
+  SELECT * FROM sel{k - 1} UNION ALL SELECT * FROM pick{k}
+)"""
+        for k in range(2, _MMR_K + 1)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_MMR_Q}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qvec AS MATERIALIZED (SELECT qv FROM base WHERE vec_id = {_MMR_QUERY_ID}),
+rel AS MATERIALIZED (
+  SELECT b.vec_id, CAST(list_dot_product(b.qv, q.qv) AS BIGINT) AS rel, b.qv
+  FROM base b, qvec q WHERE b.vec_id != {_MMR_QUERY_ID}
+),
+pool AS MATERIALIZED (
+  SELECT vec_id, rel, qv FROM rel ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}
+),
+pairs AS MATERIALIZED (
+  SELECT a.vec_id AS a, b.vec_id AS b,
+         CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+  FROM pool a JOIN pool b ON a.vec_id != b.vec_id
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+         CAST({_MMR_LAM} * rel AS BIGINT) AS score, 1 AS pick_order
+  FROM pool ORDER BY rel DESC, vec_id LIMIT 1
+){steps}
+SELECT CAST(pick_order AS INTEGER) AS pick_order, vec_id, rel, maxsim, score
+FROM sel{_MMR_K}
+ORDER BY pick_order
+"""
+
+
+@register("retrieval_mmr_diverse", oracle=_mmr_oracle(), tags=("llm", "similarity", "retrieval", "iterative"))
+def retrieval_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diversity
+    re-rank — the second retrieval stage RAG pipelines run after ANN:
+    greedily pick k results maximizing lam*relevance minus
+    (1-lam)*max-similarity-to-already-picked, so near-duplicate hits
+    (which embedding corpora are full of — see `dedup_semantic_clusters`)
+    don't crowd out coverage. Next to `retrieval_rrf_hybrid` (fusion
+    ACROSS rankers) this is diversification WITHIN one ranker.
+
+    Exactness: vectors are quantized via floor(x*1000 + 0.5) (identical
+    IEEE op both engines) and lambda=0.7 is carried as the integer pair
+    (7, 3), so every argmax comparison is exact integer arithmetic — the
+    greedy trajectory is reproducible, never a float-tie coin flip.
+
+    Scale shape: the relevance pass is the expensive part — map-only
+    broadcast-query dot products + TakeOrderedAndProject into a
+    64-candidate pool (the ANN tiers feed this pool at 100 TB; re-rank
+    cost is O(pool * k) regardless of corpus size). Each of the k greedy
+    steps is one bounded job over the persisted pool: maxsim is a
+    GREATEST over <= k-1 literal-vector dot expressions (no join, no
+    BNLJ), argmax is TakeOrderedAndProject(1), and the picked row's
+    quantized vector (64 ints) is the only thing the driver ever holds —
+    the `graph_pagerank_converged` bounded-scalar pattern."""
+    from ..persistence import tracked_persist
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select("vec_id", F.expr(_MMR_QV).alias("qv"))
+    q = base.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("qv").alias("q_qv")
+    )
+    rel = (
+        base.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.expr(_DOT_L.format(a="qv", b="q_qv")).alias("rel"),
+            "qv",
+        )
+    )
+    pool = tracked_persist(
+        rel.orderBy(F.col("rel").desc(), "vec_id").limit(_MMR_POOL)
+    )
+
+    def _lit_vec(vals: list[int]):
+        return F.array(*[F.lit(int(v)) for v in vals])
+
+    picks: list[tuple] = []
+    picked_vecs: list[list[int]] = []
+    for step in range(1, _MMR_K + 1):
+        cand = pool.filter(~F.col("vec_id").isin([p[1] for p in picks]))
+        if picked_vecs:
+            dots = [
+                F.expr(_DOT_L.format(a="qv", b=f"sel_{i}")).alias(f"d_{i}")
+                for i in range(len(picked_vecs))
+            ]
+            for i, v in enumerate(picked_vecs):
+                cand = cand.withColumn(f"sel_{i}", _lit_vec(v))
+            maxsim = (
+                F.greatest(*dots) if len(dots) > 1 else dots[0]
+            )
+        else:
+            maxsim = F.lit(0).cast("long")
+        scored = cand.select(
+            "vec_id",
+            "rel",
+            maxsim.alias("maxsim"),
+            (
+                F.lit(_MMR_LAM) * F.col("rel")
+                - F.lit(_MMR_DIV) * maxsim
+            ).alias("score"),
+            "qv",
+        )
+        top = (
+            scored.orderBy(F.col("score").desc(), "vec_id").limit(1).first()
+        )
+        picks.append((step, top["vec_id"], top["rel"], top["maxsim"], top["score"]))
+        picked_vecs.append(list(top["qv"]))
+
+    return spark.createDataFrame(
+        picks,
+        "pick_order int, vec_id long, rel long, maxsim long, score long",
+    ).orderBy("pick_order")

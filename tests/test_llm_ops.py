@@ -529,3 +529,62 @@ def test_minmax_mv_refresh_edge_cases(spark):
     assert got["dupmin"] == (2, 5, 9, True)      # conservative recompute
     assert got["new"][3] is False                # clean path from nulls
     assert got["uniqmax"] == (1, 1, 1, True)     # extreme moved
+
+
+def test_mmr_first_pick_is_argmax_and_selection_diversifies(spark):
+    """Semantic pins for `retrieval_mmr_diverse` beyond the oracle replay:
+    (a) pick 1 is the plain relevance argmax (maxsim has nothing to
+    penalize yet), (b) the greedy actually changes the selection vs the
+    relevance top-k on the fixture, and (c) the point of the operator —
+    the MMR set's mean pairwise similarity is strictly below the
+    relevance top-k's (measured: ~42k vs ~80k at sf0.001)."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark import registry
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.similarity import (
+        _MMR_K,
+        _MMR_QUERY_ID,
+        _MMR_QV,
+        _DOT_L,
+    )
+
+    rows = registry.queries()["retrieval_mmr_diverse"](spark, SF_SMOKE).collect()
+    assert [r["pick_order"] for r in rows] == list(range(1, _MMR_K + 1))
+    mmr_ids = [r["vec_id"] for r in rows]
+
+    base = (
+        load_tables(spark, SF_SMOKE)["embeddings"]
+        .select("vec_id", F.expr(_MMR_QV).alias("qv"))
+    )
+    q = base.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("qv").alias("q_qv")
+    )
+    rel_top = (
+        base.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.expr(_DOT_L.format(a="qv", b="q_qv")).alias("rel"))
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(_MMR_K)
+        .collect()
+    )
+    rel_ids = [r["vec_id"] for r in rel_top]
+    assert mmr_ids[0] == rel_ids[0]  # (a)
+    assert set(mmr_ids) != set(rel_ids)  # (b)
+
+    vecs = {
+        r["vec_id"]: r["qv"]
+        for r in base.filter(
+            F.col("vec_id").isin(list(set(mmr_ids) | set(rel_ids)))
+        ).collect()
+    }
+
+    def mean_pair_sim(ids):
+        dots = [
+            sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            for i, a in enumerate(ids)
+            for b in ids[i + 1 :]
+        ]
+        return sum(dots) / len(dots)
+
+    assert mean_pair_sim(mmr_ids) < mean_pair_sim(rel_ids)  # (c)

@@ -62,6 +62,7 @@ _BNLJ_BOUNDED = {
     "orders_winsorized_stats",  # 1-row p01/p99 cut-points crossed
     "events_key_skew_report",  # bucket rows x 1-row skew summary
     "retrieval_rrf_hybrid",  # 1-row corpus stats + 1-row query vector crossed
+    "retrieval_mmr_diverse",  # 1-row query vector crossed; pool bounded at 64
     "orders_sen_trend",  # month-series self-pairing (calendar-bounded) + 1-row count
     "events_abtest_ks",  # CDF rows x 1-row arm totals crossed
     "events_proportion_ztest",  # two 1-row cohort aggregates crossed
