@@ -3798,3 +3798,117 @@ def orders_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round((w2 - w1) * r1, 4).alias("mix_effect"),
         F.round(w2 * (r2 - r1), 4).alias("rate_effect"),
     ).orderBy("segment")
+
+
+# ------------------------------------------- WOE / IV supervised binning
+
+_WOE_IV_ORACLE = """
+WITH ret AS (
+  SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+),
+lab AS (
+  SELECT CAST(floor(log2(o_totalprice)) AS BIGINT) AS bin,
+         CASE WHEN r.l_orderkey IS NULL THEN 0 ELSE 1 END AS bad
+  FROM orders o LEFT JOIN ret r ON o.o_orderkey = r.l_orderkey
+  WHERE o_totalprice > 0
+),
+tot AS (
+  SELECT CAST(sum(bad) AS BIGINT) AS bad_tot,
+         CAST(count(*) - sum(bad) AS BIGINT) AS good_tot
+  FROM lab
+),
+b AS (
+  SELECT bin, count(*) AS n_orders, CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM lab GROUP BY bin
+)
+SELECT bin, n_orders, n_bad,
+       CAST(n_orders - n_bad AS BIGINT) AS n_good,
+       round(ln(
+         CAST((2 * n_bad + 1) * (good_tot + 1) AS DOUBLE)
+         / CAST((2 * (n_orders - n_bad) + 1) * (bad_tot + 1) AS DOUBLE)
+       ), 6) AS woe,
+       round((
+         CAST(2 * n_bad + 1 AS DOUBLE) / CAST(2 * bad_tot + 2 AS DOUBLE)
+         - CAST(2 * (n_orders - n_bad) + 1 AS DOUBLE)
+           / CAST(2 * good_tot + 2 AS DOUBLE)
+       ) * ln(
+         CAST((2 * n_bad + 1) * (good_tot + 1) AS DOUBLE)
+         / CAST((2 * (n_orders - n_bad) + 1) * (bad_tot + 1) AS DOUBLE)
+       ), 6) AS iv_contrib
+FROM b, tot
+ORDER BY bin
+"""
+
+
+@register("orders_woe_iv_binning", oracle=_WOE_IV_ORACLE, tags=("stats", "pipeline"))
+def orders_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-Evidence / Information-Value supervised binning — the
+    classic feature-prep primitive for scoring models (and the
+    feature-vs-label diagnostic quality-classifier pipelines run before
+    training, next to `classifier_pr_auc` which evaluates after): bucket
+    order value into log2 bins, label each order by whether any line
+    came back ('R' returnflag), and score each bin's class separation as
+    WOE = ln(bad_frac/good_frac) with Laplace (+0.5) smoothing; the
+    per-bin IV contribution (bad_frac - good_frac)*WOE sums to the
+    feature's information value.
+
+    Exactness: the smoothed ratio is carried as ONE division of two
+    exact integer products — ln((2b+1)(G+1) / ((2g+1)(B+1))) — so both
+    engines feed ln the bit-identical double and round(6) closes the
+    last-ulp gap (the money-fold discipline applied to odds ratios).
+
+    Scale shape: label assignment is one key-partitioned left join
+    against the distinct returned-order set (semi-join-sized build),
+    binning is a map-side floor(log2), then one partial-agg'd groupBy to
+    ~a dozen bin rows crossed with the 1-row class totals — the
+    `orders_value_histogram` plan with a supervised label attached. At
+    100 TB everything SF-proportional flows through exactly one
+    hash-partitioned join + one agg; the WOE math happens on bin-count
+    rows."""
+    t = load_tables(spark, sf_dir)
+    ret = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+        .distinct()
+        .withColumn("is_ret", F.lit(1))
+    )
+    lab = (
+        t["orders"]
+        .filter(F.col("o_totalprice") > 0)
+        .join(ret, "o_orderkey", "left")
+        .select(
+            F.floor(F.log2("o_totalprice")).cast("bigint").alias("bin"),
+            F.coalesce(F.col("is_ret"), F.lit(0)).alias("bad"),
+        )
+    )
+    tot = lab.agg(
+        F.sum("bad").cast("bigint").alias("bad_tot"),
+        (F.count(F.lit(1)) - F.sum("bad")).cast("bigint").alias("good_tot"),
+    )
+    b = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("bad").cast("bigint").alias("n_bad"),
+    )
+    n_good = F.col("n_orders") - F.col("n_bad")
+    odds_num = ((2 * F.col("n_bad") + 1) * (F.col("good_tot") + 1)).cast("double")
+    odds_den = ((2 * n_good + 1) * (F.col("bad_tot") + 1)).cast("double")
+    ln_odds = F.log(odds_num / odds_den)
+    bad_frac = (2 * F.col("n_bad") + 1).cast("double") / (
+        2 * F.col("bad_tot") + 2
+    ).cast("double")
+    good_frac = (2 * n_good + 1).cast("double") / (
+        2 * F.col("good_tot") + 2
+    ).cast("double")
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_orders",
+            "n_bad",
+            n_good.cast("bigint").alias("n_good"),
+            F.round(ln_odds, 6).alias("woe"),
+            F.round((bad_frac - good_frac) * ln_odds, 6).alias("iv_contrib"),
+        )
+        .orderBy("bin")
+    )

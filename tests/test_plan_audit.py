@@ -73,6 +73,7 @@ _BNLJ_BOUNDED = {
     "text_pmi_collocations",  # 1-row corpus-token total crossed
     "orders_abc_analysis",  # 1-row grand revenue total crossed
     "orders_value_psi",  # bounded log-bin rows x 1-row totals crossed
+    "orders_woe_iv_binning",  # bounded log-bin rows x 1-row class totals crossed
     "embedding_pca_power",  # d^2 covariance cells x 1-row n/scale/max crossed
     "lineitem_weighted_median",  # 1-row grand weight crossed
 
