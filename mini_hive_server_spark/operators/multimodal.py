@@ -1000,3 +1000,127 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("min_doc_id")
     )
+
+
+# ----------------------------- executed nearest-neighbor thumbnail resize
+
+_THUMB_W, _THUMB_H = 2, 2  # <= every fixture dim (w 3-7, h 2-5)
+
+
+def resize_nn(w: int, h: int, rgb: bytes, tw: int, th: int) -> bytes:
+    """Nearest-neighbor resample of a top-down row-major RGB stream —
+    the real spatial transform a thumbnail/tiling stage runs after
+    decode (floor(X*w/tw) source mapping, the standard NN convention).
+    Pure integer arithmetic, so the oracle can replay the sampling
+    positions exactly."""
+    out = bytearray(tw * th * 3)
+    for y in range(th):
+        sy = y * h // th
+        for x in range(tw):
+            sx = x * w // tw
+            so = (sy * w + sx) * 3
+            do = (y * tw + x) * 3
+            out[do : do + 3] = rgb[so : so + 3]
+    return bytes(out)
+
+
+def _decode_thumbnail_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, ws, hs, ts, tws, dh = [], [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_bmp(bytes(payload))
+            thumb = resize_nn(w, h, rgb, _THUMB_W, _THUMB_H)
+            ids.append(doc_id)
+            ws.append(w)
+            hs.append(h)
+            ts.append(sum(thumb))
+            tws.append(sum((j + 1) * v for j, v in enumerate(thumb)))
+            dh.append(dhash_rgb(_THUMB_W, _THUMB_H, thumb))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "width": pd.Series(ws, dtype="int32"),
+                "height": pd.Series(hs, dtype="int32"),
+                "thumb_sum": pd.Series(ts, dtype="int64"),
+                "thumb_weighted": pd.Series(tws, dtype="int64"),
+                "thumb_dhash": pd.Series(dh, dtype="int64"),
+            }
+        )
+
+
+# Replays decode + NN sampling arithmetically: thumb byte j maps to
+# source byte 3*((Y*h//2)*w + X*w//2) + c of the closed-form stream.
+# The dHash of the 2x2 thumbnail ((w-1)*h = 2 bits) pins the luma
+# weighting and bit layout through a second, independent reduction.
+_THUMB_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 4 + 2 AS h FROM documents
+),
+tb AS (
+  SELECT doc_id, w, h, t.j AS j,
+         (t.j // 6) AS ty, (t.j // 3) % 2 AS tx, t.j % 3 AS c
+  FROM dims, unnest(range(0, {_THUMB_W * _THUMB_H * 3})) AS t(j)
+),
+v AS (
+  SELECT doc_id, w, h, j, ty, tx, c,
+         (doc_id * 31
+          + (3 * ((ty * h // {_THUMB_H}) * w + tx * w // {_THUMB_W}) + c) * 7
+         ) % {_BMP_MOD} AS val
+  FROM tb
+),
+lum AS (
+  SELECT doc_id, ty, tx,
+         sum(val * CASE c WHEN 1 THEN 2 ELSE 1 END) AS luma
+  FROM v GROUP BY doc_id, ty, tx
+),
+dh AS (
+  SELECT a.doc_id,
+         CAST(sum(CASE WHEN a.luma < b.luma
+                       THEN (CAST(1 AS BIGINT) << a.ty) ELSE 0 END)
+              AS BIGINT) AS thumb_dhash
+  FROM lum a JOIN lum b
+    ON a.doc_id = b.doc_id AND a.ty = b.ty AND a.tx = 0 AND b.tx = 1
+  GROUP BY a.doc_id
+)
+SELECT v.doc_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(sum(val) AS BIGINT) AS thumb_sum,
+       CAST(sum((j + 1) * val) AS BIGINT) AS thumb_weighted,
+       CAST(min(thumb_dhash) AS BIGINT) AS thumb_dhash
+FROM v JOIN dh ON v.doc_id = dh.doc_id
+GROUP BY v.doc_id, w, h
+ORDER BY v.doc_id
+"""
+
+
+@register("multimodal_bmp_thumbnail", oracle=_THUMB_ORACLE, tags=("llm", "multimodal"))
+def multimodal_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decode → spatial-transform → feature chain executed for real:
+    container parse (`decode_bmp`), nearest-neighbor 2x2 thumbnail
+    (`resize_nn` — integer floor(X*w/tw) sampling), then checksums AND a
+    dHash of the thumbnail, all inside one Arrow batch stage. The oracle
+    replays the sampling-position arithmetic from the generator's closed
+    form, so an off-by-one in the NN mapping (ceil vs floor, center vs
+    corner convention) or in the thumbnail's byte order shifts
+    thumb_weighted; the 2-bit dHash independently pins the luma
+    weighting. This is the `multimodal_resize` plumbing upgraded to an
+    executed kernel — the resize the metadata-only tier plans is here
+    performed on real decoded pixels.
+
+    Scale shape: identical to the other decode paths — two chained
+    map-only Arrow stages, payloads never shuffle, the presentation sort
+    is the only exchange."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select("doc_id").mapInPandas(
+        _synthesize_bmp_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _decode_thumbnail_batches,
+        schema=(
+            "doc_id long, width int, height int, thumb_sum long, "
+            "thumb_weighted long, thumb_dhash long"
+        ),
+    ).orderBy("doc_id")

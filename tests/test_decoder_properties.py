@@ -239,3 +239,36 @@ def test_dhash_survives_container_roundtrip_and_separates_groups():
         keys.setdefault(grp, (code, w, h))
         assert keys[grp] == (code, w, h), doc_id  # (b) across variants
     assert len(set(keys.values())) == _PHASH_GROUPS  # (c)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=7),
+    data=st.data(),
+)
+@_settings
+def test_resize_nn_identity_and_corner_anchoring(w, h, data):
+    """Nearest-neighbor resample: same-size resize is the identity (the
+    floor mapping hits every source pixel exactly once), and the (0,0)
+    output pixel is always the (0,0) source pixel (corner convention —
+    the property an off-by-one or center-offset bug breaks first).
+    Downscale outputs must each equal SOME source pixel verbatim (NN
+    never synthesizes values)."""
+    from mini_hive_server_spark.operators.multimodal import resize_nn
+
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    assert resize_nn(w, h, rgb, w, h) == rgb
+    tw = data.draw(st.integers(1, w))
+    th = data.draw(st.integers(1, h))
+    out = resize_nn(w, h, rgb, tw, th)
+    assert len(out) == tw * th * 3
+    assert out[0:3] == rgb[0:3]
+    src_pixels = {rgb[i : i + 3] for i in range(0, len(rgb), 3)}
+    for i in range(0, len(out), 3):
+        assert out[i : i + 3] in src_pixels
