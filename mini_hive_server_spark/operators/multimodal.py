@@ -1124,3 +1124,127 @@ def multimodal_bmp_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "thumb_weighted long, thumb_dhash long"
         ),
     ).orderBy("doc_id")
+
+
+# ------------------------ executed audio energy segmentation (VAD-style)
+
+_SEG_FRAME = 10  # samples per analysis frame
+
+
+def segment_energy(samples: list[int], frame: int = _SEG_FRAME):
+    """Energy-based activity segmentation over decoded PCM samples — the
+    voice-activity-style chunking an audio pipeline runs to split a
+    recording before transcription/embedding. A frame is ACTIVE when its
+    energy exceeds the file's mean frame energy, compared in exact
+    integer cross-multiplied form (e * n_frames > total_e) so the
+    decision replays identically in SQL; a segment is a maximal run of
+    active frames. Partial tail frames are dropped (n // frame full
+    frames)."""
+    n_frames = len(samples) // frame
+    energies = [
+        sum(v * v for v in samples[f * frame : (f + 1) * frame])
+        for f in range(n_frames)
+    ]
+    total = sum(energies)
+    active = [e * n_frames > total for e in energies]
+    n_segments = sum(
+        1 for f, a in enumerate(active) if a and (f == 0 or not active[f - 1])
+    )
+    return n_frames, sum(active), n_segments, total
+
+
+def _decode_segment_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        ids, nf, na, ns, es = [], [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _rate, samples = decode_wav_pcm16(bytes(payload))
+            f, a, s, e = segment_energy(samples)
+            ids.append(doc_id)
+            nf.append(f)
+            na.append(a)
+            ns.append(s)
+            es.append(e)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_frames": pd.Series(nf, dtype="int32"),
+                "n_active": pd.Series(na, dtype="int32"),
+                "n_segments": pd.Series(ns, dtype="int32"),
+                "energy_sum": pd.Series(es, dtype="int64"),
+            }
+        )
+
+
+# Frame energies are exact integer sums of squares (<= 10 * 2048^2), the
+# active test is cross-multiplied (no division), and run-starts replay
+# via lag() — every decision the kernel makes is recomputed from the
+# sample closed form, never from the container.
+_SEGMENT_ORACLE = f"""
+WITH params AS (
+  SELECT doc_id, doc_id % 50 + 20 AS n FROM documents
+),
+s AS (
+  SELECT doc_id, n, t.i // {_SEG_FRAME} AS f,
+         (doc_id * 13 + t.i * 5) % {_WAV_SAMPLE_MOD}
+           - {_WAV_SAMPLE_MOD // 2} AS v
+  FROM params, unnest(range(0, (n // {_SEG_FRAME}) * {_SEG_FRAME})) AS t(i)
+),
+fe AS (
+  SELECT doc_id, f, CAST(sum(v * v) AS BIGINT) AS e
+  FROM s GROUP BY doc_id, f
+),
+tot AS (
+  SELECT doc_id, CAST(sum(e) AS BIGINT) AS total_e,
+         CAST(count(*) AS BIGINT) AS n_frames
+  FROM fe GROUP BY doc_id
+),
+act AS (
+  SELECT fe.doc_id, fe.f,
+         CASE WHEN fe.e * tot.n_frames > tot.total_e THEN 1 ELSE 0 END AS a
+  FROM fe JOIN tot ON fe.doc_id = tot.doc_id
+),
+runs AS (
+  SELECT doc_id, a,
+         CASE WHEN a = 1 AND coalesce(
+           lag(a) OVER (PARTITION BY doc_id ORDER BY f), 0) = 0
+         THEN 1 ELSE 0 END AS seg_start
+  FROM act
+)
+SELECT tot.doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(coalesce(sum(a), 0) AS INTEGER) AS n_active,
+       CAST(coalesce(sum(seg_start), 0) AS INTEGER) AS n_segments,
+       total_e AS energy_sum
+FROM tot LEFT JOIN runs ON tot.doc_id = runs.doc_id
+GROUP BY tot.doc_id, n_frames, total_e
+ORDER BY tot.doc_id
+"""
+
+
+@register("multimodal_audio_segments", oracle=_SEGMENT_ORACLE, tags=("llm", "multimodal"))
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The executed audio chain: RIFF chunk walk (`decode_wav_pcm16`),
+    10-sample frame energies, mean-relative activity test, and maximal
+    active-run segmentation — the decode → analyze → segment pass that
+    decides where a 100 TB audio corpus gets split before transcription
+    (the real counterpart of `multimodal_audio_chunks`, which plans
+    fixed-duration chunks from metadata alone). Every decision is
+    integer-exact (energies are sums of squares, the threshold is
+    cross-multiplied), so the oracle replays frame energies AND the
+    run-detection lag() from the closed form.
+
+    Scale shape: two chained map-only Arrow stages; per item the kernel
+    is O(samples) with a 5-number output row, payloads never shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select("doc_id").mapInPandas(
+        _synthesize_wav_batches, schema="doc_id long, payload binary"
+    )
+    return payloads.mapInPandas(
+        _decode_segment_batches,
+        schema=(
+            "doc_id long, n_frames int, n_active int, "
+            "n_segments int, energy_sum long"
+        ),
+    ).orderBy("doc_id")

@@ -272,3 +272,29 @@ def test_resize_nn_identity_and_corner_anchoring(w, h, data):
     src_pixels = {rgb[i : i + 3] for i in range(0, len(rgb), 3)}
     for i in range(0, len(out), 3):
         assert out[i : i + 3] in src_pixels
+
+
+@given(
+    samples=st.lists(st.integers(-2048, 2047), min_size=0, max_size=80),
+)
+@_settings
+def test_segment_energy_invariants(samples):
+    """Activity segmentation invariants for arbitrary PCM: active count
+    never exceeds frames, segments never exceed active frames (a run
+    needs at least one), all-equal-energy inputs have ZERO active frames
+    (nothing is strictly above the mean — the tie convention the oracle's
+    cross-multiplied test encodes), and sign-flipping the waveform
+    changes nothing (energy is even)."""
+    from mini_hive_server_spark.operators.multimodal import segment_energy
+
+    nf, na, ns, tot = segment_energy(samples)
+    assert nf == len(samples) // 10
+    assert 0 <= ns <= na <= nf
+    assert tot == sum(
+        v * v for v in samples[: nf * 10]
+    )
+    flipped = [-v if v != -2048 else v for v in samples]
+    if flipped == [-v for v in samples]:
+        assert segment_energy(flipped) == (nf, na, ns, tot)
+    const = [7] * len(samples)
+    assert segment_energy(const)[1] == 0
