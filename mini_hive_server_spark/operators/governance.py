@@ -506,3 +506,117 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_pow2")
     )
+
+
+# ------------------------------------------------------ l-diversity census
+
+_L_DIV = 3
+
+_L_DIV_ORACLE = f"""
+WITH sens AS (
+  SELECT c_mktsegment,
+         n.n_name AS nation,
+         CASE WHEN c_acctbal < 0 THEN 'debt'
+              WHEN c_acctbal < 3000 THEN 'low'
+              WHEN c_acctbal < 7000 THEN 'mid'
+              ELSE 'high' END AS sensitive
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cell AS (
+  SELECT c_mktsegment, nation, sensitive, count(*) AS n
+  FROM sens GROUP BY 1, 2, 3
+),
+eq AS (
+  SELECT c_mktsegment, nation,
+         count(*) AS l_distinct,
+         CAST(sum(n) AS BIGINT) AS class_size,
+         CAST(max(n) AS BIGINT) AS top_freq
+  FROM cell GROUP BY 1, 2
+)
+SELECT l_distinct,
+       count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       count(*) FILTER (WHERE l_distinct < {_L_DIV}) AS n_violating_classes,
+       CAST(coalesce(sum(class_size) FILTER (WHERE l_distinct < {_L_DIV}), 0)
+            AS BIGINT) AS n_exposed_rows,
+       round(max(CAST(top_freq AS DOUBLE) / CAST(class_size AS DOUBLE)), 6)
+         AS max_homogeneity
+FROM eq
+GROUP BY l_distinct
+ORDER BY l_distinct
+"""
+
+
+@register("privacy_l_diversity", oracle=_L_DIV_ORACLE, tags=("governance", "privacy", "agg"))
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity census (Machanavajjhala et al. 2007) — the attack
+    k-anonymity misses: a class can hold >= k rows yet expose everyone
+    if they all share one SENSITIVE value (homogeneity attack). Over the
+    same (market segment, nation) quasi-identifier pair as
+    `privacy_k_anonymity`, with account-balance band as the sensitive
+    attribute: per equivalence class, count distinct sensitive values
+    (the class's l) and its dominant-value share; the census buckets
+    classes by l with violation counts at l=3 and the worst homogeneity
+    ratio per bucket (1.0 = a fully homogeneous class — re-identification
+    without even singling the row out). Fourth leg of the governance
+    stand after k-anonymity, DP release, and PII scrub.
+
+    Plan: one broadcast dimension join, then a two-level aggregation
+    tree — (qi-pair, sensitive) cells, folded to qi-pair classes, folded
+    to an l-histogram. The cell relation is bounded by
+    |segments| x |nations| x |bands|, so everything after the first
+    partial-agg'd exchange is constant-sized at any SF; the homogeneity
+    ratio divides two exact integers, rounded before output."""
+    t = load_tables(spark, sf_dir)
+    sens = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.when(F.col("c_acctbal") < 0, "debt")
+            .when(F.col("c_acctbal") < 3000, "low")
+            .when(F.col("c_acctbal") < 7000, "mid")
+            .otherwise("high")
+            .alias("sensitive"),
+        )
+    )
+    cell = sens.groupBy("c_mktsegment", "nation", "sensitive").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    eq = cell.groupBy("c_mktsegment", "nation").agg(
+        F.count(F.lit(1)).alias("l_distinct"),
+        F.sum("n").cast("bigint").alias("class_size"),
+        F.max("n").cast("bigint").alias("top_freq"),
+    )
+    return (
+        eq.groupBy("l_distinct")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col("l_distinct") < _L_DIV, 1).otherwise(0)
+            ).alias("n_violating_classes"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("l_distinct") < _L_DIV, F.col("class_size")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("n_exposed_rows"),
+            F.round(
+                F.max(
+                    F.col("top_freq").cast("double")
+                    / F.col("class_size").cast("double")
+                ),
+                6,
+            ).alias("max_homogeneity"),
+        )
+        .orderBy("l_distinct")
+    )
