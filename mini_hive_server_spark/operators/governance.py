@@ -620,3 +620,158 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_distinct")
     )
+
+
+# ----------------------------------------------------- t-closeness census
+
+_T_CLOSE_NUM, _T_CLOSE_DEN = 1, 4  # threshold t = 0.25
+
+_T_CLOSE_ORACLE = """
+WITH sens AS (
+  SELECT c_mktsegment, n.n_name AS nation,
+         CASE WHEN c_acctbal < 0 THEN 0
+              WHEN c_acctbal < 3000 THEN 1
+              WHEN c_acctbal < 7000 THEN 2
+              ELSE 3 END AS band
+  FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+cells AS (
+  SELECT c_mktsegment, nation, band, count(*) AS n
+  FROM sens GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT c_mktsegment, nation, CAST(count(*) AS BIGINT) AS class_size
+  FROM sens GROUP BY 1, 2
+),
+gband AS (
+  SELECT band, CAST(count(*) AS BIGINT) AS g FROM sens GROUP BY band
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sens),
+grid AS (
+  SELECT cl.c_mktsegment, cl.nation, cl.class_size, gl.band,
+         CAST(coalesce(ce.n, 0) AS BIGINT) * tot.total
+           - gl.g * cl.class_size AS num
+  FROM classes cl
+  CROSS JOIN gband gl
+  CROSS JOIN tot
+  LEFT JOIN cells ce
+    ON ce.c_mktsegment = cl.c_mktsegment AND ce.nation = cl.nation
+   AND ce.band = gl.band
+),
+cum AS (
+  SELECT c_mktsegment, nation, class_size, band,
+         sum(num) OVER (
+           PARTITION BY c_mktsegment, nation ORDER BY band
+         ) AS cum_num
+  FROM grid
+),
+t AS (
+  SELECT c_mktsegment, nation, class_size,
+         CAST(sum(abs(cum_num)) AS BIGINT) AS t_num
+  FROM cum GROUP BY 1, 2, 3
+)
+SELECT t.c_mktsegment, t.nation, t.class_size,
+       round(CAST(t_num AS DOUBLE)
+             / CAST(3 * class_size * tot.total AS DOUBLE), 6) AS t_closeness,
+       CASE WHEN 4 * t_num > 3 * class_size * tot.total
+            THEN 1 ELSE 0 END AS violates
+FROM t CROSS JOIN tot
+ORDER BY t.c_mktsegment, t.nation
+"""
+
+
+@register("privacy_t_closeness", oracle=_T_CLOSE_ORACLE, tags=("governance", "privacy", "agg"))
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li et al. 2007) — the attack l-diversity misses: a
+    class can hold many DISTINCT sensitive values yet still leak if its
+    distribution is skewed far from the table's (skewness attack). Per
+    (segment, nation) class, the Earth Mover's Distance between the
+    class's account-band distribution and the global one over the
+    ordered 4-band domain — EMD on an ordered domain is the mean of
+    absolute cumulative differences — flagged at t > 0.25. Completes the
+    quasi-identifier release gate: k-anonymity (size), l-diversity
+    (variety), t-closeness (distribution).
+
+    Exactness: each cumulative difference is carried as the integer
+    numerator n_j*total - g_j*size over the common denominator
+    size*total, so the EMD sum and the threshold test (cross-multiplied)
+    are exact integer arithmetic; the single division happens once,
+    rounded, at output.
+
+    Plan: one fact-table agg to dimension-bounded cells, a 4-row band
+    grid crossed with the class relation (both bounded), a partitioned
+    window for the cumulative walk, and 1-row total broadcasts — after
+    the first exchange nothing is SF-proportional."""
+    t = load_tables(spark, sf_dir)
+    sens = (
+        t["customer"]
+        .join(
+            F.broadcast(t["nation"].select("n_nationkey", "n_name")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("n_name").alias("nation"),
+            F.when(F.col("c_acctbal") < 0, 0)
+            .when(F.col("c_acctbal") < 3000, 1)
+            .when(F.col("c_acctbal") < 7000, 2)
+            .otherwise(3)
+            .alias("band"),
+        )
+    )
+    cells = sens.groupBy("c_mktsegment", "nation", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = sens.groupBy("c_mktsegment", "nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("class_size")
+    )
+    glob = sens.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("g"))
+    tot = sens.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    grid = (
+        classes.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["c_mktsegment", "nation", "band"], "left")
+        .select(
+            "c_mktsegment",
+            "nation",
+            "class_size",
+            "band",
+            "total",
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("bigint") * F.col("total")
+                - F.col("g") * F.col("class_size")
+            ).alias("num"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("c_mktsegment", "nation")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = grid.select(
+        "c_mktsegment",
+        "nation",
+        "class_size",
+        "total",
+        F.sum("num").over(w).alias("cum_num"),
+    )
+    tt = cum.groupBy("c_mktsegment", "nation", "class_size", "total").agg(
+        F.sum(F.abs(F.col("cum_num"))).cast("bigint").alias("t_num")
+    )
+    return tt.select(
+        "c_mktsegment",
+        "nation",
+        "class_size",
+        F.round(
+            F.col("t_num").cast("double")
+            / (3 * F.col("class_size") * F.col("total")).cast("double"),
+            6,
+        ).alias("t_closeness"),
+        F.when(
+            4 * F.col("t_num") > 3 * F.col("class_size") * F.col("total"), 1
+        )
+        .otherwise(0)
+        .alias("violates"),
+    ).orderBy("c_mktsegment", "nation")

@@ -74,6 +74,7 @@ _BNLJ_BOUNDED = {
     "orders_abc_analysis",  # 1-row grand revenue total crossed
     "orders_value_psi",  # bounded log-bin rows x 1-row totals crossed
     "orders_woe_iv_binning",  # bounded log-bin rows x 1-row class totals crossed
+    "privacy_t_closeness",  # 4 band rows + 1-row total crossed with bounded classes
     "embedding_pca_power",  # d^2 covariance cells x 1-row n/scale/max crossed
     "lineitem_weighted_median",  # 1-row grand weight crossed
 
