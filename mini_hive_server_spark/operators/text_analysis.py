@@ -1283,3 +1283,92 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term", "block")
     )
+
+
+# -------------------------------------------------- blocklist term screen
+
+# Literal multi-word phrases plus a control term that never occurs: the
+# zero row proves absent patterns surface as 0/0/0.0, not as a dropped
+# group.
+_BLOCKLIST = (
+    "fast table",
+    "scan slow",
+    "spark",
+    "window window",
+    "forbiddenterm",
+)
+
+
+def _occurrences(col: Column, pat: str) -> Column:
+    """Leftmost non-overlapping occurrence count via replace-length
+    arithmetic — exact integers, engine-identical (no regex dialect in
+    play). Patterns are chosen without quotes or regex metacharacters."""
+    return (
+        (F.length(col) - F.length(F.expr(f"replace(t, '{pat}', '')")))
+        / F.lit(len(pat))
+    ).cast("bigint")
+
+
+_BLOCKLIST_ORACLE = "WITH hits AS (" + " UNION ALL ".join(
+    f"""
+  SELECT '{p}' AS pattern,
+         CAST((length(text) - length(replace(text, '{p}', '')))
+              / {len(p)} AS BIGINT) AS occ
+  FROM documents"""
+    for p in _BLOCKLIST
+) + """
+)
+SELECT pattern,
+       count(*) FILTER (WHERE occ > 0) AS n_docs_hit,
+       CAST(sum(occ) AS BIGINT) AS total_occurrences,
+       round(CAST(count(*) FILTER (WHERE occ > 0) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS doc_share
+FROM hits
+GROUP BY pattern
+ORDER BY pattern
+"""
+
+
+@register("text_blocklist_screen", oracle=_BLOCKLIST_ORACLE, tags=("llm", "text", "curation"))
+def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pattern literal blocklist screen — the curation pass that
+    counts banned/boilerplate phrase occurrences across the corpus
+    before filtering (spam markers, license boilerplate, canary
+    strings). Occurrences are counted with replace-length arithmetic
+    (leftmost non-overlapping, exact integers — no regex dialect
+    differences to reconcile), and each doc emits one row per pattern
+    through a map-side posexplode of a bounded literal struct array —
+    a P-way scan fan-out with NO join, so at 100 TB the pass stays one
+    map stage plus a |patterns|-row aggregate. A never-occurring control
+    term pins the zero-hit row.
+
+    The per-pattern doc share feeds threshold decisions the way
+    `text_boilerplate_templates` feeds dedup: a phrase hitting 90% of
+    docs is boilerplate, one hitting 0.01% is a targeted blocklist
+    match."""
+    docs = load_tables(spark, sf_dir)["documents"].select(
+        F.col("text").alias("t")
+    )
+    structs = [
+        F.struct(
+            F.lit(p).alias("pattern"), _occurrences(F.col("t"), p).alias("occ")
+        )
+        for p in _BLOCKLIST
+    ]
+    return (
+        docs.select(F.explode(F.array(*structs)).alias("s"))
+        .select("s.pattern", "s.occ")
+        .groupBy("pattern")
+        .agg(
+            F.sum(F.when(F.col("occ") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_hit"),
+            F.sum("occ").cast("bigint").alias("total_occurrences"),
+            F.round(
+                F.sum(F.when(F.col("occ") > 0, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("doc_share"),
+        )
+        .orderBy("pattern")
+    )
