@@ -572,3 +572,44 @@ def test_temperature_mixture_window_is_partitioned_and_quota_broadcast(spark):
     assert not re.search(
         r"Exchange SinglePartition[\s\S]{0,400}Window", plan
     ), plan
+
+
+def test_multimodal_executed_kernels_are_two_map_stages(spark):
+    """The decode-path scale contract (SCALE.md sprint F): synthesize and
+    decode are TWO chained MapInPandas stages and the payload relation
+    never hash-shuffles — the pHash dedup is allowed exactly one hash
+    exchange (the 37-key cluster agg, AFTER payload projection), the
+    thumbnail and audio-segment queries none (their only exchange is the
+    presentation range sort). The pHash dedup gets two: exact
+    countDistinct(pixel_sum) is a two-phase distinct aggregate —
+    partition by (cluster key, pixel_sum), then by cluster key — both
+    keyed on the small post-projection rows."""
+    for name, max_hash_shuffles in (
+        ("multimodal_phash_dedup", 2),
+        ("multimodal_bmp_thumbnail", 0),
+        ("multimodal_audio_segments", 0),
+    ):
+        plan = _plan(spark, name)
+        assert plan.count("MapInPandas") >= 2, (name, plan)
+        assert _shuffles(plan) <= max_hash_shuffles, (name, plan)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_blocklist_screen_is_one_scan_no_join(spark):
+    """The P-pattern fan-out must be a map-side posexplode (Generate),
+    never a pattern-relation join: one documents scan, zero Join nodes,
+    one hash exchange (the pattern aggregate)."""
+    plan = _plan(spark, "text_blocklist_screen")
+    assert plan.count(") Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate" in plan, plan
+    assert _shuffles(plan) <= 1, plan
+
+
+def test_woe_iv_pushes_returnflag_to_lineitem_scan(spark):
+    """The label build must reach the lineitem scan as a pushed filter
+    (only 'R' rows leave the parquet reader) and arrive at the join as a
+    distinct key set — no BNLJ, no cartesian."""
+    plan = _plan(spark, "orders_woe_iv_binning")
+    assert "PushedFilters" in plan and "l_returnflag" in plan, plan
+    assert "CartesianProduct" not in plan, plan
