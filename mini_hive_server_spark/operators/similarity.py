@@ -1703,3 +1703,133 @@ def retrieval_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks,
         "pick_order int, vec_id long, rel long, maxsim long, score long",
     ).orderBy("pick_order")
+
+
+# --------------------------- greedy k-center coreset (Gonzalez 1985)
+
+_KC_K = 8  # centers to select
+_KC_Q = 1000  # same quantization as MMR: floor(x*1000 + 0.5)
+
+_KC_QV = (
+    "transform(cast(embedding as array<double>), "
+    f"x -> CAST(floor(x * {_KC_Q}.0D + 0.5D) AS BIGINT))"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled greedy k-center: seed = argmax squared norm (a
+    deterministic stand-in for the arbitrary first center), then step k
+    picks the point FARTHEST from the selected set (max over points of
+    min over centers of squared distance). All distances are exact
+    integers — d2 = |a|^2 + |b|^2 - 2*a.b over floor(x*Q + 0.5)-quantized
+    vectors — so the greedy trajectory and the emitted coverage radius
+    replay bit-exactly. MATERIALIZED per step (the `_kcore_oracle`
+    anti-inlining lesson)."""
+    steps = "".join(
+        f""",
+m{k} AS MATERIALIZED (
+  SELECT b.vec_id, b.norm2,
+         min(b.norm2 + s.norm2
+             - 2 * CAST(list_dot_product(b.qv, s.qv) AS BIGINT)) AS mind2
+  FROM base b, sel{k - 1} s
+  WHERE b.vec_id NOT IN (SELECT vec_id FROM sel{k - 1})
+  GROUP BY b.vec_id, b.norm2
+),
+pick{k} AS MATERIALIZED (
+  SELECT vec_id, norm2, CAST(mind2 AS BIGINT) AS mind2, {k} AS pick_order
+  FROM m{k} ORDER BY mind2 DESC, vec_id LIMIT 1
+),
+sel{k} AS MATERIALIZED (
+  SELECT * FROM sel{k - 1}
+  UNION ALL
+  SELECT b.vec_id, b.norm2, b.qv, p.mind2, p.pick_order
+  FROM base b JOIN pick{k} p ON b.vec_id = p.vec_id
+)"""
+        for k in range(2, _KC_K + 1)
+    )
+    return f"""
+WITH base AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * {_KC_Q}.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+base2 AS MATERIALIZED (
+  SELECT vec_id, qv,
+         CAST(list_dot_product(qv, qv) AS BIGINT) AS norm2
+  FROM base
+),
+sel1 AS MATERIALIZED (
+  SELECT vec_id, norm2, qv, CAST(0 AS BIGINT) AS mind2, 1 AS pick_order
+  FROM base2 ORDER BY norm2 DESC, vec_id LIMIT 1
+){steps.replace("base b", "base2 b")}
+SELECT CAST(pick_order AS INTEGER) AS pick_order, vec_id, norm2, mind2
+FROM sel{_KC_K}
+ORDER BY pick_order
+"""
+
+
+@register("corpus_kcenter_coreset", oracle=_kcenter_oracle(), tags=("llm", "similarity", "iterative", "pipeline"))
+def corpus_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985, the 2-approx
+    farthest-point heuristic) — the geometry-coverage data-selection
+    primitive next to importance-weighted DSIR (`corpus_dsir_selection`)
+    and diversity re-ranking (`retrieval_mmr_diverse`): pick k points so
+    every corpus vector is near SOME pick, the seed set active-learning
+    and coreset-distillation pipelines start from. Each pick's `mind2`
+    is its distance to the previously selected set, so the LAST row's
+    mind2 is a certificate: every unselected point lies within that
+    squared radius of a center.
+
+    Unlike MMR (which re-ranks a bounded pool), every k-center step is a
+    FULL-CORPUS pass: min-distance-to-selected as a LEAST over <= k-1
+    literal-vector distance expressions (map-only, codegen), argmax via
+    TakeOrderedAndProject(1), driver holding only the picked row's 64
+    quantized ints — k bounded scans, no joins, no shuffles beyond the
+    top-1 reduction, which is exactly how the algorithm scales to 100 TB
+    (its sequential depth k is the price of the 2-approximation
+    guarantee). Distances are exact integers (same floor(x*1000 + 0.5)
+    quantization as MMR), so this stochastic-looking iterative operator
+    carries a full value oracle."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    base = emb.select(
+        "vec_id",
+        F.expr(_KC_QV).alias("qv"),
+        F.expr(_DOT_L.format(a=_KC_QV, b=_KC_QV)).alias("norm2"),
+    )
+
+    def _lit_vec(vals: list[int]):
+        return F.array(*[F.lit(int(v)) for v in vals])
+
+    picks: list[tuple] = []
+    sel_vecs: list[tuple[list[int], int]] = []  # (qv, norm2)
+    for step in range(1, _KC_K + 1):
+        cand = base.filter(~F.col("vec_id").isin([p[1] for p in picks]))
+        if sel_vecs:
+            dists = [
+                (
+                    F.col("norm2")
+                    + F.lit(n2)
+                    - 2 * F.expr(_DOT_L.format(a="qv", b=f"c_{i}"))
+                ).alias(f"d_{i}")
+                for i, (_v, n2) in enumerate(sel_vecs)
+            ]
+            for i, (v, _n2) in enumerate(sel_vecs):
+                cand = cand.withColumn(f"c_{i}", _lit_vec(v))
+            mind2 = F.least(*dists) if len(dists) > 1 else dists[0]
+            order = [F.col("mind2").desc(), F.col("vec_id")]
+        else:
+            mind2 = F.lit(0).cast("bigint")
+            order = [F.col("norm2").desc(), F.col("vec_id")]
+        top = (
+            cand.select("vec_id", "norm2", mind2.alias("mind2"), "qv")
+            .orderBy(*order)
+            .limit(1)
+            .first()
+        )
+        picks.append((step, top["vec_id"], top["norm2"], top["mind2"]))
+        sel_vecs.append((list(top["qv"]), top["norm2"]))
+
+    return spark.createDataFrame(
+        picks, "pick_order int, vec_id long, norm2 long, mind2 long"
+    ).orderBy("pick_order")

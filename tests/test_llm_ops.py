@@ -588,3 +588,43 @@ def test_mmr_first_pick_is_argmax_and_selection_diversifies(spark):
         return sum(dots) / len(dots)
 
     assert mean_pair_sim(mmr_ids) < mean_pair_sim(rel_ids)  # (c)
+
+
+def test_kcenter_radius_monotone_and_covers(spark):
+    """Greedy k-center invariants beyond the oracle replay: the pick
+    radii are non-increasing from step 2 on (adding centers only
+    shrinks min-distances, and the greedy always takes the current
+    farthest point), and the last pick's radius is a COVERAGE
+    certificate — every unselected corpus vector lies within that
+    squared distance of some selected center."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark import registry
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.similarity import _DOT_L, _KC_QV
+
+    rows = registry.queries()["corpus_kcenter_coreset"](spark, SF_SMOKE).collect()
+    radii = [r["mind2"] for r in rows[1:]]
+    assert radii == sorted(radii, reverse=True), radii
+
+    picked = {r["vec_id"] for r in rows}
+    base = load_tables(spark, SF_SMOKE)["embeddings"].select(
+        "vec_id",
+        F.expr(_KC_QV).alias("qv"),
+        F.expr(_DOT_L.format(a=_KC_QV, b=_KC_QV)).alias("norm2"),
+    )
+    centers = {
+        r["vec_id"]: (list(r["qv"]), r["norm2"])
+        for r in base.filter(F.col("vec_id").isin(list(picked))).collect()
+    }
+    cand = base.filter(~F.col("vec_id").isin(list(picked)))
+    dists = []
+    for i, (v, n2) in enumerate(centers.values()):
+        cand = cand.withColumn(
+            f"c_{i}", F.array(*[F.lit(int(x)) for x in v])
+        )
+        dists.append(
+            F.col("norm2") + F.lit(n2) - 2 * F.expr(_DOT_L.format(a="qv", b=f"c_{i}"))
+        )
+    worst = cand.select(F.least(*dists).alias("d")).agg(F.max("d")).first()[0]
+    assert worst <= rows[-1]["mind2"], (worst, rows[-1]["mind2"])
