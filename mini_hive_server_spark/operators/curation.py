@@ -1520,3 +1520,147 @@ def source_dsir_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------- ROC-AUC via rank statistic
+
+_ROC_AUC_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w FROM documents
+),
+m AS (
+  SELECT doc_id,
+         len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac
+  FROM t
+),
+s AS (
+  SELECT round(1.0 / (1.0 + exp(-({_LR_W['bias']} + {_LR_W['nw']} * nw
+                            + {_LR_W['awl']} * awl + {_LR_W['stop']} * ns
+                            + {_LR_W['rep']} * top_frac))), 6) AS score,
+         CASE WHEN nw BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+               AND awl BETWEEN {_MIN_AWL} AND {_MAX_AWL}
+               AND ns >= {_MIN_STOPWORDS}
+               AND top_frac <= {_MAX_TOP_WORD_FRAC}
+              THEN 1 ELSE 0 END AS y
+  FROM m
+),
+g AS (
+  SELECT score, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(y) AS BIGINT) AS n_pos
+  FROM s GROUP BY score
+),
+c AS (
+  SELECT n, n_pos,
+         CAST(sum(n) OVER (ORDER BY score
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+           AS BIGINT) AS cum_before
+  FROM g
+),
+agg AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+         CAST(sum(n_pos) AS BIGINT) AS n1,
+         CAST(sum(n - n_pos) AS BIGINT) AS n0,
+         CAST(sum(n_pos * (2 * cum_before + n + 1)) AS BIGINT) AS two_r1
+  FROM c
+)
+SELECT n_docs, n1 AS n_pos, n0 AS n_neg,
+       round(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(2 * n1 * n0 AS DOUBLE), 6) AS roc_auc,
+       round(CAST(two_r1 - n1 * (n1 + 1) AS DOUBLE)
+             / CAST(n1 * n0 AS DOUBLE) - 1.0, 6) AS gini_index
+FROM agg
+"""
+
+
+@register("classifier_roc_auc", oracle=_ROC_AUC_ORACLE, tags=("llm", "pipeline", "stats"))
+def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the learned quality filter against the Gopher rule
+    label, via the Mann-Whitney rank identity with exact midrank tie
+    handling — the threshold-free companion to `classifier_pr_auc` (AP
+    weights early precision; ROC-AUC is the probability a random keeper
+    outranks a random reject, the number model cards quote). Gini index
+    (2*AUC - 1) rides along.
+
+    Exactness: ranks never materialize — per distinct score,
+    2*ranksum(positives) folds to n_pos*(2*cum_before + n + 1), all
+    BIGINT, so AUC is ONE division of exact integers (round 6), immune
+    to midrank float drift.
+
+    Plan: scoring is the classifier family's map-only codegen; the
+    per-score histogram is one partial-agg'd groupBy (bounded by the
+    6-dp score domain), and the cumulative fold runs on
+    `ranking.global_cumsum` — no single-partition window anywhere."""
+    from .ranking import global_cumsum
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(_WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    awl = F.expr(
+        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
+    ) * F.lit(1.0) / nw
+    ns = F.expr(f"size(filter(w, x -> x IN ({_STOPLIST})))")
+    top_frac = F.expr(
+        "array_max(transform(array_distinct(w),"
+        " x -> size(filter(w, y -> y = x))))"
+    ) * F.lit(1.0) / nw
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_LR_W["bias"])
+                    + F.lit(_LR_W["nw"]) * nw
+                    + F.lit(_LR_W["awl"]) * awl
+                    + F.lit(_LR_W["stop"]) * ns
+                    + F.lit(_LR_W["rep"]) * top_frac
+                )
+            )
+        ),
+        6,
+    )
+    y = (
+        nw.between(_MIN_WORDS, _MAX_WORDS)
+        & awl.between(_MIN_AWL, _MAX_AWL)
+        & (ns >= _MIN_STOPWORDS)
+        & (top_frac <= _MAX_TOP_WORD_FRAC)
+    ).cast("bigint")
+    g = (
+        t.select(score.alias("score"), y.alias("y"))
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+        )
+    )
+    c = global_cumsum(g, [F.col("score")], ["n"], ["cum_n"]).select(
+        "n", "n_pos", (F.col("cum_n") - F.col("n")).alias("cum_before")
+    )
+    two_r1 = F.sum(
+        F.col("n_pos") * (2 * F.col("cum_before") + F.col("n") + 1)
+    ).cast("bigint")
+    agg = c.agg(
+        F.sum("n").cast("bigint").alias("n_docs"),
+        F.sum("n_pos").cast("bigint").alias("n1"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("bigint").alias("n0"),
+        two_r1.alias("two_r1"),
+    )
+    auc_num = (F.col("two_r1") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+    return agg.select(
+        F.col("n_docs"),
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(auc_num / (2 * F.col("n1") * F.col("n0")).cast("double"), 6).alias(
+            "roc_auc"
+        ),
+        F.round(
+            auc_num / (F.col("n1") * F.col("n0")).cast("double") - 1.0, 6
+        ).alias("gini_index"),
+    )

@@ -628,3 +628,71 @@ def test_kcenter_radius_monotone_and_covers(spark):
         )
     worst = cand.select(F.least(*dists).alias("d")).agg(F.max("d")).first()[0]
     assert worst <= rows[-1]["mind2"], (worst, rows[-1]["mind2"])
+
+
+def test_roc_auc_matches_bruteforce_pair_count(spark):
+    """`classifier_roc_auc` must equal the DEFINITION: the probability a
+    random positive outranks a random negative, ties counting half —
+    computed by brute-force pair counting over the collected (score, y)
+    at sf0.001. Also pins AUC > 0.9 (the score was fit to the rule
+    label, so near-perfect ranking is the expected regime) and
+    gini = 2*AUC - 1."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark import registry
+    from mini_hive_server_spark.operators.curation import classifier_pr_auc  # noqa: F401
+
+    row = registry.queries()["classifier_roc_auc"](spark, SF_SMOKE).first()
+    # reconstruct (score, y) via the sibling query's scoring path: the
+    # calibration query exposes them; simplest is to recompute from the
+    # per-score histogram the AUC query itself aggregates — so instead
+    # collect scores straight from the shared expressions.
+    from mini_hive_server_spark.catalog import load_tables, parallelize_scan
+    from mini_hive_server_spark.operators import curation as cu
+
+    docs = load_tables(spark, SF_SMOKE)["documents"]
+    t = parallelize_scan(docs.select("doc_id", "text")).select(
+        "doc_id", F.expr(cu._WORDS_SPARK).alias("w")
+    )
+    nw = F.size(F.col("w"))
+    awl = F.expr(
+        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
+    ) * F.lit(1.0) / nw
+    ns = F.expr(f"size(filter(w, x -> x IN ({cu._STOPLIST})))")
+    top_frac = F.expr(
+        "array_max(transform(array_distinct(w),"
+        " x -> size(filter(w, y -> y = x))))"
+    ) * F.lit(1.0) / nw
+    score = F.round(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(cu._LR_W["bias"])
+                    + F.lit(cu._LR_W["nw"]) * nw
+                    + F.lit(cu._LR_W["awl"]) * awl
+                    + F.lit(cu._LR_W["stop"]) * ns
+                    + F.lit(cu._LR_W["rep"]) * top_frac
+                )
+            )
+        ),
+        6,
+    )
+    y = (
+        nw.between(cu._MIN_WORDS, cu._MAX_WORDS)
+        & awl.between(cu._MIN_AWL, cu._MAX_AWL)
+        & (ns >= cu._MIN_STOPWORDS)
+        & (top_frac <= cu._MAX_TOP_WORD_FRAC)
+    ).cast("int")
+    pairs = [
+        (r["s"], r["yy"])
+        for r in t.select(score.alias("s"), y.alias("yy")).collect()
+    ]
+    pos = [s for s, yy in pairs if yy == 1]
+    neg = [s for s, yy in pairs if yy == 0]
+    wins = sum(1.0 if p > q else 0.5 if p == q else 0.0 for p in pos for q in neg)
+    brute = wins / (len(pos) * len(neg))
+    assert abs(row["roc_auc"] - brute) < 1e-6, (row["roc_auc"], brute)
+    assert row["roc_auc"] > 0.9
+    assert abs(row["gini_index"] - (2 * row["roc_auc"] - 1)) < 2e-6
