@@ -3583,22 +3583,20 @@ FROM acc
 )
 def customers_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seeded negative sampling for recommender / contrastive training:
-    every customer draws {k} candidate parts by md5(customer:i) modulo
-    the catalog size (deterministic, engine-stable — the sampling
+    every customer draws k=_NEG_K (8) candidate parts by md5(customer:i)
+    modulo the catalog size (deterministic, engine-stable — the sampling
     itself is oracle-checkable, unlike rand()-based draws), then true
     interactions are REJECTED by an anti-join against the distinct
     (customer, part) purchase relation. Output: the candidate/rejection
     /acceptance census plus a value checksum over the accepted pairs.
 
     Scale shape: candidate generation is map-only off the customer
-    relation (an {k}-element sequence explode — k is a constant, not a
+    relation (a k-element sequence explode — k is a constant, not a
     data axis); the positives relation is ONE distinct projection of
     the order-lines fact; the rejection is a single (cust, part)
     hash-partitioned anti-join. Nothing rescans the fact per candidate,
     and the accepted sample can be written out partitioned by the same
-    hash — the standard shape for billions of negatives per epoch.""".format(
-        k=_NEG_K
-    )
+    hash — the standard shape for billions of negatives per epoch."""
     t = load_tables(spark, sf_dir)
     pn = t["part"].agg(F.count(F.lit(1)).alias("p"))
     cand = (

@@ -1276,21 +1276,20 @@ ORDER BY fold
 def events_walkforward_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purged walk-forward (temporal) cross-validation folds — the split
     a time-series/behavioral model NEEDS instead of the iid hash split
-    (`text_hash_split`): the timeline divides into {folds} equal-width
-    day segments; fold k trains on everything strictly BEFORE segment k
-    minus a {gap}-day embargo (rows inside the gap are PURGED — they
-    leak label horizons across the boundary), and tests on segment k.
-    Output: per-fold train/purged/test row census — the audit a
-    backtesting harness runs before trusting its folds.
+    (`text_hash_split`): the timeline divides into _WF_FOLDS (4)
+    equal-width day segments; fold k trains on everything strictly
+    BEFORE segment k minus a _WF_EMBARGO_DAYS (1) day embargo (rows
+    inside the gap are PURGED — they leak label horizons across the
+    boundary), and tests on segment k. Output: per-fold train/purged/
+    test row census — the audit a backtesting harness runs before
+    trusting its folds.
 
     Scale shape: the corpus is touched once (day-offset projection →
     per-day counts, one partial-agg'd shuffle on a CALENDAR-bounded
     key); fold censuses then derive from the day-count relation joined
-    against {m} fold rows — a bounded inequality join, never a second
+    against the 3 fold rows — a bounded inequality join, never a second
     corpus pass. The same day-offset expression is the writer's
-    partition predicate when materializing folds.""".format(
-        folds=_WF_FOLDS, gap=_WF_EMBARGO_DAYS, m=_WF_FOLDS - 1
-    )
+    partition predicate when materializing folds."""
     events = load_tables(spark, sf_dir)["events"]
     day0 = events.agg(
         F.min(F.to_date("ts")).alias("d0"),

@@ -1238,16 +1238,16 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression), with per-list df/tf statistics.
 
     Scale shape (the part that matters at 100 TB): posting lists are
-    SHARDED into fixed-size doc-id blocks of {block} docs — the grouping
-    key is (term, doc_id div {block}) — so no single collect_list can
-    exceed {block} entries BY CONSTRUCTION, no matter how common the
-    term. A stopword's postings land as many bounded block rows instead
-    of one unbounded array (the Lucene segment layout, not the toy
-    one-array-per-term layout that OOMs on the first stopword). The
-    d-gap stream restarts per block, which is exactly what block-level
-    skip pointers need. One tokenize pass, two key-hash shuffles
-    ((term, doc) tf then (term, block) assembly), zero Python.
-    """.format(block=_POSTING_BLOCK)
+    SHARDED into fixed-size doc-id blocks of _POSTING_BLOCK (256) docs —
+    the grouping key is (term, doc_id div 256) — so no single
+    collect_list can exceed 256 entries BY CONSTRUCTION, no matter how
+    common the term. A stopword's postings land as many bounded block
+    rows instead of one unbounded array (the Lucene segment layout, not
+    the toy one-array-per-term layout that OOMs on the first stopword).
+    The d-gap stream restarts per block, which is exactly what
+    block-level skip pointers need. One tokenize pass, two key-hash
+    shuffles ((term, doc) tf then (term, block) assembly), zero Python.
+    """
     docs = load_tables(spark, sf_dir)["documents"]
     tok = docs.select(
         "doc_id",
