@@ -29,13 +29,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable oracle SQL per query. Every registered query is
-    oracle-paired except `graph_pagerank_converged` (round 6): its
-    data-dependent stopping rule is not SQL-expressible, so it takes the
-    driver's rows-only check and the strongest local pin instead
-    (independent power-iteration agreement, fixpoint residual, mass
-    conservation — tests/test_llm_ops.py). The ANN tiers run at
-    provably-exact operating points whose results equal the brute-force
-    SQL; the approximate operating points stay recall-bound under
-    pytest."""
+    """DuckDB-runnable oracle SQL per query. EVERY registered query is
+    oracle-paired (since round 8; round 7 proved the driver does not
+    support rows-only checks — an oracle-less query returns
+    `err: no_oracle`). `graph_pagerank_converged`'s data-dependent
+    stopping rule is oracle'd via the contraction bound: the 12-round
+    golden unroll's values equal the ε-stopped iterate after round(…,6),
+    with the rounding margin pinned by tests/test_llm_ops.py. The ANN
+    tiers run at provably-exact operating points whose results equal the
+    brute-force SQL; the approximate operating points stay recall-bound
+    under pytest."""
     return registry.oracles()
