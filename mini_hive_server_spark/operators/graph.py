@@ -1325,7 +1325,9 @@ SELECT CAST({_KCORE_K} AS INTEGER) AS k,
 """
 
 
-def kcore_peel(edges: DataFrame, k: int = _KCORE_K) -> DataFrame:
+def kcore_peel(
+    edges: DataFrame, k: int = _KCORE_K, stats: dict | None = None
+) -> DataFrame:
     """Converged k-core edge set of an undirected graph given as one row
     per canonical edge (u < v, deduplicated): repeat {degree count, drop
     nodes with deg < k and the edges touching them} until the edge count
@@ -1387,6 +1389,8 @@ def kcore_peel(edges: DataFrame, k: int = _KCORE_K) -> DataFrame:
         )
     final_ckpt = prev_ckpt
     tracked_release(lambda: final_ckpt.unpersist(False))
+    if stats is not None:
+        stats["rounds"] = n_rounds
     return cur
 
 
