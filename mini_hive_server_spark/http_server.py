@@ -27,6 +27,8 @@ Route map (reference citation → registered query):
 ``GET /admin/home``         index.js:1200  ``ref_admin_platform_stats``
 ``GET /admin/tasks/oversubscribed``
                             index.js:821   ``ref_oversubscribed_tasks``
+``GET /admin/users``        index.js:1112  ``ref_users_admin_list``
+``GET /users/profile``      index.js:413   ``ref_user_profile``
 =========================================  ==============================
 
 Design notes:
@@ -73,6 +75,8 @@ ROUTES: dict[str, str] = {
     "/submissions": "ref_worker_submission_page",  # index.js:1001
     "/admin/home": "ref_admin_platform_stats",  # index.js:1200
     "/admin/tasks/oversubscribed": "ref_oversubscribed_tasks",  # index.js:821
+    "/admin/users": "ref_users_admin_list",  # index.js:1112 (round 8)
+    "/users/profile": "ref_user_profile",  # index.js:413 (round 8)
 }
 
 # WRITE lifecycles, exposed as POST: each runs the registered batch fold

@@ -3910,3 +3910,137 @@ def orders_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# --------------- difference-in-differences promo-lift estimate
+
+_DID_SEGMENT = "BUILDING"
+_DID_PRE_Y, _DID_POST_Y = 1996, 1997
+
+_DID_ORACLE = f"""
+WITH base AS (
+  SELECT (c.c_mktsegment = '{_DID_SEGMENT}') AS treated,
+         CAST(strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y') AS INTEGER)
+           = {_DID_POST_Y} AS post,
+         CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE CAST(strftime(CAST(o.o_orderdate AS TIMESTAMP), '%Y') AS INTEGER)
+        IN ({_DID_PRE_Y}, {_DID_POST_Y})
+),
+cells AS (
+  SELECT
+    CAST(sum(CASE WHEN treated AND NOT post THEN cents END) AS BIGINT) AS s_tp,
+    CAST(count(CASE WHEN treated AND NOT post THEN 1 END) AS BIGINT)   AS n_tp,
+    CAST(sum(CASE WHEN treated AND post THEN cents END) AS BIGINT)     AS s_tq,
+    CAST(count(CASE WHEN treated AND post THEN 1 END) AS BIGINT)       AS n_tq,
+    CAST(sum(CASE WHEN NOT treated AND NOT post THEN cents END) AS BIGINT) AS s_cp,
+    CAST(count(CASE WHEN NOT treated AND NOT post THEN 1 END) AS BIGINT)   AS n_cp,
+    CAST(sum(CASE WHEN NOT treated AND post THEN cents END) AS BIGINT) AS s_cq,
+    CAST(count(CASE WHEN NOT treated AND post THEN 1 END) AS BIGINT)   AS n_cq
+  FROM base
+),
+avgs AS (
+  SELECT n_tp, n_tq, n_cp, n_cq,
+         CAST(s_tp AS DOUBLE) / nullif(n_tp, 0) AS a_t_pre,
+         CAST(s_tq AS DOUBLE) / nullif(n_tq, 0) AS a_t_post,
+         CAST(s_cp AS DOUBLE) / nullif(n_cp, 0) AS a_c_pre,
+         CAST(s_cq AS DOUBLE) / nullif(n_cq, 0) AS a_c_post
+  FROM cells
+)
+SELECT n_tp AS n_treated_pre, n_tq AS n_treated_post,
+       n_cp AS n_control_pre, n_cq AS n_control_post,
+       round(a_t_pre / 100, 4)  AS avg_treated_pre_usd,
+       round(a_t_post / 100, 4) AS avg_treated_post_usd,
+       round(a_c_pre / 100, 4)  AS avg_control_pre_usd,
+       round(a_c_post / 100, 4) AS avg_control_post_usd,
+       round((a_t_post - a_t_pre) / 100, 4) AS treated_lift_usd,
+       round((a_c_post - a_c_pre) / 100, 4) AS control_lift_usd,
+       round(((a_t_post - a_t_pre) - (a_c_post - a_c_pre)) / 100, 4)
+         AS did_usd
+FROM avgs
+"""
+
+
+@register(
+    "orders_promo_lift_did",
+    oracle=_DID_ORACLE,
+    tags=("stats", "abtest", "agg"),
+)
+def orders_promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences lift estimate (Card & Krueger's
+    workhorse; the quasi-experimental member of the A/B suite): average
+    order value for the treated segment vs everyone else, before vs
+    after a campaign year boundary — DiD = (treated post − treated pre)
+    − (control post − control pre), the parallel-trends-adjusted effect
+    a naive pre/post comparison overstates.
+
+    Scale shape: ONE pass — the orders→customer equi-join (customer is
+    the broadcast-sized dim) feeds a single grand aggregate with eight
+    conditional sums/counts (the 2x2 cell matrix lands in one row, no
+    groupBy key exchange at all). Float determinism: cents fold to
+    BIGINT before summing; each cell average is one bigint/bigint →
+    double division over engine-identical operands, so every derived
+    difference is bit-identical before the output rounding."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(
+            F.broadcast(t["customer"]),
+            t["orders"]["o_custkey"] == t["customer"]["c_custkey"],
+        )
+        .filter(F.year(F.col("o_orderdate")).isin(_DID_PRE_Y, _DID_POST_Y))
+        .select(
+            (F.col("c_mktsegment") == _DID_SEGMENT).alias("treated"),
+            (F.year("o_orderdate") == _DID_POST_Y).alias("post"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cells = base.agg(
+        *[
+            f
+            for tr, po, tag in (
+                (True, False, "tp"),
+                (True, True, "tq"),
+                (False, False, "cp"),
+                (False, True, "cq"),
+            )
+            for f in (
+                F.sum(
+                    F.when(
+                        (F.col("treated") == tr) & (F.col("post") == po),
+                        F.col("cents"),
+                    )
+                )
+                .cast("long")
+                .alias(f"s_{tag}"),
+                F.count(
+                    F.when(
+                        (F.col("treated") == tr) & (F.col("post") == po), 1
+                    )
+                )
+                .cast("long")
+                .alias(f"n_{tag}"),
+            )
+        ]
+    )
+
+    def avg(s, n):
+        return F.col(s).cast("double") / F.nullif(F.col(n), F.lit(0))
+
+    a_tp, a_tq = avg("s_tp", "n_tp"), avg("s_tq", "n_tq")
+    a_cp, a_cq = avg("s_cp", "n_cp"), avg("s_cq", "n_cq")
+    return cells.select(
+        F.col("n_tp").alias("n_treated_pre"),
+        F.col("n_tq").alias("n_treated_post"),
+        F.col("n_cp").alias("n_control_pre"),
+        F.col("n_cq").alias("n_control_post"),
+        F.round(a_tp / 100, 4).alias("avg_treated_pre_usd"),
+        F.round(a_tq / 100, 4).alias("avg_treated_post_usd"),
+        F.round(a_cp / 100, 4).alias("avg_control_pre_usd"),
+        F.round(a_cq / 100, 4).alias("avg_control_post_usd"),
+        F.round((a_tq - a_tp) / 100, 4).alias("treated_lift_usd"),
+        F.round((a_cq - a_cp) / 100, 4).alias("control_lift_usd"),
+        F.round(((a_tq - a_tp) - (a_cq - a_cp)) / 100, 4).alias("did_usd"),
+    )

@@ -921,3 +921,120 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
+
+
+# ------------------------ MinHash estimator fidelity report (round 8)
+
+_FIDELITY_PERMS = 16
+
+_FIDELITY_ORACLE = f"""
+WITH {_DUCK_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT d1, d2, round(c * 1.0 / (s1.n + s2.n - c), 4) AS j
+  FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+),
+slots AS (
+  SELECT doc_id, p.i AS perm,
+         min(CAST(('0x' || substr(
+               md5(CAST(p.i AS VARCHAR) || ':' || sh), 1, 15)) AS BIGINT))
+           AS m
+  FROM shingles, unnest(range(0, {_FIDELITY_PERMS})) AS p(i)
+  GROUP BY doc_id, p.i
+),
+agree AS (
+  SELECT p.d1, p.d2, p.j,
+         count(CASE WHEN a.m = b.m THEN 1 END) AS k
+  FROM pairs p
+  JOIN slots a ON a.doc_id = p.d1
+  JOIN slots b ON b.doc_id = p.d2 AND b.perm = a.perm
+  GROUP BY 1, 2, 3
+)
+SELECT d1, d2, j AS exact_jaccard,
+       CAST(k AS BIGINT) AS n_slots_equal,
+       round(k / {_FIDELITY_PERMS}.0, 4) AS est_jaccard,
+       round(abs(k / {_FIDELITY_PERMS}.0 - j), 4) AS abs_err
+FROM agree
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_minhash_fidelity", oracle=_FIDELITY_ORACLE, tags=("llm", "dedup")
+)
+def dedup_minhash_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy QA for the MinHash family: for every VERIFIED
+    near-dup pair (the exhaustive truth tier, same threshold as the LSH
+    tier), compare the exact Jaccard against the unbiased MinHash
+    estimate — the fraction of agreeing signature slots, E[agree/K] = J —
+    so the report quantifies, in-engine, the estimator the banded index
+    is built on (pair it with `dedup_minhash_lsh`, whose RECALL is
+    separately pinned equal to the truth tier). A sketch-QA pass like
+    this is what a 100 TB dedup pipeline runs on a sample before
+    trusting its index parameters.
+
+    The report's K=16 signature derives slot hashes from md5 (the
+    engine-identical idiom: first 15 hex chars → BIGINT), NOT from the
+    production xxhash64 family (`minhash_bands`) — DuckDB cannot replay
+    xxhash64, and the ESTIMATOR's statistics are family-independent, so
+    the md5 twin keeps the whole report value-oracle-checkable.
+
+    Scale shape: one shingle pass, one doc-keyed 16-min aggregate
+    (map-side partial agg, same movement as the signature stage), then
+    two joins of the bounded verified-pair list against the signature
+    relation — pairs broadcast, signatures stream. Float determinism:
+    est = k/16 is a dyadic rational (exact in binary), exact_jaccard is
+    the truth tier's already-rounded value, abs_err derives from the
+    two."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sha = tracked_persist(shingle_arrays(docs))
+    pairs = _exact_jaccard_pairs(docs, candidates=None, sha=sha)
+    sh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"m{i}")
+            for i in range(_FIDELITY_PERMS)
+        ]
+    )
+    a = sig.select(
+        F.col("doc_id").alias("d1"),
+        *[F.col(f"m{i}").alias(f"a{i}") for i in range(_FIDELITY_PERMS)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("d2"),
+        *[F.col(f"m{i}").alias(f"b{i}") for i in range(_FIDELITY_PERMS)],
+    )
+    k = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(_FIDELITY_PERMS)
+    )
+    est = k.cast("double") / _FIDELITY_PERMS
+    return (
+        a.join(F.broadcast(pairs), "d1")
+        .join(b, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.col("jaccard").alias("exact_jaccard"),
+            k.cast("long").alias("n_slots_equal"),
+            F.round(est, 4).alias("est_jaccard"),
+            F.round(F.abs(est - F.col("jaccard")), 4).alias("abs_err"),
+        )
+        .orderBy("d1", "d2")
+    )

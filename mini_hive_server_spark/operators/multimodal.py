@@ -1248,3 +1248,108 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_segments int, energy_sum long"
         ),
     ).orderBy("doc_id")
+
+
+# ------------------------- per-channel normalization constants (round 8)
+
+_CHANNEL_STATS_SCHEMA = (
+    "doc_id long, n_px long, "
+    "r_sum long, r_sq long, g_sum long, g_sq long, b_sum long, b_sq long"
+)
+
+
+def _decode_channel_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = {k: [] for k in (
+            "doc_id", "n_px", "r_sum", "r_sq", "g_sum", "g_sq", "b_sum", "b_sq"
+        )}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, rgb = decode_bmp(bytes(payload))
+            rows["doc_id"].append(doc_id)
+            rows["n_px"].append(w * h)
+            for c, name in enumerate("rgb"):
+                ch = rgb[c::3]
+                rows[f"{name}_sum"].append(sum(ch))
+                rows[f"{name}_sq"].append(sum(v * v for v in ch))
+        yield pd.DataFrame(
+            {k: pd.Series(v, dtype="int64") for k, v in rows.items()}
+        )
+
+
+_CHANNEL_STATS_ORACLE = f"""
+WITH dims AS (
+  SELECT doc_id, doc_id % 5 + 3 AS w, doc_id % 4 + 2 AS h FROM documents
+),
+px AS (
+  SELECT t.i % 3 AS c, (doc_id * 31 + t.i * 7) % {_BMP_MOD} AS v
+  FROM dims, unnest(range(0, w * h * 3)) AS t(i)
+),
+agg AS (
+  SELECT c, count(*) AS n,
+         CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS s2
+  FROM px GROUP BY c
+)
+SELECT CASE c WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
+       CAST(n AS BIGINT) AS n_values,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean,
+       round(sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+         AS std
+FROM agg
+ORDER BY channel
+"""
+
+
+@register(
+    "multimodal_channel_stats",
+    oracle=_CHANNEL_STATS_ORACLE,
+    tags=("llm", "multimodal"),
+)
+def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel mean/std over the REALLY-DECODED corpus images — the
+    normalization constants an image-training pipeline computes once and
+    bakes into its preprocessing (the role ImageNet's famous
+    [0.485, 0.456, 0.406] / [0.229, 0.224, 0.225] play): decode BMP →
+    per-image integer channel sums and sum-of-squares in ONE Arrow stage
+    (payload never shuffles — 8 ints/image do) → one grand aggregate →
+    3 output rows. The oracle recomputes the channel streams
+    arithmetically from the generator's closed form (channel = stream
+    index mod 3) and never parses the container, so a decoder that
+    mis-handles padding/flip/BGR shifts the sums.
+
+    Float determinism: means and variances derive from engine-identical
+    BIGINT (sum, sum-of-squares, count) triples — one division, one
+    multiply, one sqrt, identical IEEE sequence both sides, rounded at
+    the output only."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    payloads = docs.select("doc_id").mapInPandas(
+        _synthesize_bmp_batches, schema="doc_id long, payload binary"
+    )
+    sums = payloads.mapInPandas(
+        _decode_channel_batches, schema=_CHANNEL_STATS_SCHEMA
+    )
+    grand = sums.agg(
+        F.sum(F.col("n_px")).alias("n"),
+        *[
+            F.sum(f"{c}_{k}").alias(f"{c}_{k}")
+            for c in "rgb"
+            for k in ("sum", "sq")
+        ],
+    )
+    per_channel = grand.select(
+        F.expr(
+            "stack(3, 'r', n, r_sum, r_sq, 'g', n, g_sum, g_sq,"
+            " 'b', n, b_sum, b_sq) AS (channel, n_values, s, s2)"
+        )
+    )
+    mean = F.col("s").cast("double") / F.col("n_values")
+    return per_channel.select(
+        "channel",
+        F.col("n_values").cast("long").alias("n_values"),
+        F.round(mean, 6).alias("mean"),
+        F.round(
+            F.sqrt(F.col("s2").cast("double") / F.col("n_values") - mean * mean), 6
+        ).alias("std"),
+    ).orderBy("channel")

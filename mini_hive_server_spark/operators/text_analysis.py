@@ -1372,3 +1372,142 @@ def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+# -------------------------- TextRank keyword extraction (round 8)
+
+_TR_DAMPING = 0.85
+_TR_ITER = 3
+_TR_TOPK = 15
+_TR_MIN_LEN = 4  # stopword-ish short words stay out of the graph
+
+
+def _textrank_oracle() -> str:
+    """Unrolled 3-iteration replay of the weighted-TextRank recurrence in
+    DuckDB — same CTE-unroll pattern as the PageRank oracles; the word
+    co-occurrence graph derives from the identical tokenize + adjacency
+    rules (consecutive SURVIVING tokens after the length filter)."""
+    steps = []
+    for k in range(1, _TR_ITER + 1):
+        steps.append(
+            f"""ws{k} AS (
+  SELECT n.word,
+         (1 - {_TR_DAMPING})
+           + {_TR_DAMPING} * coalesce(
+               sum(p.ws * e.w / dg.deg), 0) AS ws
+  FROM nodes n
+  LEFT JOIN und e ON e.v = n.word
+  LEFT JOIN degs dg ON dg.word = e.u
+  LEFT JOIN ws{k - 1} p ON p.word = e.u
+  GROUP BY n.word
+)"""
+        )
+    unrolled = ",\n".join(steps)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '[a-z]+'),
+                     x -> length(x) >= {_TR_MIN_LEN}) AS l
+  FROM documents
+),
+adj AS (
+  SELECT doc_id, l[i] AS a, l[i + 1] AS b
+  FROM toks, unnest(range(1, len(l))) AS t(i)
+),
+edges AS (
+  SELECT least(a, b) AS u, greatest(a, b) AS v, count(*) AS w
+  FROM adj WHERE a <> b
+  GROUP BY 1, 2
+),
+und AS (
+  SELECT u, v, w FROM edges UNION ALL SELECT v AS u, u AS v, w FROM edges
+),
+degs AS (SELECT u AS word, CAST(sum(w) AS BIGINT) AS deg FROM und GROUP BY u),
+nodes AS (SELECT word FROM degs),
+ws0 AS (SELECT word, 1.0 AS ws FROM nodes),
+{unrolled}
+SELECT word, round(ws, 6) AS textrank
+FROM ws{_TR_ITER}
+ORDER BY round(ws, 6) DESC, word
+LIMIT {_TR_TOPK}
+"""
+
+
+@register(
+    "text_textrank_keywords",
+    oracle=_textrank_oracle(),
+    tags=("llm", "text", "graph", "iterative"),
+)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word CO-OCCURRENCE graph — nodes are corpus words (length >= 4,
+    the stopword screen), edges weight consecutive-word adjacency, and
+    the weighted recurrence WS(v) = (1-d) + d * sum_u w_uv/deg(u) * WS(u)
+    runs 3 unrolled iterations (the paper's graph converges fast; fixed
+    depth keeps it oracle-expressible, the `graph_pagerank_3iter`
+    argument). Top-15 words by rounded rank — corpus-level keywords, the
+    extractive complement to the TF-IDF per-doc terms.
+
+    Scale shape: tokenize + adjacency are MAP-ONLY (consecutive pairs
+    come from zipping each doc's token array with its own tail — no
+    positional self-join); the edge aggregate and each iteration's
+    join+sum shuffle on WORD keys, so every post-tokenize relation is
+    vocabulary-bounded, not corpus-bounded (Heaps' law: ~N^0.5).
+    Float determinism: weights and degrees are BIGINTs, w/deg one IEEE
+    division; per-word contribution sums reassociate at ~1e-15 relative,
+    absorbed by ranking on the round(…, 6) value with a word tiebreak."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    toks = parallelize_scan(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id",
+        F.expr(
+            f"filter(regexp_extract_all(lower(text), '[a-z]+', 0),"
+            f" x -> length(x) >= {_TR_MIN_LEN})"
+        ).alias("l"),
+    )
+    adj = toks.select(
+        F.explode_outer(
+            F.arrays_zip(
+                F.expr("slice(l, 1, greatest(size(l) - 1, 0))"),
+                F.expr("slice(l, 2, greatest(size(l) - 1, 0))"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    edges = (
+        adj.filter(F.col("a") != F.col("b"))
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    und = edges.unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    from ..persistence import tracked_persist
+
+    degs = und.groupBy(F.col("u").alias("word")).agg(
+        F.sum("w").cast("long").alias("deg")
+    )
+    # und+degs feed every iteration: persist the joined (u, v, w/deg)
+    # relation once (vocabulary-bounded)
+    contrib_edges = tracked_persist(
+        und.join(degs, und["u"] == degs["word"]).select(
+            "u", "v", (F.col("w").cast("double") / F.col("deg")).alias("wd")
+        )
+    )
+    nodes = degs.select("word")
+    ws = nodes.select("word", F.lit(1.0).alias("ws"))
+    for _ in range(_TR_ITER):
+        contrib = (
+            ws.join(contrib_edges, ws["word"] == contrib_edges["u"])
+            .groupBy("v")
+            .agg(F.sum(F.col("ws") * F.col("wd")).alias("c"))
+        )
+        ws = nodes.join(contrib, nodes["word"] == contrib["v"], "left").select(
+            "word",
+            (
+                F.lit(1 - _TR_DAMPING)
+                + _TR_DAMPING * F.coalesce("c", F.lit(0.0))
+            ).alias("ws"),
+        )
+    ranked = ws.select("word", F.round("ws", 6).alias("textrank"))
+    return ranked.orderBy(F.col("textrank").desc(), "word").limit(_TR_TOPK)

@@ -872,3 +872,75 @@ def ref_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+# ----------------------------------------------------- admin users listing
+
+_USERS_ADMIN_ORACLE = f"""
+WITH {duck_cte("ref_users")}
+SELECT name, email, photo, role,
+       CAST(round(coins, 2) AS DOUBLE) AS coins
+FROM ref_users
+ORDER BY email
+"""
+
+
+@register(
+    "ref_users_admin_list", oracle=_USERS_ADMIN_ORACLE, tags=("reference", "scan")
+)
+def ref_users_admin_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admin's all-users listing (GET /admin/users, index.js:1112):
+    `find({}, {projection: {name, email, photo, role, coins}})` — a bare
+    projection with NO role filter, so unlike the isin-filtered admin
+    stats (`ref_admin_platform_stats`) the out-of-enum 'ghost' row IS
+    visible here, exactly as Mongo would return it. ORDER BY email
+    replaces Mongo's unstable natural order (the same determinism
+    deviation `ref_top_workers` documents). Users grow with tenancy, not
+    traffic — a bounded listing, collect-at-serving safe; round(coins,2)
+    both sides since the raw doubles are the per-row hash fold."""
+    users = reference_table(spark, "ref_users")
+    return users.select(
+        "name",
+        "email",
+        "photo",
+        "role",
+        F.round("coins", 2).alias("coins"),
+    ).orderBy("email")
+
+
+# ------------------------------------------------------------ user profile
+
+_PROFILE_EMAIL = "user31@example.com"
+
+_USER_PROFILE_ORACLE = f"""
+WITH {duck_cte("ref_users")}
+SELECT id, name, email, photo, role,
+       CAST(round(coins, 2) AS DOUBLE) AS coins,
+       strftime(createdAt, '{_STRF}') AS created_at
+FROM ref_users
+WHERE email = '{_PROFILE_EMAIL}'
+"""
+
+
+@register(
+    "ref_user_profile", oracle=_USER_PROFILE_ORACLE, tags=("reference", "scan")
+)
+def ref_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The profile fetch (GET /users/profile?email=…, index.js:413):
+    `findOne({email})` returning the FULL user document. Email is unique
+    by construction in the synthesized collection, so the equality
+    predicate IS the total order (findOne == the one matching row; no
+    LIMIT needed). Registered against the fixed fixture email the other
+    reference queries use; the HTTP facade serves the same query and the
+    route test drives it over TCP. Point-lookup scale shape: a
+    pushed-down equality on a tenancy-sized dim."""
+    users = reference_table(spark, "ref_users")
+    return users.filter(F.col("email") == _PROFILE_EMAIL).select(
+        "id",
+        "name",
+        "email",
+        "photo",
+        "role",
+        F.round("coins", 2).alias("coins"),
+        F.date_format("createdAt", _TS).alias("created_at"),
+    )

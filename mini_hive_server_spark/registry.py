@@ -82,82 +82,82 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-7 window (rotated after CORRECTNESS_r06 came back 50/50 green —
-# the third consecutive fully green round): leads with the 31 round-6
-# additions that have never had a driver row (the COVERAGE.md round-7
-# queue: the statistics suite, the ranking-family anchors, PCA/RRF/SCD2,
-# dynamic partition pruning; all locally oracle-green), so after this
-# round every registered query has a green driver row EXCEPT the late
-# round-7 additions listed in COVERAGE.md's round-8 queue (the window's
-# 50 slots were full when they landed; each is locally oracle-green,
-# hostile-swept, and first in line for the round-8 window).
-# The re-confirm slots gate the heaviest dedup/ANN tiers (including the
-# three whose round-6 timings regressed — re-measured under bench.py's
-# new repeat-median), the three reference WRITE lifecycles, one
-# ranking-family query (the persistence contract around
-# ranking._ranged changed this round), and the AQE-skew join. Round-7
-# additions are appended at the window tail as they land.
+# Round-8 window (rotated after CORRECTNESS_r07 came back 49/50 — the one
+# non-green row was `graph_pagerank_converged`'s guaranteed
+# `err: no_oracle`, the round-7 lesson that the driver does NOT support
+# rows-only checks): leads with the 25 COVERAGE.md round-8-queue queries
+# that have never had a driver row, then `graph_pagerank_converged`
+# (oracle-paired THIS round via the golden-unroll contraction argument —
+# its first possible oracle row), then the 6 round-8 additions (two
+# reference REST reads now also served by the HTTP facade, the DiD
+# estimate, channel normalization stats, the MinHash fidelity report,
+# TextRank keywords). After this round's run, EVERY registered query has
+# at least one oracle driver row (VERDICT r7 #1/#4: the queue fully
+# clears; round-8 capped additions at 6 so it fits). The 18 re-confirm
+# slots gate: the round-8-REWORKED star-contraction/k-core consumers'
+# neighbors (pagerank golden shares the rewritten oracle builder,
+# dedup_lsh_clusters cross-checks the star labels), the heaviest
+# dedup/ANN tiers, the three reference WRITE folds, the AQE-skew join,
+# the distributed-ranking anchor, and two headline staples.
 _DRIVER_WINDOW = (
-    # --- never driver-checked round-6 additions (COVERAGE.md r7 queue) ---
-    "events_abtest_mannwhitney",
-    "events_abtest_ks",
-    "events_proportion_ztest",
-    "events_bh_fdr_control",
-    "events_eb_shrunk_means",
-    "events_chisq_independence",
-    "customers_kaplan_meier",
-    "events_bootstrap_ci",
-    "orders_sen_trend",
-    "events_skewness_kurtosis",
-    "documents_quality_deciles",
-    "corpus_pack_sequences",
-    "orders_abc_analysis",
-    "lineitem_weighted_median",
-    "orders_value_quartiles_cutpoint",
-    "orders_winsorized_stats",
-    "retrieval_rrf_hybrid",
-    "orders_point_in_time_scd2",
-    "parts_skyline_frontier",
-    "embedding_pca_power",
-    "privacy_k_anonymity",
-    "source_dynamic_partition_prune",
-    "corpus_split_no_leakage",
-    "text_pmi_collocations",
-    "classifier_pr_auc",
-    "orders_value_psi",
-    "events_key_skew_report",
-    "events_multitouch_attribution",
-    "events_type_corr_matrix",
-    "events_moving_median_7d",
-    "graph_pagerank_converged",  # rows-only; golden-pinned in tests
-    # --- re-confirm: heaviest dedup/ANN tiers (incl. the three round-6
-    #     timing regressions, re-measured under repeat-median) ---
+    # --- never driver-checked (COVERAGE.md round-8 queue, in full) ---
+    "dedup_prefix_filter",
+    "graph_bfs_3hop",
+    "events_walkforward_split",
+    "orders_target_encoding_oof",
+    "customers_negative_sampling",
+    "graph_label_propagation",
+    "orders_mix_rate_decomposition",
+    "graph_connected_components",
+    "mv_incremental_refresh",
+    "corpus_dsir_selection",
+    "corpus_dsir_gumbel_resample",
+    "corpus_temperature_mixture",
+    "source_dsir_ablation",
+    "mv_minmax_partial_recompute",
+    "graph_kcore_decomposition",
+    "multimodal_phash_dedup",
+    "retrieval_mmr_diverse",
+    "orders_woe_iv_binning",
+    "multimodal_bmp_thumbnail",
+    "multimodal_audio_segments",
+    "privacy_l_diversity",
+    "privacy_t_closeness",
+    "text_blocklist_screen",
+    "corpus_kcenter_coreset",
+    "classifier_roc_auc",
+    # --- first oracle-paired driver row (r7's one err row, repaired) ---
+    "graph_pagerank_converged",
+    # --- round-8 additions (all locally oracle-green at 2-3 SFs) ---
+    "ref_users_admin_list",
+    "ref_user_profile",
+    "orders_promo_lift_did",
+    "multimodal_channel_stats",
+    "dedup_minhash_fidelity",
+    "text_textrank_keywords",
+    # --- re-confirm: round-8 rework neighbors ---
+    "graph_pagerank_golden",
+    "dedup_lsh_clusters",
+    # --- re-confirm: heaviest dedup/ANN tiers ---
+    "dedup_minhash_lsh",
     "dedup_minhash_oph",
     "similarity_pq_adc",
     "text_span_dedup",
+    "dedup_simhash",
+    "similarity_ivf_ann",
+    "similarity_lsh_ann",
+    "ingest_incremental_minhash",
     # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
     "ref_post_task_batch",
     "ref_approve_withdrawal_batch",
     "ref_approve_submission_batch",
-    # --- re-confirm: ranking family (persistence contract hardened r7) ---
+    # --- re-confirm: ranking anchor, AQE skew join, pipeline composite,
+    #     and two headline staples ---
     "customers_rfm_segments",
-    # --- re-confirm: AQE skew join ---
     "events_click_attribution",
-    # --- round-7 additions (replaced re-confirm slots on entry; the
-    #     displaced re-confirms — LSH-ANN/clusters/incremental-minhash,
-    #     simhash, minhash-LSH, IVF, engagement tiers, curation
-    #     pipeline — were green in r4-r6 and keep those rows) ---
-    "graph_pagerank_golden",
-    "multimodal_bmp_decode",
-    "multimodal_wav_decode",
-    "tokenizer_bpe_merges",
-    "text_inverted_index",
-    "sql_pipe_syntax",
-    "sql_scalar_udf",
-    "source_agg_pushdown",
-    "source_python_stream_datasource",
-    "tokenizer_bpe_apply",
-    "shard_rendezvous_hashing",
+    "corpus_curation_pipeline",
+    "dedup_exact",
+    "q1_pricing_summary",
 )
 
 
