@@ -86,6 +86,12 @@ EXTENDED = (
     # decoded-pixel perceptual dedup (two Arrow map stages + one 37-key agg)
     "graph_kcore_decomposition",
     "multimodal_phash_dedup",
+    # Round-8 additions: the two nontrivial new tiers — sketch-fidelity QA
+    # (16 extra min-aggs over the shingle relation + 2 bounded joins) and
+    # TextRank (3 join+agg iterations over the vocabulary-bounded word
+    # co-occurrence graph)
+    "dedup_minhash_fidelity",
+    "text_textrank_keywords",
 )
 
 HEADLINE = HEADLINE10 + EXTENDED

@@ -1484,11 +1484,15 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..persistence import tracked_persist
 
-    degs = und.groupBy(F.col("u").alias("word")).agg(
-        F.sum("w").cast("long").alias("deg")
+    # persist BOTH vocabulary-bounded loop relations: the whole query is
+    # one lazy plan (3 unrolled iterations, one action), and `nodes`
+    # is referenced once per iteration — unpersisted, each reference
+    # re-runs the tokenize→edges→degree pipeline
+    degs = tracked_persist(
+        und.groupBy(F.col("u").alias("word")).agg(
+            F.sum("w").cast("long").alias("deg")
+        )
     )
-    # und+degs feed every iteration: persist the joined (u, v, w/deg)
-    # relation once (vocabulary-bounded)
     contrib_edges = tracked_persist(
         und.join(degs, und["u"] == degs["word"]).select(
             "u", "v", (F.col("w").cast("double") / F.col("deg")).alias("wd")

@@ -439,6 +439,55 @@ def test_star_contraction_matches_union_find(spark):
         assert got == want, name
 
 
+def test_local_contract_layout_independent(spark):
+    """Round 8: the partition-local union-find pre-pass
+    (`graph._local_contract`) claims connectivity preservation under ANY
+    edge-to-partition layout — the layout only decides how MUCH
+    contracts locally. Pin it: the same mixed graph (path + star +
+    seeded random block) must label identically through
+    `star_contraction_labels` across round-robin layouts of 1/3/16/64
+    partitions (64 > edge count → many empty/singleton partitions) AND
+    a range-partitioned contiguous layout, all equal to driver-side
+    union-find."""
+    import collections
+    import random
+
+    from mini_hive_server_spark.operators.graph import star_contraction_labels
+
+    rng = random.Random(11)
+    es = (
+        [(i, i + 1) for i in range(60)]
+        + [(200 + i, 200) for i in range(1, 6)]
+        + sorted({(300 + rng.randrange(40), 300 + rng.randrange(40)) for _ in range(50)})
+    )
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in es:
+        if u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = collections.defaultdict(set)
+    nodes = {x for u, v in es if u != v for x in (u, v)}
+    for x in nodes:
+        comp[find(x)].add(x)
+    want = {x: min(comp[find(x)]) for x in nodes}
+
+    base = spark.createDataFrame(es, "u: long, v: long")
+    layouts = [base.repartition(p) for p in (1, 3, 16, 64)]
+    layouts.append(base.repartitionByRange(8, "u"))
+    for i, sdf in enumerate(layouts):
+        got = dict(star_contraction_labels(sdf).collect())
+        assert got == want, f"layout {i}"
+
+
 def test_kcore_peel_matches_bruteforce(spark):
     """`kcore_peel` (the iterative core of `graph_kcore_decomposition`)
     must agree with a driver-side brute-force peel on adversarial shapes:

@@ -12,7 +12,6 @@ from .oracle_harness import compare
 
 SPECS = registry.all_specs()
 ORACLE_NAMES = sorted(n for n, s in SPECS.items() if s.oracle)
-ROWS_ONLY_NAMES = sorted(n for n, s in SPECS.items() if not s.oracle)
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
@@ -23,10 +22,14 @@ def test_oracle_parity(spark, name):
     assert not problems, "\n".join(problems)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_queries_run(spark, name):
-    """Queries without an oracle still must run and return a stable schema."""
-    spec = SPECS[name]
-    df = spec.fn(spark, SF_ORACLE)
-    assert df.columns, f"{name}: no columns"
-    assert df.count() >= 0
+def test_no_rows_only_queries():
+    """Round-7 lesson (CORRECTNESS_r07): the driver does NOT support
+    rows-only checks — an oracle-less registered query burns its window
+    slot on a guaranteed `err: no_oracle`. Since round 8 every query is
+    oracle-paired; this pins the invariant so a future oracle-less
+    registration fails here instead of in the driver gate."""
+    rows_only = sorted(n for n, s in SPECS.items() if not s.oracle)
+    assert not rows_only, (
+        f"oracle-less registered queries (the driver cannot check these): "
+        f"{rows_only}"
+    )
