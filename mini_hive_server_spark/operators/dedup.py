@@ -11,7 +11,8 @@ Four tiers, each a different cost/recall point:
                     Deterministic (fixed hash seeds), so it is oracle-checked
                     against the exhaustive result.
 * SimHash         — 64-bit near-dup fingerprint via a vectorized Pandas UDF
-                    (the designated Arrow slow-path demo); rows-only check.
+                    (the designated Arrow slow-path demo); oracle-checked
+                    since round 3 (md5 bit-vote replayed in DuckDB SQL).
 
 Scale design (the entire point of LSH): the exhaustive pair join is
 O(pairs-sharing-a-shingle) and collapses at corpus scale; the LSH path's

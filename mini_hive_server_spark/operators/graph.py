@@ -911,9 +911,10 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     each round is two (groupBy-min + equi-join + distinct) passes over an
     edge relation that only ever shrinks toward one star per component.
 
-    This is the registry's first CONVERGED iterative query that still
-    carries a full value oracle: a data-dependent stopping rule made
-    `graph_pagerank_converged` rows-only (an ε-stopped float fixpoint is
+    This was the registry's first CONVERGED iterative query to carry a
+    full value oracle without extra argument: a data-dependent stopping
+    rule left `graph_pagerank_converged` rows-only until round 8's
+    contraction-bound pairing (an ε-stopped FLOAT fixpoint is
     path-dependent), but CC's fixpoint is EXACT — however many rounds the
     loop takes, the converged labels equal the transitive-closure minimum,
     which DuckDB computes independently via a recursive CTE (restricted to

@@ -4,10 +4,15 @@ Each operator/query shape from SURVEY.md §2 (plus the LLM-pipeline
 extensions) registers itself here with:
 
 * a PySpark callable ``(spark, sf_dir) -> DataFrame``;
-* optionally a DuckDB-runnable SQL oracle string computing the same result on
-  the same Parquet tables (the driver's correctness gate). Queries whose
-  semantics are not SQL-expressible (probabilistic LSH, streaming) register
-  without an oracle and get a rows-only check.
+* a DuckDB-runnable SQL oracle string computing the same result on the
+  same Parquet tables (the driver's correctness gate). The schema allows
+  oracle-less registration, but since round 8 NO registered query uses it
+  (`tests/test_oracle_parity.py::test_no_rows_only_queries`): the driver
+  does not support rows-only checks — an oracle-less query burns its
+  window slot on a guaranteed `err: no_oracle` (the round-7 lesson).
+  Non-SQL-expressible semantics get an oracle anyway via an equivalence
+  argument (batch twins for streaming, provably-exact operating points
+  for ANN, the contraction bound for the ε-stopped PageRank).
 
 Determinism rules every registered query obeys (so order-insensitive
 value-hash comparison against DuckDB is stable):

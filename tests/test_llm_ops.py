@@ -1,6 +1,8 @@
-"""Quality checks for the approximate (rows-only) LLM-pipeline tiers:
-the oracle gate proves the exact tiers; these tests bound the approximate
-tiers against them."""
+"""Quality checks for the approximate LLM-pipeline tiers: the oracle
+gate proves the exact tiers (and, since round 8, every registered query
+is oracle-paired); these tests additionally bound the approximate
+operating points against the exact tiers and pin the non-SQL invariants
+(recall, convergence, fixpoint residuals, layout independence)."""
 
 from __future__ import annotations
 
