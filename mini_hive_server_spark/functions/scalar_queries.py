@@ -27,7 +27,7 @@ SELECT
   'order-' || CAST(o_orderkey AS VARCHAR)                        AS order_tag,
   CAST(floor(o_totalprice) AS BIGINT)                            AS price_int,
   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)                AS price_cents,
-  round(o_totalprice * 0.9, 2)                                   AS discounted,
+  floor(o_totalprice * 0.9 * 100 + 0.5) / 100.0                  AS discounted,
   (o_orderpriority IN ('1-URGENT', '2-HIGH'))                    AS is_priority,
   lpad(CAST(o_custkey AS VARCHAR), 10, '0')                      AS custkey_padded
 FROM orders
@@ -65,7 +65,14 @@ def scalar_expressions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("o_totalprice") * 100 + 0.5)
             .cast("long")
             .alias("price_cents"),
-            F.round(F.col("o_totalprice") * 0.9, 2).alias("discounted"),
+            # floor-round, not round(x, 2): the discounted double can land
+            # within float error of a .xx5 boundary (sf0.001 stress sweep:
+            # 255874.545), where Spark's BigDecimal-exact HALF_UP and
+            # DuckDB's multiply-based round disagree on the SAME double;
+            # floor(x*100 + 0.5) is one exact IEEE op on identical operands
+            (
+                F.floor(F.col("o_totalprice") * 0.9 * 100 + F.lit(0.5)) / 100.0
+            ).alias("discounted"),
             F.col("o_orderpriority")
             .isin("1-URGENT", "2-HIGH")
             .alias("is_priority"),

@@ -1155,8 +1155,10 @@ cohorted AS (
 )
 SELECT cohort_q, CAST(age_q AS BIGINT) AS age_q,
        count(DISTINCT o_custkey) AS n_customers,
-       round(sum(o_totalprice), 2) AS revenue,
-       round(round(sum(o_totalprice), 2) / count(DISTINCT o_custkey), 2)
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100 AS revenue,
+       floor(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) / count(DISTINCT o_custkey) + 0.5) / 100.0
          AS rev_per_customer
 FROM cohorted
 GROUP BY cohort_q, age_q
@@ -1176,8 +1178,13 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     its cohort (AQE picks the strategy — both sides SF-proportional, no
     hint), and the matrix is one (cohort x age) groupBy — quarters since
     epoch as a pure integer expression on both engines, so cohort/age
-    assignment is exact. rev_per_customer divides the pre-rounded revenue
-    so both engines divide identical operands."""
+    assignment is exact. Money hardened round 8 (sf0.001 stress sweep):
+    the previous round(sum(double)) revenue and its divided-then-rounded
+    per-customer figure could land a quotient exactly on a .xx5 boundary
+    (measured: 5224302.63/18), where the engines' round() tie handling
+    diverges on the same double. Now cents fold to BIGINT before the
+    sum and rev_per_customer floor-rounds the bigint/bigint quotient —
+    bit-identical operands end to end."""
     orders = load_tables(spark, sf_dir)["orders"]
     firsts = orders.groupBy("o_custkey").agg(
         F.min(F.col("o_orderdate").cast("date")).alias("first_d")
@@ -1185,7 +1192,9 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     qidx = lambda c: F.year(c) * 4 + F.quarter(c)  # noqa: E731
     cohorted = orders.join(firsts, "o_custkey").select(
         "o_custkey",
-        "o_totalprice",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
         F.concat(
             F.year("first_d").cast("string"),
             F.lit("-Q"),
@@ -1199,14 +1208,20 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         cohorted.groupBy("cohort_q", "age_q")
         .agg(
             F.count_distinct("o_custkey").alias("n_customers"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum("cents").alias("cents"),
         )
         .select(
             "cohort_q",
             "age_q",
             "n_customers",
-            "revenue",
-            F.round(F.col("revenue") / F.col("n_customers"), 2).alias(
+            (F.col("cents").cast("double") / F.lit(100)).alias("revenue"),
+            (
+                F.floor(
+                    F.col("cents").cast("double") / F.col("n_customers")
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias(
                 "rev_per_customer"
             ),
         )

@@ -484,7 +484,9 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CENTROID_ORACLE = """
 SELECT label, CAST(t.i - 1 AS INT) AS dim,
-       round(avg(CAST(embedding[t.i] AS DOUBLE)), 4) AS centroid
+       floor(CAST(sum(CAST(floor(CAST(embedding[t.i] AS DOUBLE) * 1000000
+                                 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 100 + 0.5) / 10000.0 AS centroid
 FROM embeddings, range(1, 65) AS t(i)
 GROUP BY 1, 2
 ORDER BY label, dim
@@ -502,7 +504,14 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     but map-side partial aggregation collapses each partition to
     (n_labels × 64) rows BEFORE the exchange — at 100 TB the shuffle
     carries kilobytes. This beats any driver-side vector summation and
-    needs no UDF."""
+    needs no UDF.
+
+    Centroid values hardened round 8 (sf0.001 stress sweep): round(avg)
+    over raw floats is a .xxxx5-boundary lottery across engines —
+    components quantize to integer micro-units per row, sum as BIGINT,
+    divide by the BIGINT count, floor-round; every op is bit-identical
+    on both sides (and an exactly-zero integer sum yields +0.0, never
+    the -0.0 a float mean can produce)."""
     emb = parallelize_scan(load_tables(spark, sf_dir)["embeddings"], "vec_id")
     return (
         emb.select(
@@ -511,8 +520,23 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dim", "val"
             ),
         )
+        .select(
+            "label",
+            "dim",
+            F.floor(F.col("val") * 1000000 + F.lit(0.5)).cast("long").alias("vm"),
+        )
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("val"), 4).alias("centroid"))
+        .agg(
+            (
+                F.floor(
+                    F.sum("vm").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(100)
+                    + F.lit(0.5)
+                )
+                / 10000.0
+            ).alias("centroid")
+        )
         .orderBy("label", "dim")
     )
 

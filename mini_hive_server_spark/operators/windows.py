@@ -362,7 +362,8 @@ _DATE_PARTS_ORACLE = """
 SELECT CAST(extract(dow FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS dow,
        CAST(extract(hour FROM CAST(ts AS TIMESTAMP)) AS INTEGER) AS hod,
        count(*) AS n,
-       round(avg(value), 2) AS avg_value
+       floor(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 10000 + 0.5) / 100.0 AS avg_value
 FROM events
 GROUP BY 1, 2
 ORDER BY 1, 2
@@ -374,18 +375,35 @@ def events_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar decomposition (day-of-week x hour-of-day heatmap input) —
     the date-part extraction surface the reference never computes on
     (completion_date stored but unused, index.js:499). DuckDB's dow is
-    0=Sunday; Spark's dayofweek is 1=Sunday, so shift by one."""
+    0=Sunday; Spark's dayofweek is 1=Sunday, so shift by one.
+
+    avg_value hardened round 8 (sf0.001 stress sweep): round(avg(double))
+    is a boundary lottery — accumulation order can move the mean across a
+    .xx5 tie, and the engines' tie handling differs. Instead, quantize to
+    integer micro-units per row (one identical IEEE fold), sum as BIGINT,
+    divide by the BIGINT count, and floor-round — every op sees
+    bit-identical operands on both engines, so no boundary exists."""
     events = load_tables(spark, sf_dir)["events"]
     return (
         events.select(
             (F.dayofweek("ts") - 1).alias("dow"),
             F.hour("ts").alias("hod"),
-            "value",
+            F.floor(F.col("value") * 1000000 + F.lit(0.5))
+            .cast("long")
+            .alias("vm"),
         )
         .groupBy("dow", "hod")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 2).alias("avg_value"),
+            (
+                F.floor(
+                    F.sum("vm").cast("double")
+                    / F.count(F.lit(1))
+                    / F.lit(10000)
+                    + F.lit(0.5)
+                )
+                / 100.0
+            ).alias("avg_value"),
         )
         .orderBy("dow", "hod")
     )

@@ -54,8 +54,16 @@ def canonicalize(columns: dict[str, list]) -> tuple[list[str], list[tuple[str, .
 
 
 def spark_df_to_columns(df) -> dict[str, list]:
-    pdf = df.toPandas()
-    return {c: list(pdf[c]) for c in pdf.columns}
+    """Arrow, not pandas (round 8): `toPandas()` renders a NULL double as
+    NaN, so a Spark-side typed NULL canonicalized as 'NaN' while the
+    DuckDB side said 'NULL' — a false mismatch the real driver (typed
+    value hash, null==null) would not report. Surfaced by the sf0.001
+    stress sweep on `events_gapfill_hourly`'s leading-gap rows (LOCF
+    before any observation is legitimately NULL). `toArrow()` preserves
+    nulls and yields the same python types `to_pylist` gives the oracle
+    side."""
+    tbl = df.toArrow()
+    return {name: tbl.column(name).to_pylist() for name in tbl.column_names}
 
 
 def arrow_to_columns(tbl) -> dict[str, list]:

@@ -83,10 +83,14 @@ def test_scd2_scans_dimension_once(spark):
 
 
 def test_centroids_partial_agg_before_exchange(spark):
-    """The 64x posexplode must collapse map-side: partial_avg runs below
-    the single hash exchange, so the shuffle carries labels*dims rows."""
+    """The 64x posexplode must collapse map-side: the partial aggregate
+    runs below the single hash exchange, so the shuffle carries
+    labels*dims rows. (Round 8: the mean is computed as integer-quantized
+    partial_sum + partial_count instead of partial_avg — the
+    boundary-free formulation; the map-side-collapse contract is the
+    same.)"""
     plan = _plan(spark, "embedding_label_centroids")
-    assert "partial_avg" in plan, plan
+    assert "partial_sum" in plan, plan
     assert _shuffles(plan) <= 1, plan
 
 
@@ -588,11 +592,46 @@ def test_multimodal_executed_kernels_are_two_map_stages(spark):
         ("multimodal_phash_dedup", 2),
         ("multimodal_bmp_thumbnail", 0),
         ("multimodal_audio_segments", 0),
+        # round 8: channel stats reduce to ONE grand aggregate — its
+        # single-partition exchange moves 8-number partial rows, so zero
+        # hash exchanges touch anything payload- or corpus-sized
+        ("multimodal_channel_stats", 0),
     ):
         plan = _plan(spark, name)
         assert plan.count("MapInPandas") >= 2, (name, plan)
         assert _shuffles(plan) <= max_hash_shuffles, (name, plan)
         assert "CartesianProduct" not in plan, name
+
+
+def test_did_is_broadcast_join_plus_grand_aggregate(spark):
+    """`orders_promo_lift_did` (round 8): the 2x2 cell matrix must come
+    out of ONE grand aggregate over a broadcast orders→customer join —
+    zero hash exchanges (the only exchange is the single-partition
+    gather of 8-number partial rows), no cartesian."""
+    plan = _plan(spark, "orders_promo_lift_did")
+    assert "BroadcastHashJoin" in plan, plan
+    assert _shuffles(plan) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_textrank_is_takeordered_no_global_window(spark):
+    """`text_textrank_keywords` (round 8): the top-15 must be
+    TakeOrderedAndProject (never a global sort), the plan carries no
+    Window at all (adjacency comes from array self-zip, not lag), and
+    no cartesian leaks from the iteration joins."""
+    plan = _plan(spark, "text_textrank_keywords")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_minhash_fidelity_broadcasts_pair_list(spark):
+    """`dedup_minhash_fidelity` (round 8): the bounded verified-pair
+    list must BROADCAST onto the signature relation (corpus-sized sides
+    never shuffle for the report joins)."""
+    plan = _plan(spark, "dedup_minhash_fidelity")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_blocklist_screen_is_one_scan_no_join(spark):
