@@ -51,6 +51,9 @@ ORDER BY event_type
 """
 
 
+_HLL_RSD = 0.02  # explicit, not the 0.05 default: see sketch_approx_distinct
+
+
 def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimate-bearing form: HLL++ estimate next to the exact count.
     The product at scale is `approx_users` (drop the exact column); tests
@@ -59,7 +62,7 @@ def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id", _HLL_RSD).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
         )
@@ -74,8 +77,15 @@ def approx_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ distinct users per event type, driver-gated via the
     exact-plus-error-flag contract (module docstring): `approx_ok` asserts
-    the HLL++ estimate is within 5% of the exact count (default rsd 0.05;
-    the fixture is deterministic, measured error ≪ the bound)."""
+    the HLL++ estimate is within 5% of the exact count.
+
+    rsd is 0.02 EXPLICITLY (round 8): rsd is a standard deviation, not a
+    max error — at the default 0.05 the sf0.1 fixture's 1500-distinct
+    groups measured 6.7% error (a ~1.3-sigma excursion), flipping the
+    flag the oracle pins true. At rsd 0.02 the 5% envelope is a
+    2.5-sigma bound with measured error ≤0.5% at every SF (sf0.001/0.01/
+    0.1) — the flag's claim now holds with a 10x margin everywhere the
+    engine is checked, not just at the driver's scale."""
     return (
         approx_distinct_raw(spark, sf_dir)
         .select(
