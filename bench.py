@@ -92,6 +92,12 @@ EXTENDED = (
     # co-occurrence graph)
     "dedup_minhash_fidelity",
     "text_textrank_keywords",
+    # Round-8 late addition: BFS turned out to be the registry's hidden
+    # heavyweight under a vanilla session (un-persisted census branches
+    # replayed the hop chains: 65-110s). Fixed with per-tier persists +
+    # pre-cache coalesce (~5s steady at sf0.1); tracked here so a
+    # replay-tree regression shows up as a number, not a sweep surprise
+    "graph_bfs_3hop",
 )
 
 HEADLINE = HEADLINE10 + EXTENDED

@@ -664,23 +664,12 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     need the degree-ordering / salting treatments this engine already
     applies)?
 
-    Plan: identical edge build (the one corpus-sized pass is the DISTINCT
-    projection), then degree counting is one node-cardinality aggregate
-    and the histogram is a dozen bucket rows."""
+    Plan: the shared shuffle-lean edge build (`_copurchase_edges`, round
+    8 — one collect_set groupBy + map-side pair explode + pair count),
+    then degree counting is one node-cardinality aggregate and the
+    histogram is a dozen bucket rows."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li)
     degs = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -768,39 +757,51 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized, see graph_triangle_count) and persisted once; each hop's
     joins key on node ids; frontier and visited sets only ever hold
     node ids. Fixed depth unrolls 3 rounds statically like
-    `graph_pagerank_3iter`, so the whole run is ONE lazy plan —
-    no driver-side materialization between hops."""
+    `graph_pagerank_3iter` into ONE lazy plan, but — round-8 lesson —
+    the node census AND each later hop re-reference every earlier
+    frontier, so WITHOUT a cache boundary per tier the hop chains
+    re-execute once per referencing branch (measured: 65-110s at
+    sf0.001 under a vanilla 200-shuffle-partition session, almost all
+    of it task-scheduling on replayed tiny stages). Two fixes:
+
+    1. Persist the node set and each hop frontier (node-cardinality
+       relations, tracked-released at the next registered query) —
+       collapses the replay tree. Same class as the diamond persists in
+       the dedup family.
+    2. Coalesce each cached relation to 2x cluster parallelism first:
+       cached plans are exempt from AQE partition coalescing
+       (canChangeCachedPlanOutputPartitioning defaults false), so the
+       cache would otherwise hold the raw 200-400 shuffle partitions
+       and every downstream stage schedules that many tasks for a
+       graph-sized relation. These relations are support-thresholded
+       (collision-bounded, never corpus-sized), so a parallelism-scaled
+       floor loses nothing at any SF.
+
+    Measured together at sf0.1: ~5.2s steady state, ~20x off the
+    un-persisted unroll."""
     from ..persistence import tracked_persist
 
+    par = 2 * spark.sparkContext.defaultParallelism
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li)  # shared shuffle-lean build (round 8)
     und = tracked_persist(
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).coalesce(par)
     )
-    nodes = und.select(F.col("u").alias("node")).distinct()
+    nodes = tracked_persist(
+        und.select(F.col("u").alias("node")).distinct().coalesce(par)
+    )
     frontier = nodes.filter(F.col("node") % 10 == 0)
     visited = frontier.withColumn("distance", F.lit(0))
     tiers = [visited]
     for k in range(1, _BFS_HOPS + 1):
-        nxt = (
+        nxt = tracked_persist(
             frontier.join(und, frontier["node"] == und["u"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
+            .coalesce(par)
         )
         tier = nxt.withColumn("distance", F.lit(k))
         tiers.append(tier)
@@ -1215,23 +1216,14 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..persistence import tracked_persist
 
     li = load_tables(spark, sf_dir)["lineitem"]
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= _TRI_MIN_SUPPORT)
-        .select("u", "v")
-    )
+    edges = _copurchase_edges(li)  # shared shuffle-lean build (round 8)
     und = tracked_persist(
-        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        # coalesce before caching: cached plans are exempt from AQE
+        # coalescing, and this support-bounded relation feeds both
+        # unrolled rounds (see graph_bfs_3hop's rationale)
+        ).coalesce(2 * spark.sparkContext.defaultParallelism)
     )
     labels = (
         und.select(F.col("u").alias("node"))
