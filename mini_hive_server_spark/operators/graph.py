@@ -248,9 +248,17 @@ def _pagerank_converged_oracle() -> str:
       fixed_depth` (exact rounded equality + replayed boundary margin).
     """
     golden = _pagerank_golden_oracle()
-    return golden.replace(
+    out = golden.replace(
         f"\n       CAST({_GOLDEN_ITER} AS INT) AS n_iterations,", ""
     )
+    # ADVICE r8: string surgery on the golden template no-ops silently if
+    # the SELECT line's formatting drifts, and the converged oracle would
+    # then grow an extra column that only surfaces as a driver hash
+    # mismatch. Fail at import time instead.
+    assert "n_iterations" not in out, (
+        "golden SQL template drifted: n_iterations SELECT line not removed"
+    )
+    return out
 
 
 @register(
@@ -829,6 +837,38 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CC_MAX_ROUNDS = 64
 
+
+def _observed(obs, fallback_df: DataFrame, *exprs, timeout_s: float = 60.0) -> dict:
+    """Bounded-wait read of an Observation fed by an eager localCheckpoint.
+
+    ADVICE r8 (graph.py:1114): metric delivery by the checkpoint job relies
+    on localCheckpoint routing through withAction — an implementation
+    detail, not an API contract; the blocking `obs.get` would hang forever
+    if a Spark version change broke that. Poll the non-blocking JVM
+    accessor (normally satisfied on the FIRST probe, since the eager
+    checkpoint has already run the action) and, past the deadline, fail
+    LOUDLY into an explicit one-row aggregate of the same expressions over
+    the already-materialized checkpoint blocks — one extra cheap job
+    instead of an un-diagnosable hang (SKILL.md's hang signature)."""
+    import time as _time
+    import warnings
+
+    deadline = _time.monotonic() + timeout_s
+    wait = 0.0
+    while _time.monotonic() < deadline:
+        if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+            return obs.get
+        _time.sleep(min(0.05 + wait, 0.5))
+        wait += 0.05
+    warnings.warn(
+        "Observation metrics not delivered by the localCheckpoint job "
+        f"within {timeout_s}s — Spark may no longer route localCheckpoint "
+        "through withAction; recomputing via an explicit aggregate",
+        RuntimeWarning,
+        stacklevel=2,
+    )
+    return fallback_df.agg(*exprs).head().asDict()
+
 _CC_ORACLE = f"""
 WITH RECURSIVE op AS (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -1110,7 +1150,14 @@ def star_contraction_stars(
             )
             .localCheckpoint()  # eager: this round's blocks exist from here
         )
-        got = obs.get  # delivered by the checkpoint job — no extra action
+        # delivered by the checkpoint job — no extra action (bounded wait +
+        # loud aggregate fallback, see _observed)
+        got = _observed(
+            obs,
+            nxt,
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+        )
         sig = (got["n"], got["h"])
         if prev_ckpt is not None:
             prev_ckpt.unpersist(False)
@@ -1368,7 +1415,8 @@ def kcore_peel(
         )
         # monotone shrink => an unchanged count is a fixpoint certificate;
         # the metric is computed BY the checkpoint job, not a second action
-        n = obs.get["n"]
+        # (bounded wait + loud aggregate fallback, see _observed)
+        n = _observed(obs, nxt, F.count(F.lit(1)).alias("n"))["n"]
         prev_ckpt.unpersist(False)
         prev_ckpt = _ckpt_rdd(nxt)
         cur = nxt

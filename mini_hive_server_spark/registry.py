@@ -87,82 +87,75 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-8 window (rotated after CORRECTNESS_r07 came back 49/50 — the one
-# non-green row was `graph_pagerank_converged`'s guaranteed
-# `err: no_oracle`, the round-7 lesson that the driver does NOT support
-# rows-only checks): leads with the 25 COVERAGE.md round-8-queue queries
-# that have never had a driver row, then `graph_pagerank_converged`
-# (oracle-paired THIS round via the golden-unroll contraction argument —
-# its first possible oracle row), then the 6 round-8 additions (two
-# reference REST reads now also served by the HTTP facade, the DiD
-# estimate, channel normalization stats, the MinHash fidelity report,
-# TextRank keywords). After this round's run, EVERY registered query has
-# at least one oracle driver row (VERDICT r7 #1/#4: the queue fully
-# clears; round-8 capped additions at 6 so it fits). The 18 re-confirm
-# slots gate: the round-8-REWORKED star-contraction/k-core consumers'
-# neighbors (pagerank golden shares the rewritten oracle builder,
-# dedup_lsh_clusters cross-checks the star labels), the heaviest
-# dedup/ANN tiers, the three reference WRITE folds, the AQE-skew join,
-# the distributed-ranking anchor, and two headline staples.
+# Round-9 window — the first STALENESS-ROTATION round (VERDICT r8 #2).
+# After CORRECTNESS_r08 every registered query's latest driver row is
+# green and the never-checked set is empty, so the window's job changes
+# from absorbing debt to bounding staleness: 81 queries were last
+# driver-checked in rounds 1-2, seven rounds and many refactors ago.
+# This window leads with the 5 round-9 additions (the last five mappable
+# reference REST reads, closing VERDICT r8 "missing #3" — additions
+# capped well under the ≤10 budget so rotation gets the slots), then
+# re-confirms the 45 OLDEST green rows: all 47 queries whose latest row
+# is CORRECTNESS_r01 except the two trivial point-scans
+# (`full_scan_projection`, `point_lookup_pk` — single-operator plans,
+# untouched since round 1, deferred to the r10 queue). The remaining
+# 34 round-2-checked queries + those two form the documented round-10
+# queue in COVERAGE.md; after r10 the oldest row anywhere is r3.
 _DRIVER_WINDOW = (
-    # --- never driver-checked (COVERAGE.md round-8 queue, in full) ---
-    "dedup_prefix_filter",
-    "graph_bfs_3hop",
-    "events_walkforward_split",
-    "orders_target_encoding_oof",
-    "customers_negative_sampling",
-    "graph_label_propagation",
-    "orders_mix_rate_decomposition",
-    "graph_connected_components",
-    "mv_incremental_refresh",
-    "corpus_dsir_selection",
-    "corpus_dsir_gumbel_resample",
-    "corpus_temperature_mixture",
-    "source_dsir_ablation",
-    "mv_minmax_partial_recompute",
-    "graph_kcore_decomposition",
-    "multimodal_phash_dedup",
-    "retrieval_mmr_diverse",
-    "orders_woe_iv_binning",
-    "multimodal_bmp_thumbnail",
-    "multimodal_audio_segments",
-    "privacy_l_diversity",
-    "privacy_t_closeness",
-    "text_blocklist_screen",
-    "corpus_kcenter_coreset",
-    "classifier_roc_auc",
-    # --- first oracle-paired driver row (r7's one err row, repaired) ---
-    "graph_pagerank_converged",
-    # --- round-8 additions (all locally oracle-green at 2-3 SFs) ---
-    "ref_users_admin_list",
-    "ref_user_profile",
-    "orders_promo_lift_did",
-    "multimodal_channel_stats",
-    "dedup_minhash_fidelity",
-    "text_textrank_keywords",
-    # --- re-confirm: round-8 rework neighbors ---
-    "graph_pagerank_golden",
-    "dedup_lsh_clusters",
-    # --- re-confirm: heaviest dedup/ANN tiers ---
-    "dedup_minhash_lsh",
-    "dedup_minhash_oph",
-    "similarity_pq_adc",
-    "text_span_dedup",
-    "dedup_simhash",
-    "similarity_ivf_ann",
-    "similarity_lsh_ann",
-    "ingest_incremental_minhash",
-    # --- re-confirm: reference WRITE lifecycles (sequential folds) ---
-    "ref_post_task_batch",
-    "ref_approve_withdrawal_batch",
-    "ref_approve_submission_batch",
-    # --- re-confirm: ranking anchor, AQE skew join, pipeline composite,
-    #     and two headline staples ---
-    "customers_rfm_segments",
-    "events_click_attribution",
-    "corpus_curation_pipeline",
-    "dedup_exact",
-    "q1_pricing_summary",
+    # --- round-9 additions: the last five mappable reference reads,
+    #     each also served by the HTTP facade (VERDICT r8 #5) ---
+    "ref_buyer_tasks",
+    "ref_worker_open_tasks",
+    "ref_task_detail",
+    "ref_admin_stats",
+    "ref_buyer_submissions",
+    # --- staleness re-confirms: the 45 oldest green rows (latest driver
+    #     row = CORRECTNESS_r01), in their round-1 window order ---
+    "semi_join_probe",
+    "lookup_join_defaults",
+    "join_chain_2hop",
+    "anti_join_missing",
+    "join_theta_balance",
+    "ownership_check",
+    "q3_shipping_priority",
+    "q5_region_volume",
+    "argmin_cheapest_order",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q13_order_histogram",
+    "q14_promo_revenue",
+    "q16_supplier_cnt",
+    "q22_idle_capital",
+    "q4_priority_check",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_value_concentration",
+    "q15_top_supplier",
+    "q17_small_quantity",
+    "q19_disjunctive_revenue",
+    "q20_promo_suppliers",
+    "q21_waiting_supplier",
+    "lookup_secondary_key",
+    "projection_rename",
+    "filter_conjunction",
+    "ne_null_safe",
+    "isin_membership",
+    "dynamic_optional_filter",
+    "existence_check",
+    "scalar_expressions",
+    "string_functions",
+    "count_with_predicate",
+    "conditional_counts",
+    "sum_empty_input_default",
+    "filtered_grand_total",
+    "sum_with_null_default",
+    "dashboard_multi_metric",
+    "rollup_by_segment",
+    "cube_flag_status",
+    "grouping_sets_status_priority",
+    "distinct_count",
 )
 
 

@@ -1,0 +1,68 @@
+"""Size guardrail for bench.py's single stdout JSON line.
+
+The driver captures a bounded ~2000-char TAIL of bench.py's stdout and
+parses the last line as JSON. BENCH_r07 and BENCH_r08 both came back
+`parsed: null` because the line carried the per-rep spread (r7) and the
+experiments + timing blocks (r8) past that budget, truncating the head.
+This test makes the regression structurally unshippable (VERDICT r8 #1):
+it builds the stdout record exactly as bench.main() does, at the two
+worst-case extremes (every headline query timed; every headline query
+failed), and pins both under 1900 chars. Growing HEADLINE past the
+budget fails here, not in a lost round of bench evidence.
+"""
+
+from __future__ import annotations
+
+import json
+
+import bench
+
+
+def _stdout_record(timings: dict[str, float], failed: dict[str, str]) -> str:
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": 0.1,
+        "subtotals": {
+            "headline10": round(
+                sum(t for n, t in timings.items() if n in bench.HEADLINE10), 3
+            ),
+            "extended": round(
+                sum(t for n, t in timings.items() if n in bench.EXTENDED), 3
+            ),
+        },
+    }
+    if failed:
+        out["failed"] = sorted(failed)
+    return json.dumps(out)
+
+
+def test_all_timed_record_fits_tail_budget():
+    # worst-width medians: xxx.xxx keeps every value at 7 chars
+    timings = {name: 999.999 for name in bench.HEADLINE}
+    line = _stdout_record(timings, {})
+    assert len(line) < 1900, f"{len(line)} chars: shrink HEADLINE or the record"
+    # and it must round-trip with the driver-contract keys intact
+    back = json.loads(line)
+    assert set(back) == {"metric", "value", "unit", "queries", "sf", "subtotals"}
+    assert len(back["queries"]) == len(bench.HEADLINE)
+
+
+def test_all_failed_record_fits_tail_budget():
+    # catastrophic arm: every query failed -> queries empty, failed = names
+    # only (bench.main puts tracebacks in stderr + the local record, never
+    # on stdout)
+    failed = {name: "warmup: Boom" for name in bench.HEADLINE}
+    line = _stdout_record({}, failed)
+    assert len(line) < 1900, f"{len(line)} chars: failed block breaches budget"
+    back = json.loads(line)
+    assert back["failed"] == sorted(bench.HEADLINE)
+    # failure detail must NOT be on the stdout line
+    assert "Boom" not in line
+
+
+def test_headline_names_unique_and_window_sized():
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
+    assert set(bench.HEADLINE10).isdisjoint(bench.EXTENDED)

@@ -95,6 +95,27 @@ def test_route_matches_registered_query_oracle(http_server, path):
     assert _canon_rows(got) == _canon_rows(expected), path
 
 
+def test_task_detail_path_param_route(http_server):
+    """GET /tasks/:id (index.js:1017) — the one path-parameter route:
+    the fixture oid returns the single task DOCUMENT (not a list, the
+    findOne shape), any other oid returns the reference's 404 body."""
+    from mini_hive_server_spark.plans.reference_model import _TASK_DETAIL_OID
+
+    spec = registry.all_specs()["ref_task_detail"]
+    status, got = _get(http_server, f"/tasks/{_TASK_DETAIL_OID}")
+    assert status == 200 and isinstance(got, dict), "findOne returns a doc"
+    expected = run_duckdb_oracle(spec.oracle, SF_ORACLE).to_pylist()
+    assert len(expected) == 1
+    assert _canon_rows([got]) == _canon_rows(expected)
+
+
+def test_task_detail_unknown_oid_is_404(http_server):
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(http_server, "/tasks/deadbeefdeadbeefdeadbeef")
+    assert ei.value.code == 404
+    assert json.loads(ei.value.read()) == {"message": "Task not found"}
+
+
 def _post(srv: QueryHTTPServer, path: str):
     req = urllib.request.Request(
         f"http://127.0.0.1:{srv.port}{path}", data=b"{}", method="POST"

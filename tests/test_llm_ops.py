@@ -373,7 +373,8 @@ def test_pagerank_converged_matches_golden_fixed_depth(spark):
         n = len(nodes)
         pr = {v: 1.0 / n for v in nodes}
         stop_pr = None
-        for _ in range(_GOLDEN_ITER):
+        stop_round = None
+        for k in range(1, _GOLDEN_ITER + 1):
             contrib = defaultdict(float)
             for s, d, w in edges:
                 contrib[d] += pr[s] * w
@@ -383,8 +384,16 @@ def test_pagerank_converged_matches_golden_fixed_depth(spark):
             delta = max(abs(new[v] - pr[v]) for v in nodes)
             pr = new
             if stop_pr is None and delta <= _PR_EPS:
-                stop_pr = dict(pr)
+                stop_pr, stop_round = dict(pr), k
         assert stop_pr is not None, f"{sf}: fixture no longer ε-converges"
+        # ADVICE r8: the golden-unroll oracle's validity rests on the
+        # fixture converging WELL before the 12-round unroll. Require
+        # ≥ _GOLDEN_ITER/2 spare contraction rounds so a regenerated or
+        # slower-mixing fixture fails loudly here, not at driver time.
+        assert stop_round <= _GOLDEN_ITER // 2, (
+            f"{sf}: ε-stop at round {stop_round} leaves too little "
+            f"contraction headroom before the {_GOLDEN_ITER}-round unroll"
+        )
         gap = max(abs(stop_pr[v] - pr[v]) for v in nodes)
         margin = min(
             abs((v * 1e6) - int(v * 1e6) - 0.5) for v in pr.values()
