@@ -225,6 +225,8 @@ def main() -> None:
         _cc_scale_experiment,
         _prefix_filter_scale_experiment,
         _kcore_scale_experiment,
+        _textrank_scale_experiment,
+        _minhash_fidelity_scale_experiment,
     ):
         try:
             got = exp(spark, sf_dir)
@@ -671,6 +673,206 @@ def _kcore_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         out[f"kcore_tree_{n}_sec"] = round(sec, 3)
         out[f"kcore_tree_{n}_rounds"] = float(stats["rounds"])
         out[f"kcore_tree_{n}_core_edges"] = float(n_core)  # 190 = exact
+        spark.catalog.clearCache()
+    return out
+
+
+def _textrank_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the TextRank core (`text_textrank_keywords`) —
+    VERDICT r8 #6: measure the VOCABULARY-BOUNDED claim. The tokenize +
+    adjacency stages are map-only, so the experiment synthesizes the
+    (a, b) word-adjacency relation directly at 10x and 100x the sf0.1
+    corpus's adjacency cardinality while the vocabulary grows only as
+    sqrt(mult) (Heaps' law with beta ~= 0.5), with a Zipf-ish skew
+    (quadratic concentration toward low word ids — hot function words)
+    so the word-keyed shuffles see realistic hot keys. Timed: the exact
+    post-tokenize dataflow the registered query runs — edge-weight
+    aggregate, degree aggregate, contribution-edge join, 3 unrolled
+    join+sum iterations — collected via a 2-column reduction (NOT
+    .count(), which would let Catalyst prune the rank arithmetic). The
+    claim being certified: wall time tracks the 10x/100x ADJACENCY pass
+    (linear map+shuffle volume), while every iterated relation stays
+    vocabulary-sized; `*_vocab` records that bound next to the
+    seconds."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    # the fixture's surviving-token adjacency cardinality + vocabulary,
+    # measured with the registered query's own tokenize rule
+    toks = docs.select(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"),
+            lambda x: F.length(x) >= 4,
+        ).alias("l")
+    )
+    row = toks.agg(
+        F.sum(F.greatest(F.size("l") - 1, F.lit(0))).alias("n_adj")
+    ).head()
+    base_adj = int(row["n_adj"])
+    # the FIXTURE's text is template-synthesized (~24 distinct surviving
+    # words — a degenerate vocabulary whose hot-key shuffles time
+    # scheduling constants, not the claim), so the curve uses a
+    # realistic English-corpus base vocabulary instead; what matters is
+    # the GROWTH LAW (V ~ sqrt(N), Heaps beta ~= 0.5), which is what the
+    # registered query's scale docstring claims
+    base_vocab = 20_000
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n = base_adj * mult
+        vocab = int(base_vocab * (mult**0.5))
+        uni = lambda seed: (
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1_000_000))
+            + 1
+        ) / 1_000_001.0
+        # log-uniform word draw: P(word = k) ~ 1/k — Zipf exponent ~1,
+        # real text's law. This matters for the measurement's honesty:
+        # a flatter skew (e.g. quadratic, exponent 1/2) lets DISTINCT
+        # bigrams grow ~linearly with the corpus and times a relation
+        # real corpora don't produce; under 1/k the distinct-bigram
+        # relation saturates toward the hot head, which is exactly the
+        # vocabulary-bounded behavior the registered query claims.
+        word = lambda seed: F.least(
+            F.floor(F.exp(uni(seed) * float(__import__("math").log(vocab)))).cast(
+                "long"
+            )
+            - 1,
+            F.lit(vocab - 1),
+        )
+        adj = spark.range(n).select(
+            word(0).alias("a"), word(1).alias("b")
+        )
+        t0 = time.perf_counter()
+        edges = (
+            adj.filter(F.col("a") != F.col("b"))
+            .groupBy(
+                F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+            )
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+        und = edges.unionAll(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+        )
+        degs = und.groupBy(F.col("u").alias("word")).agg(
+            F.sum("w").cast("long").alias("deg")
+        ).persist()
+        ce = und.join(degs, und["u"] == degs["word"]).select(
+            "u", "v", (F.col("w").cast("double") / F.col("deg")).alias("wd")
+        ).persist()
+        nodes = degs.select("word")
+        ws = nodes.select("word", F.lit(1.0).alias("ws"))
+        for _ in range(3):
+            contrib = (
+                ws.join(ce, ws["word"] == ce["u"])
+                .groupBy("v")
+                .agg(F.sum(F.col("ws") * F.col("wd")).alias("c"))
+            )
+            ws = nodes.join(
+                contrib, nodes["word"] == contrib["v"], "left"
+            ).select(
+                "word",
+                (F.lit(0.15) + 0.85 * F.coalesce("c", F.lit(0.0))).alias("ws"),
+            )
+        ws.agg(F.sum("ws"), F.max("ws")).collect()
+        out[f"textrank_{mult}x_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"textrank_{mult}x_vocab"] = float(vocab)
+        degs.unpersist()
+        ce.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
+def _minhash_fidelity_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the sketch-fidelity QA (`dedup_minhash_fidelity`)
+    — VERDICT r8 #6. The query's corpus-proportional stage is the
+    doc-keyed 16-slot min-signature aggregate (16 md5-derived slot
+    hashes per shingle row, map-side partial agg); the verified-pair
+    joins are bounded by the planted near-dup census, not the corpus.
+    The experiment synthesizes the exploded (doc_id, sh) shingle
+    relation directly at 10x and 100x the sf0.1 corpus cardinality
+    (40 shingles/doc, hash-derived; ~2% of docs in planted 2-doc pairs
+    sharing ALL shingles so the pair legs match end-to-end) and times
+    the registered query's own signature expression + the broadcast
+    pair joins + slot-agreement arithmetic. Linear seconds against 10x
+    corpus growth = the claim; the pair-join cost stays flat because
+    the pair list scales with the planted rate, not the corpus."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+
+    base = load_tables(spark, sf_dir)["documents"].count()
+    shingles_per_doc = 40
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n_docs = base * mult
+        pair_root = F.col("doc_id") - F.pmod(F.col("doc_id"), F.lit(2))
+        seed_doc = F.when(
+            F.pmod(F.col("doc_id"), F.lit(100)) < 2, pair_root
+        ).otherwise(F.col("doc_id"))
+        sh_rel = spark.range(n_docs * shingles_per_doc).select(
+            (F.col("id") / shingles_per_doc).cast("long").alias("doc_id"),
+            F.pmod(F.col("id"), F.lit(shingles_per_doc)).alias("slot"),
+        ).select(
+            "doc_id",
+            F.concat(
+                F.lit("sh:"), seed_doc.cast("string"), F.lit(":"), F.col("slot")
+            ).alias("sh"),
+        )
+        pairs = (
+            spark.range(n_docs)
+            .select(F.col("id").alias("doc_id"))
+            .filter(
+                (F.pmod(F.col("doc_id"), F.lit(100)) == 0)
+            )
+            .select(
+                F.col("doc_id").alias("d1"),
+                (F.col("doc_id") + 1).alias("d2"),
+                F.lit(1.0).alias("jaccard"),
+            )
+        )
+        t0 = time.perf_counter()
+        sig = sh_rel.groupBy("doc_id").agg(
+            *[
+                F.min(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}:"), F.col("sh"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                ).alias(f"m{i}")
+                for i in range(16)
+            ]
+        )
+        a = sig.select(
+            F.col("doc_id").alias("d1"),
+            *[F.col(f"m{i}").alias(f"a{i}") for i in range(16)],
+        )
+        b = sig.select(
+            F.col("doc_id").alias("d2"),
+            *[F.col(f"m{i}").alias(f"b{i}") for i in range(16)],
+        )
+        k = sum(
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(16)
+        )
+        res = (
+            a.join(F.broadcast(pairs), "d1")
+            .join(b, "d2")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.avg(k.cast("double") / 16).alias("mean_est"),
+            )
+            .collect()
+        )
+        out[f"fidelity_{mult}x_sec"] = round(time.perf_counter() - t0, 3)
+        out[f"fidelity_{mult}x_pairs"] = float(res[0]["n_pairs"])
         spark.catalog.clearCache()
     return out
 

@@ -676,8 +676,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 — one collect_set groupBy + map-side pair explode + pair count),
     then degree counting is one node-cardinality aggregate and the
     histogram is a dozen bucket rows."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    edges = _copurchase_edges(li)
+    edges = copurchase_edges(spark, sf_dir)  # session-scoped cached build
     degs = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -790,8 +789,7 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..persistence import tracked_persist
 
     par = 2 * spark.sparkContext.defaultParallelism
-    li = load_tables(spark, sf_dir)["lineitem"]
-    edges = _copurchase_edges(li)  # shared shuffle-lean build (round 8)
+    edges = copurchase_edges(spark, sf_dir)  # session-scoped cached build
     und = tracked_persist(
         edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -938,6 +936,78 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+# --- session-scoped edge-build cache (round 9, VERDICT r8 #7) ---------------
+#
+# Five registered queries (degree distribution, BFS, CC, label propagation,
+# k-core) consume the SAME co-purchase edge relation; run back-to-back by
+# the driver each one re-derived it (~3.9s of the ~4s build at sf0.1 —
+# measured, SCALE.md §"Graph-family edge-build cache"). The result is tiny
+# (3,573 rows / ~57 KB at sf0.1: support-thresholding caps it near the
+# part-catalog axis, not the lineitem axis), so one persisted copy per
+# (session, sf_dir) is the right trade at every scale.
+#
+# Lifetime rules (why this is NOT tracked_persist):
+# * `persist()` with INTACT lineage, never localCheckpoint — if anything
+#   evicts or clears the blocks (bench.py and tests call
+#   `spark.catalog.clearCache()` between reps), the next consumer silently
+#   recomputes instead of failing on truncated lineage; the storageLevel
+#   probe below re-marks it cached when that happens.
+# * deliberately OUTSIDE persistence.py's per-query release cycle —
+#   tracked blocks die when the next registered query starts, which is
+#   exactly the boundary this cache must survive.
+# * bounded: ≤ _EDGE_CACHE_MAX entries, LRU-evicted with an explicit
+#   unpersist; one entry is ~57 KB at sf0.1 and grows with the PART
+#   catalog (dim-like), not the fact table.
+# * coalesce(8) BEFORE persist: cached plans are exempt from AQE partition
+#   coalescing (`canChangeCachedPlanOutputPartitioning` defaults false),
+#   so an uncoalesced cache would pin 32-task stages on every downstream
+#   read of 3.5k rows — the round-8 BFS lesson.
+_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_EDGE_CACHE_MAX = 2
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-scoped cached wrapper around `_copurchase_edges`: one
+    persisted build per (applicationId, sf_dir), shared by the five
+    graph-family consumers; safe under external clearCache (lineage
+    recomputes) and size-bounded (see the cache-design comment above)."""
+    from pyspark.storagelevel import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EDGE_CACHE.get(key)
+    if hit is not None:
+        if hit.storageLevel == StorageLevel.NONE:
+            # an external spark.catalog.clearCache() dropped the blocks;
+            # lineage is intact, so re-mark and let the next action refill
+            hit.persist(StorageLevel.MEMORY_AND_DISK)
+        return hit
+    li = load_tables(spark, sf_dir)["lineitem"]
+    edges = (
+        _copurchase_edges(li)
+        .coalesce(8)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+        oldest = next(iter(_EDGE_CACHE))
+        try:
+            _EDGE_CACHE.pop(oldest).unpersist()
+        except Exception:
+            pass
+    _EDGE_CACHE[key] = edges
+    return edges
+
+
+def clear_copurchase_cache() -> None:
+    """Explicit invalidation: unpersist and forget every cached edge
+    relation (tests use this to measure cold-vs-warm builds)."""
+    for df in _EDGE_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _EDGE_CACHE.clear()
+
+
 @register(
     "graph_connected_components", oracle=_CC_ORACLE, tags=("graph", "iterative")
 )
@@ -976,8 +1046,7 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; the loop's entry checkpoint pins it) instead of being
     re-derived by the first round, the node census, and the label
     join-back, which is where most of the round-7 7.5s actually went."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    stars = star_contraction_stars(_copurchase_edges(li))
+    stars = star_contraction_stars(copurchase_edges(spark, sf_dir))
     # one star per component: size = child count + 1 (the root itself);
     # min-label = the root. One exchange on the root key, no label union.
     sizes = stars.groupBy(F.col("b").alias("label")).agg(
@@ -1262,8 +1331,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..persistence import tracked_persist
 
-    li = load_tables(spark, sf_dir)["lineitem"]
-    edges = _copurchase_edges(li)  # shared shuffle-lean build (round 8)
+    edges = copurchase_edges(spark, sf_dir)  # session-scoped cached build
     und = tracked_persist(
         edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -1462,8 +1530,7 @@ def graph_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     shrinks; the support threshold bounds the initial edge relation
     (graph_triangle_count's argument); lineage/block lifecycle lives in
     `kcore_peel`."""
-    li = load_tables(spark, sf_dir)["lineitem"]
-    cur = kcore_peel(_copurchase_edges(li), _KCORE_K)
+    cur = kcore_peel(copurchase_edges(spark, sf_dir), _KCORE_K)
 
     core_nodes = (
         cur.select(F.col("u").alias("node"))

@@ -101,6 +101,8 @@ _BNLJ_BOUNDED = {
     "q22_idle_capital",
     "range_join_value_tiers",
     "ref_admin_platform_stats",
+    "ref_admin_stats",  # two 1-row grand aggregates crossed (the
+    # /admin/stats twin of ref_admin_platform_stats, round 9)
     "similarity_cosine_topk",
     "similarity_filtered_topk",
     "similarity_hard_negatives",
