@@ -958,10 +958,16 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
 # * bounded: ≤ _EDGE_CACHE_MAX entries, LRU-evicted with an explicit
 #   unpersist; one entry is ~57 KB at sf0.1 and grows with the PART
 #   catalog (dim-like), not the fact table.
-# * coalesce(8) BEFORE persist: cached plans are exempt from AQE partition
-#   coalescing (`canChangeCachedPlanOutputPartitioning` defaults false),
-#   so an uncoalesced cache would pin 32-task stages on every downstream
-#   read of 3.5k rows — the round-8 BFS lesson.
+# * REBUILD-FRESH invalidation (measured, round 9): when an external
+#   clearCache drops the blocks, do NOT re-persist the stale captured
+#   DataFrame — re-marking the frozen plan made BFS reps 2x slower
+#   (9.4-11.2s vs 4.6-5.3s at sf0.1 under bench's clearCache-between-
+#   reps regime); building a FRESH plan on invalidation restores the
+#   baseline (4.6-5.2s measured) because AQE re-plans the build instead
+#   of re-executing the first materialization's frozen physical plan.
+#   No pre-persist coalesce either: the relation lands at the
+#   aggregate's AQE-coalesced width, and a forced coalesce(8) measured
+#   ~0.5s slower on the rebuild path for no warm-path gain.
 _EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
 _EDGE_CACHE_MAX = 2
 
@@ -969,25 +975,18 @@ _EDGE_CACHE_MAX = 2
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped cached wrapper around `_copurchase_edges`: one
     persisted build per (applicationId, sf_dir), shared by the five
-    graph-family consumers; safe under external clearCache (lineage
-    recomputes) and size-bounded (see the cache-design comment above)."""
+    graph-family consumers; safe under external clearCache (a fresh
+    plan is rebuilt — see the invalidation note above) and size-bounded
+    (see the cache-design comment above)."""
     from pyspark.storagelevel import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EDGE_CACHE.get(key)
-    if hit is not None:
-        if hit.storageLevel == StorageLevel.NONE:
-            # an external spark.catalog.clearCache() dropped the blocks;
-            # lineage is intact, so re-mark and let the next action refill
-            hit.persist(StorageLevel.MEMORY_AND_DISK)
+    if hit is not None and hit.storageLevel != StorageLevel.NONE:
         return hit
     li = load_tables(spark, sf_dir)["lineitem"]
-    edges = (
-        _copurchase_edges(li)
-        .coalesce(8)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+    edges = _copurchase_edges(li).persist(StorageLevel.MEMORY_AND_DISK)
+    if hit is None and len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
         oldest = next(iter(_EDGE_CACHE))
         try:
             _EDGE_CACHE.pop(oldest).unpersist()
