@@ -118,9 +118,11 @@ EXTENDED = (
     "text_textrank_keywords",
     # Round-8 late addition: BFS turned out to be the registry's hidden
     # heavyweight under a vanilla session (un-persisted census branches
-    # replayed the hop chains: 65-110s). Fixed with per-tier persists +
-    # pre-cache coalesce (~5s steady at sf0.1); tracked here so a
-    # replay-tree regression shows up as a number, not a sweep surprise
+    # replayed the hop chains: 65-110s). Round-8 fix: per-tier persists +
+    # pre-cache coalesce (~5s steady at sf0.1); round 9 fused each tier
+    # count into its checkpoint job via observe (the CC lifecycle) and
+    # assembles the census from the observed scalars (~3.2s). Tracked
+    # here so a replay-tree regression shows up as a number
     "graph_bfs_3hop",
 )
 

@@ -761,74 +761,77 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph features.
 
     Scale shape: the edge relation is support-thresholded (collision-
-    sized, see graph_triangle_count) and persisted once; each hop's
-    joins key on node ids; frontier and visited sets only ever hold
-    node ids. Fixed depth unrolls 3 rounds statically like
-    `graph_pagerank_3iter` into ONE lazy plan, but — round-8 lesson —
-    the node census AND each later hop re-reference every earlier
-    frontier, so WITHOUT a cache boundary per tier the hop chains
-    re-execute once per referencing branch (measured: 65-110s at
-    sf0.001 under a vanilla 200-shuffle-partition session, almost all
-    of it task-scheduling on replayed tiny stages). Two fixes:
+    sized, see graph_triangle_count) and session-cached
+    (`copurchase_edges`); each hop's joins key on node ids; frontier
+    and visited sets only ever hold node ids.
 
-    1. Persist the node set and each hop frontier (node-cardinality
-       relations, tracked-released at the next registered query) —
-       collapses the replay tree. Same class as the diamond persists in
-       the dedup family.
-    2. Coalesce each cached relation to 2x cluster parallelism first:
-       cached plans are exempt from AQE partition coalescing
-       (canChangeCachedPlanOutputPartitioning defaults false), so the
-       cache would otherwise hold the raw 200-400 shuffle partitions
-       and every downstream stage schedules that many tasks for a
-       graph-sized relation. These relations are support-thresholded
-       (collision-bounded, never corpus-sized), so a parallelism-scaled
-       floor loses nothing at any SF.
+    Evolution of the execution strategy (measured at sf0.1):
 
-    Measured together at sf0.1: ~5.2s steady state, ~20x off the
-    un-persisted unroll."""
-    from ..persistence import tracked_persist
+    * round 8: the lazily-unrolled one-plan form re-referenced every
+      earlier frontier from the census branches and later hops, so
+      WITHOUT a cache boundary per tier the hop chains re-executed once
+      per referencing branch (65-110s at sf0.001 under a vanilla
+      session — almost all task-scheduling on replayed tiny stages).
+      Per-tier persists + pre-cache coalesce fixed that (~5s).
+    * round 9: the census is SCALARS — one count per tier — so the
+      five aggregate branches and the unreachable anti-join are dead
+      weight once each tier is eagerly materialized anyway. Each hop
+      now localCheckpoints its frontier with the tier count OBSERVED by
+      the checkpoint job (the `graph_pagerank_converged` /
+      connected-components lifecycle: one job per hop, no separate
+      actions), unreachable = |nodes| - Σ tier counts, and the census
+      assembles from those observed scalars. Measured: 4.95-6.11s →
+      **2.89-3.11s** per invocation. The driver touches only the five
+      census scalars — never node data; every checkpoint block is
+      released before return (the output carries no lineage into them,
+      so no tracked_release is needed).
+
+    Empty-tier semantics (the oracle's static census): an exhausted
+    frontier yields observed n=0 — the (distance, 0) row is still
+    emitted, which the old per-tier `agg(count)` form guaranteed and a
+    groupBy over a unioned `visited` would have dropped."""
+    from pyspark.sql import Observation
 
     par = 2 * spark.sparkContext.defaultParallelism
     edges = copurchase_edges(spark, sf_dir)  # session-scoped cached build
-    und = tracked_persist(
-        edges.union(
-            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        ).coalesce(par)
+    und = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).coalesce(par)
+
+    def _ckpt_observed(df: DataFrame) -> tuple[DataFrame, int]:
+        obs = Observation()
+        out = (
+            df.coalesce(par)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
+        return out, int(_observed(obs, out, F.count(F.lit(1)).alias("n"))["n"])
+
+    nodes, n_nodes = _ckpt_observed(
+        und.select(F.col("u").alias("node")).distinct()
     )
-    nodes = tracked_persist(
-        und.select(F.col("u").alias("node")).distinct().coalesce(par)
-    )
-    frontier = nodes.filter(F.col("node") % 10 == 0)
-    visited = frontier.withColumn("distance", F.lit(0))
-    tiers = [visited]
-    for k in range(1, _BFS_HOPS + 1):
-        nxt = tracked_persist(
+    frontier, n0 = _ckpt_observed(nodes.filter(F.col("node") % 10 == 0))
+    counts = [n0]
+    visited = frontier
+    ckpts = [nodes, frontier]
+    for _ in range(1, _BFS_HOPS + 1):
+        nxt, nk = _ckpt_observed(
             frontier.join(und, frontier["node"] == und["u"])
             .select(F.col("v").alias("node"))
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
-            .coalesce(par)
         )
-        tier = nxt.withColumn("distance", F.lit(k))
-        tiers.append(tier)
-        visited = visited.unionByName(tier)
+        counts.append(nk)
+        visited = visited.unionByName(nxt)
         frontier = nxt
-    # per-tier 1-row aggregates (not a groupBy over `visited`): an EMPTY
-    # tier must still emit its (distance, 0) row to match the oracle's
-    # static census — count() of an empty relation is one zero row,
-    # while a groupBy would drop the distance entirely
-    parts = [
-        t.agg(F.count(F.lit(1)).alias("n_nodes")).select(
-            F.lit(d - 1).cast("int").alias("distance"), "n_nodes"
-        )
-        for d, t in enumerate(
-            [nodes.join(visited.select("node"), "node", "left_anti"), *tiers]
-        )
-    ]
-    census = parts[0]
-    for p in parts[1:]:
-        census = census.unionByName(p)
-    return census.orderBy("distance")
+        ckpts.append(nxt)
+    census = [(-1, n_nodes - sum(counts))] + list(enumerate(counts))
+    out = spark.createDataFrame(
+        census, "distance int, n_nodes long"
+    ).orderBy("distance")
+    for c in ckpts:  # scalars extracted; no consumer reads these blocks
+        c._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    return out
 
 
 # ---------------------------- connected components, large-star/small-star
