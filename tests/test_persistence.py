@@ -113,3 +113,39 @@ def test_tracked_persists_do_not_accumulate(spark):
     qs["text_token_count"](spark, SF_SMOKE).count()
     assert len(persistence._LIVE) == 0, "tracker retained blocks"
     assert _drain_to(spark, 0) == 0, "tracked blocks not released"
+
+
+def test_edge_cache_rebuilds_fresh_plan_on_invalidation(spark):
+    """Round-9 measured lesson (SCALE.md "Graph-family edge-build
+    cache"): when an external `spark.catalog.clearCache()` drops the
+    session-scoped co-purchase edge cache, the wrapper must hand back a
+    NEW plan — re-persisting the stale captured DataFrame re-executes
+    its frozen first-materialization physical plan without AQE
+    re-planning and measured 2x slower on BFS. Pin the three contract
+    points: warm hit returns the SAME object; post-clearCache the
+    wrapper returns a DIFFERENT DataFrame (fresh plan) that is persisted
+    again; explicit clear_copurchase_cache unpersists and forgets."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mini_hive_server_spark.operators.graph import (
+        clear_copurchase_cache,
+        copurchase_edges,
+    )
+
+    clear_copurchase_cache()
+    a = copurchase_edges(spark, SF_SMOKE)
+    a.count()  # materialize
+    assert a.storageLevel != StorageLevel.NONE
+    assert copurchase_edges(spark, SF_SMOKE) is a, "warm hit must reuse"
+
+    spark.catalog.clearCache()  # external invalidation (bench does this)
+    assert a.storageLevel == StorageLevel.NONE
+    b = copurchase_edges(spark, SF_SMOKE)
+    assert b is not a, "invalidation must rebuild a fresh plan, not re-mark"
+    b.count()
+    assert b.storageLevel != StorageLevel.NONE
+    # same relation either way (the cache is transparent to consumers)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    clear_copurchase_cache()
+    assert b.storageLevel == StorageLevel.NONE, "explicit clear unpersists"
