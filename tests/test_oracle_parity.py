@@ -33,3 +33,36 @@ def test_no_rows_only_queries():
         f"oracle-less registered queries (the driver cannot check these): "
         f"{rows_only}"
     )
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("MHS_HOSTILE_SWEEP"),
+    reason="opt-in (MHS_HOSTILE_SWEEP=1): boots a second ~8-min session",
+)
+def test_hostile_session_full_sweep():
+    """Repeatable form of the round-8/9 hostile-session sweep (previously
+    ad-hoc session scripts): the ENTIRE registry must match its oracles
+    under a session with a non-UTC timezone AND ansi mode off — the two
+    session knobs a driver environment could plausibly flip. Runs in its
+    OWN SparkSession (the shared fixture session must not inherit the
+    hostile confs), so it is opt-in via MHS_HOSTILE_SWEEP=1; rounds 8 and
+    9 ran it green over all registered queries (COVERAGE.md closing
+    evidence)."""
+    from pyspark.sql import SparkSession
+
+    hostile = (
+        SparkSession.builder.master("local[8]")
+        .appName("mhs-hostile-sweep")
+        .config("spark.sql.session.timeZone", "America/New_York")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.shuffle.partitions", "32")
+        .getOrCreate()
+    )
+    try:
+        fails: list[str] = []
+        for name in ORACLE_NAMES:
+            spec = SPECS[name]
+            fails += compare(name, spec.fn(hostile, SF_ORACLE), spec.oracle, SF_ORACLE)
+        assert not fails, fails[:10]
+    finally:
+        hostile.stop()
