@@ -480,13 +480,20 @@ def _cc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     its ADVERSARIAL shape — a path graph, where min-label propagation
     needs diameter(=n) rounds but large-star/small-star needs O(log n).
     Two measurements per size: (a) star contraction run to convergence
-    (rounds + seconds; the round count growing logarithmically while n
-    grows 10x is the scalability claim, measured), and (b) plain
-    synchronous min-label propagation given the SAME round budget on the
-    same graph, reporting the fraction of nodes still mislabeled — at
-    round budget R a path leaves ~(n-R)/n of the graph unconverged,
-    which is why the naive algorithm cannot ship at 100 TB even though
-    its per-round dataflow is identical (one equi-join + one groupBy)."""
+    (rounds + seconds), and (b) plain synchronous min-label propagation
+    given the SAME round budget on the same graph, reporting the
+    fraction of nodes still mislabeled — at round budget R a path leaves
+    ~(n-R)/n of the graph unconverged, which is why the naive algorithm
+    cannot ship at 100 TB even though its per-round dataflow is
+    identical (one equi-join + one groupBy).
+
+    Sizes straddle the round-9 adaptive pre-pass budget (1M edges/chunk,
+    `graph._PREPASS_EDGE_BUDGET`): 300k = BELOW budget, certifying the
+    local-solve fast path (one bounded union-find chunk solves the path
+    outright, global rounds = 2 = compute + confirm); 3M = ABOVE budget,
+    certifying the distributed path (3 bounded chunks contract the
+    diameter-3M path to a 3-super-chain, then O(log chunks) star rounds
+    finish it) — the regime every 100 TB graph runs in."""
     import time
 
     from pyspark.sql import functions as F
@@ -494,7 +501,7 @@ def _cc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     from mini_hive_server_spark.operators.graph import star_contraction_labels
 
     out: dict[str, float] = {}
-    for n in (30_000, 300_000):
+    for n in (300_000, 3_000_000):
         edges = spark.range(n - 1).select(
             F.col("id").alias("u"), (F.col("id") + 1).alias("v")
         )

@@ -837,6 +837,11 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------- connected components, large-star/small-star
 
 _CC_MAX_ROUNDS = 64
+# Per-task edge budget for the adaptive union-find pre-pass (see
+# star_contraction_stars docstring point 1): ≤1M edges/chunk keeps the
+# kernel's node dict around ~250 MB worst case — the same order as any
+# map task's maxPartitionBytes working set.
+_PREPASS_EDGE_BUDGET = 1_000_000
 
 
 def _observed(obs, fallback_df: DataFrame, *exprs, timeout_s: float = 60.0) -> dict:
@@ -1144,7 +1149,23 @@ def star_contraction_stars(
        before the dedup shuffle so it sees the generator's natural edge
        locality) collapses whatever each partition can prove connected —
        the adversarial path graph enters the global loop with diameter
-       ≈ #partitions instead of #nodes.
+       ≈ #partitions instead of #nodes. Round 9 made the pre-pass
+       partitioning ADAPTIVE: the input coalesces to
+       ceil(|E| / 1M) partitions (never more than it already has), so a
+       graph whose edge relation fits one bounded chunk is solved
+       OUTRIGHT by the local union-find and the global loop only
+       confirms the fixpoint (2 rounds). The budget bounds per-task
+       memory exactly like maxPartitionBytes bounds any map task (the
+       kernel holds one dict entry per distinct node in its chunk,
+       ≤ ~250 MB at the 1M-edge budget), so at 100 TB the rule degrades
+       gracefully to the round-8 behavior: many bounded chunks, maximal
+       local contraction, O(log n) global rounds over what remains.
+       Measured: sf0.1 co-purchase graph 4 rounds / ~4.0 s → 2 rounds /
+       ~1.8 s warm; adversarial 300k-edge path 6 rounds / 10-11.4 s →
+       2 rounds / 5.2 s, exact labels everywhere. The |E| count comes
+       from one count() on the (usually persisted) input — for the
+       session-cached co-purchase edges it doubles as the cache
+       materialization round 1 needed anyway.
     2. The large-star step exploits the canonical a > b orientation:
        m(u) = min(N(u) ∪ {u}) can only come from u's SMALLER neighbors,
        so one groupBy("a").min("b") replaces the both-directions union
@@ -1164,11 +1185,22 @@ def star_contraction_stars(
     canon = edges.filter(F.col("u") != F.col("v")).select(
         F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
     )
+    # adaptive pre-pass width (docstring point 1): bounded chunks, as few
+    # as the budget allows; coalesce never increases partition count, so
+    # an already-wider-than-needed input is left alone
+    n_edges = edges.count()
+    prepass_parts = max(1, -(-n_edges // _PREPASS_EDGE_BUDGET))
+    if stats is not None:
+        stats["prepass_parts"] = prepass_parts
     # entry checkpoint: the upstream edge BUILD (often the expensive part
     # — e.g. the co-purchase pair aggregation) runs exactly once; round 1
     # reads these blocks. Must stay live until the function's output is
     # consumed (truncated lineage cannot recompute), hence tracked_release.
-    cur = _local_contract(canon).distinct().localCheckpoint()
+    cur = (
+        _local_contract(canon.coalesce(prepass_parts))
+        .distinct()
+        .localCheckpoint()
+    )
 
     def _ckpt_rdd(df: DataFrame):
         # the LogicalRDD's backing rdd (same form as graph_pagerank_converged)
