@@ -255,6 +255,28 @@ def main() -> None:
     # local record file (committed per round as BENCH_local_rN.json) so
     # drift adjudication never again depends on the builder's memory.
     print(f"# spread: {json.dumps(spread)}", file=sys.stderr)
+    noise_after = _noise_context()
+    # Compact noise marker INSIDE the stdout record (VERDICT r9 #2): the
+    # round-9 driver run recorded steal-inflated medians (cc 12.7s vs the
+    # committed 2.91s) with no in-record way to tell. ~45 chars buys
+    # self-adjudication: steal_s = cumulative CPU-steal seconds across the
+    # whole run (USER_HZ=100 jiffies), load1 = 1-min loadavg at finish.
+    # Adjudication rule (SCALE.md §"Bench noise adjudication"): steal_s
+    # > 30 or load1 > 2×CPUs → quote the committed BENCH_local_rN.json
+    # quiet-window record as primary.
+    steal_s = None
+    if "cpu_steal_jiffies" in noise_before and "cpu_steal_jiffies" in noise_after:
+        steal_s = round(
+            (noise_after["cpu_steal_jiffies"] - noise_before["cpu_steal_jiffies"])
+            / 100.0,
+            1,
+        )
+    load1 = None
+    if noise_after.get("loadavg"):
+        try:
+            load1 = float(noise_after["loadavg"][0])
+        except ValueError:
+            pass
     out = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
@@ -271,6 +293,7 @@ def main() -> None:
                 sum(t for n, t in timings.items() if n in EXTENDED), 3
             ),
         },
+        "noise": {"steal_s": steal_s, "load1": load1},
     }
     if failed:
         # names only on stdout (a traceback string would blow the budget);
@@ -283,7 +306,7 @@ def main() -> None:
         "spread": spread,
         "experiments": experiments,
         "failed_detail": failed,
-        "noise": {"before": noise_before, "after": _noise_context()},
+        "noise": {"before": noise_before, "after": noise_after},
     }
     local_path = os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "BENCH_local.json")
     try:
@@ -296,7 +319,14 @@ def main() -> None:
     if experiments:
         print(f"# experiments: {json.dumps(experiments)}", file=sys.stderr)
     line = json.dumps(out)
-    assert len(line) < 1900, f"stdout record {len(line)} chars breaches tail budget"
+    # ADVICE r9: an `assert` is stripped under `python -O`, silently
+    # reverting to the BENCH_r07/r08 `parsed: null` failure mode — the
+    # guard must survive optimization flags.
+    if len(line) >= 1900:
+        raise RuntimeError(
+            f"stdout record {len(line)} chars breaches the ~2000-char "
+            "driver tail budget; move fields to stderr/local record"
+        )
     print(line)
 
 

@@ -254,10 +254,12 @@ def _pagerank_converged_oracle() -> str:
     # ADVICE r8: string surgery on the golden template no-ops silently if
     # the SELECT line's formatting drifts, and the converged oracle would
     # then grow an extra column that only surfaces as a driver hash
-    # mismatch. Fail at import time instead.
-    assert "n_iterations" not in out, (
-        "golden SQL template drifted: n_iterations SELECT line not removed"
-    )
+    # mismatch. Fail at import time instead — with a raise, not an assert,
+    # so the guard survives `python -O` (ADVICE r9).
+    if "n_iterations" in out:
+        raise RuntimeError(
+            "golden SQL template drifted: n_iterations SELECT line not removed"
+        )
     return out
 
 
@@ -807,31 +809,45 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return out, int(_observed(obs, out, F.count(F.lit(1)).alias("n"))["n"])
 
-    nodes, n_nodes = _ckpt_observed(
-        und.select(F.col("u").alias("node")).distinct()
-    )
-    frontier, n0 = _ckpt_observed(nodes.filter(F.col("node") % 10 == 0))
-    counts = [n0]
-    visited = frontier
-    ckpts = [nodes, frontier]
-    for _ in range(1, _BFS_HOPS + 1):
-        nxt, nk = _ckpt_observed(
-            frontier.join(und, frontier["node"] == und["u"])
-            .select(F.col("v").alias("node"))
-            .distinct()
-            .join(visited.select("node"), "node", "left_anti")
+    # ADVICE r9: the checkpoint blocks are only released by the unpersist
+    # loop below, so an exception mid-BFS (e.g. the _observed fallback
+    # raising) would leak truncated-lineage blocks for the session
+    # lifetime with no next-query release cycle to reclaim them. The
+    # try/finally guarantees every accumulated block is dropped on ANY
+    # exit; the blocks are safe to release eagerly because the returned
+    # DataFrame is built from driver-side scalars (createDataFrame) and
+    # carries no lineage into them.
+    ckpts: list[DataFrame] = []
+    try:
+        nodes, n_nodes = _ckpt_observed(
+            und.select(F.col("u").alias("node")).distinct()
         )
-        counts.append(nk)
-        visited = visited.unionByName(nxt)
-        frontier = nxt
-        ckpts.append(nxt)
-    census = [(-1, n_nodes - sum(counts))] + list(enumerate(counts))
-    out = spark.createDataFrame(
-        census, "distance int, n_nodes long"
-    ).orderBy("distance")
-    for c in ckpts:  # scalars extracted; no consumer reads these blocks
-        c._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    return out
+        ckpts.append(nodes)
+        frontier, n0 = _ckpt_observed(nodes.filter(F.col("node") % 10 == 0))
+        ckpts.append(frontier)
+        counts = [n0]
+        visited = frontier
+        for _ in range(1, _BFS_HOPS + 1):
+            nxt, nk = _ckpt_observed(
+                frontier.join(und, frontier["node"] == und["u"])
+                .select(F.col("v").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+            )
+            ckpts.append(nxt)
+            counts.append(nk)
+            visited = visited.unionByName(nxt)
+            frontier = nxt
+        census = [(-1, n_nodes - sum(counts))] + list(enumerate(counts))
+        return spark.createDataFrame(
+            census, "distance int, n_nodes long"
+        ).orderBy("distance")
+    finally:
+        for c in ckpts:  # scalars extracted; no consumer reads these blocks
+            try:
+                c._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # release is best-effort; never mask the real error
 
 
 # ---------------------------- connected components, large-star/small-star
@@ -991,13 +1007,18 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _EDGE_CACHE.get(key)
     if hit is not None and hit.storageLevel != StorageLevel.NONE:
+        # True LRU (ADVICE r9 / VERDICT r9 #4): refresh recency on hit by
+        # re-inserting the key at the end of the dict's insertion order —
+        # without this, eviction below is FIFO and with alternating
+        # sf_dirs the actively-hot entry could be the one evicted.
+        _EDGE_CACHE[key] = _EDGE_CACHE.pop(key)
         return hit
     li = load_tables(spark, sf_dir)["lineitem"]
     edges = _copurchase_edges(li).persist(StorageLevel.MEMORY_AND_DISK)
     if hit is None and len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
-        oldest = next(iter(_EDGE_CACHE))
+        lru = next(iter(_EDGE_CACHE))  # front of insertion order = LRU
         try:
-            _EDGE_CACHE.pop(oldest).unpersist()
+            _EDGE_CACHE.pop(lru).unpersist()
         except Exception:
             pass
     _EDGE_CACHE[key] = edges

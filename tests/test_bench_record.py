@@ -33,6 +33,9 @@ def _stdout_record(timings: dict[str, float], failed: dict[str, str]) -> str:
                 sum(t for n, t in timings.items() if n in bench.EXTENDED), 3
             ),
         },
+        # round-10 noise marker (VERDICT r9 #2) at worst-case width:
+        # steal_s four digits + decimal, load1 three digits + two decimals
+        "noise": {"steal_s": 9999.9, "load1": 999.75},
     }
     if failed:
         out["failed"] = sorted(failed)
@@ -46,8 +49,11 @@ def test_all_timed_record_fits_tail_budget():
     assert len(line) < 1900, f"{len(line)} chars: shrink HEADLINE or the record"
     # and it must round-trip with the driver-contract keys intact
     back = json.loads(line)
-    assert set(back) == {"metric", "value", "unit", "queries", "sf", "subtotals"}
+    assert set(back) == {
+        "metric", "value", "unit", "queries", "sf", "subtotals", "noise",
+    }
     assert len(back["queries"]) == len(bench.HEADLINE)
+    assert set(back["noise"]) == {"steal_s", "load1"}
 
 
 def test_all_failed_record_fits_tail_budget():

@@ -39,30 +39,40 @@ def test_no_rows_only_queries():
     not __import__("os").environ.get("MHS_HOSTILE_SWEEP"),
     reason="opt-in (MHS_HOSTILE_SWEEP=1): boots a second ~8-min session",
 )
-def test_hostile_session_full_sweep():
+def test_hostile_session_full_sweep(spark):
     """Repeatable form of the round-8/9 hostile-session sweep (previously
     ad-hoc session scripts): the ENTIRE registry must match its oracles
     under a session with a non-UTC timezone AND ansi mode off — the two
-    session knobs a driver environment could plausibly flip. Runs in its
-    OWN SparkSession (the shared fixture session must not inherit the
-    hostile confs), so it is opt-in via MHS_HOSTILE_SWEEP=1; rounds 8 and
-    9 ran it green over all registered queries (COVERAGE.md closing
-    evidence)."""
-    from pyspark.sql import SparkSession
+    session knobs a driver environment could plausibly flip. Opt-in via
+    MHS_HOSTILE_SWEEP=1 (a second full ~8-min sweep).
 
-    hostile = (
-        SparkSession.builder.master("local[8]")
-        .appName("mhs-hostile-sweep")
-        .config("spark.sql.session.timeZone", "America/New_York")
-        .config("spark.sql.ansi.enabled", "false")
-        .config("spark.sql.shuffle.partitions", "32")
-        .getOrCreate()
+    ADVICE r9 (medium): the round-9 form used
+    `SparkSession.builder...getOrCreate()`, which inside the suite
+    RETURNS the already-active shared fixture session — so the hostile
+    confs were applied to the shared session and the trailing `stop()`
+    killed it for every later test. The isolated form is
+    `spark.newSession()`: same SparkContext, but SQL confs
+    (`spark.sql.*`) live in the per-session SQLConf, so the hostile
+    timezone/ansi/shuffle settings never touch the fixture session and
+    no stop() is needed (the child session is simply dropped;
+    catalog._TABLES_CACHE is keyed per session, so no handle leaks
+    across either)."""
+    hostile = spark.newSession()
+    hostile.conf.set("spark.sql.session.timeZone", "America/New_York")
+    hostile.conf.set("spark.sql.ansi.enabled", "false")
+    hostile.conf.set("spark.sql.shuffle.partitions", "32")
+    # the isolation contract this test depends on: per-session SQLConf
+    assert (
+        spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    ), "hostile confs leaked into the shared fixture session"
+    shared_ansi = spark.conf.get("spark.sql.ansi.enabled")
+    fails: list[str] = []
+    for name in ORACLE_NAMES:
+        spec = SPECS[name]
+        fails += compare(name, spec.fn(hostile, SF_ORACLE), spec.oracle, SF_ORACLE)
+    assert not fails, fails[:10]
+    # the shared session must come out exactly as it went in
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    assert spark.conf.get("spark.sql.ansi.enabled") == shared_ansi, (
+        "shared session ansi conf mutated by the sweep"
     )
-    try:
-        fails: list[str] = []
-        for name in ORACLE_NAMES:
-            spec = SPECS[name]
-            fails += compare(name, spec.fn(hostile, SF_ORACLE), spec.oracle, SF_ORACLE)
-        assert not fails, fails[:10]
-    finally:
-        hostile.stop()

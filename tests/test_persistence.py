@@ -149,3 +149,41 @@ def test_edge_cache_rebuilds_fresh_plan_on_invalidation(spark):
 
     clear_copurchase_cache()
     assert b.storageLevel == StorageLevel.NONE, "explicit clear unpersists"
+
+
+def test_edge_cache_lru_hit_refreshes_recency(spark):
+    """VERDICT r9 #4 / ADVICE r9: the edge cache is documented LRU, so a
+    HIT must refresh recency — the round-9 form evicted
+    `next(iter(_EDGE_CACHE))` without re-inserting on hit, i.e. FIFO,
+    and with `_EDGE_CACHE_MAX = 2` plus alternating sf_dirs the
+    actively-hot entry was the one evicted. Pin the order: fill both
+    slots [A, B], touch A (A becomes most-recent), insert C — the
+    victim must be B, with A still cached and still the same object."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mini_hive_server_spark.operators.graph import (
+        clear_copurchase_cache,
+        copurchase_edges,
+    )
+
+    sf_a, sf_b, sf_c = (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    clear_copurchase_cache()
+    try:
+        a = copurchase_edges(spark, sf_a)
+        a.count()
+        b = copurchase_edges(spark, sf_b)
+        b.count()
+        assert copurchase_edges(spark, sf_a) is a  # hit: A now most-recent
+        copurchase_edges(spark, sf_c)  # third entry: evicts the LRU
+        assert a.storageLevel != StorageLevel.NONE, (
+            "hit did not refresh recency: the most-recently-used entry "
+            "was evicted (FIFO behavior)"
+        )
+        assert copurchase_edges(spark, sf_a) is a, "A must survive as a hit"
+        assert b.storageLevel == StorageLevel.NONE, "LRU entry B not evicted"
+    finally:
+        clear_copurchase_cache()
