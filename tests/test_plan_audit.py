@@ -39,6 +39,7 @@ from .conftest import SF_SMOKE
 # BNLJ with a provably size-bounded build side (see module docstring)
 _BNLJ_BOUNDED = {
     "buyer_home_dashboard",
+    "ref_buyer_stats",  # two single-tenant 1-row aggregates crossed
     "constraint_referential_audit",  # total x distinct: two 1-row aggregates
     "customer_ltv_pareto",  # 10 decile rows x 1-row grand total
     "events_dau_stickiness",  # broadcast day spine (calendar-bounded) range join
