@@ -229,6 +229,8 @@ def main() -> None:
         _kcore_scale_experiment,
         _textrank_scale_experiment,
         _minhash_fidelity_scale_experiment,
+        _oph_scale_experiment,
+        _pq_adc_scale_experiment,
     ):
         try:
             got = exp(spark, sf_dir)
@@ -912,6 +914,182 @@ def _minhash_fidelity_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         )
         out[f"fidelity_{mult}x_sec"] = round(time.perf_counter() - t0, 3)
         out[f"fidelity_{mult}x_pairs"] = float(res[0]["n_pairs"])
+        spark.catalog.clearCache()
+    return out
+
+
+def _oph_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the OPH vs classic-64-permutation signature A/B
+    (VERDICT r9 #3) — the in-code A/B (dedup.py `dedup_minhash_oph`
+    docstring: classic 1.49s vs OPH 1.65s at sf0.1) finally gets its
+    10x/100x curve. Synthesizes the (doc_id, sh_arr) relation the two
+    PRODUCTION signature builders consume (`minhash_bands` /
+    `oph_bands` are called directly — no replica code) at 10x/100x the
+    sf0.1 corpus with 128 hash-shingles per doc (longer than the
+    10-99-word fixture — partway toward the long-document regime OPH
+    targets) and ~2% planted 2-doc near-dup pairs. Timed per arm: the
+    full signature + banding pipeline forced through a (count, sum(bh))
+    reduction. What the curve adjudicates: classic does 64 in-register
+    rehash-mins per shingle (compute-heavy, shuffle-light: 64-col
+    partial aggs), OPH does one rehash but a 64x-finer (doc, bucket)
+    aggregation plus the all-JVM window densification (shuffle-heavier)
+    — the crossover is a property of shingle count per doc, and the
+    measured numbers replace the docstring's prose claim. The curve's
+    first run already earned its keep: it caught the original per-doc
+    Python densify loop at 94s on the 100x point (vs classic 3.6s) and
+    drove the JVM rework (dedup.py `oph_bands`, round 10)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.dedup import minhash_bands, oph_bands
+
+    base = load_tables(spark, sf_dir)["documents"].count()
+    shingles_per_doc = 128
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n_docs = base * mult
+        pair_root = F.col("id") - F.pmod(F.col("id"), F.lit(2))
+        seed_doc = F.when(F.pmod(F.col("id"), F.lit(100)) < 2, pair_root).otherwise(
+            F.col("id")
+        )
+        sha = spark.range(n_docs).select(
+            F.col("id").alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(shingles_per_doc - 1)),
+                lambda i: F.xxhash64(seed_doc, i),
+            ).alias("sh_arr"),
+        ).persist()
+        sha.count()  # materialize outside the timed window (the registered
+        # queries likewise consume a tracked-persisted sha)
+        for arm, builder in (("classic", minhash_bands), ("oph", oph_bands)):
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                builder(sha).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    # xor-fold, not sum: summing 64M xxhash64 longs
+                    # overflows under the vanilla session's ANSI mode
+                    F.expr("bit_xor(bh)").alias("s"),
+                ).collect()
+                best = min(best, time.perf_counter() - t0)
+            out[f"oph_{arm}_sig_{mult}x_sec"] = round(best, 3)
+        sha.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
+def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for PQ+ADC retrieval (VERDICT r9 #3): codebook train
+    and the encode→LUT-scan→top-C stage at 10x/100x the sf0.1 vector
+    count (2k → 20k / 200k synthetic 64-dim vectors, hash-derived and
+    L2-normalized through the production expression). The two claims the
+    curve certifies: (a) codebook training is CORPUS-SIZE-INDEPENDENT —
+    `_pq_codebook` trains on a bounded 4096-subvector sample, so the
+    train seconds must stay flat from 10x to 100x; (b) the ADC scan is
+    linear in code rows — encode is one map-only Arrow argmin kernel,
+    the 5-query LUT side broadcasts, the top-C window moves (qid, nid,
+    score) triples only. Production kernels are reproduced with the
+    trained codebook exactly as `_pq_scored` builds them (the kernels
+    close over driver-local centers, so calling the module functions
+    directly would retrain per call — training is the thing timed
+    separately here)."""
+    import time
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators import similarity as S
+
+    base = load_tables(spark, sf_dir)["embeddings"].count()
+    out: dict[str, float] = {}
+    # warm up MLlib before the timed trains: the first KMeans fit in a
+    # session pays class-loading + codegen (measured ~23s of pure warmup
+    # on the 10x point, which would fake an inverted train curve)
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    warm = spark.range(256).select(
+        array_to_vector(
+            F.expr(
+                "transform(sequence(0, 7),"
+                " i -> cast(pmod(xxhash64(id, i), 100) as double))"
+            )
+        ).alias("features")
+    )
+    KMeans(k=4, seed=1, maxIter=2).fit(warm)
+    for mult in (10, 100):
+        n = base * mult
+        emb = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.expr(
+                "transform(sequence(0, 63),"
+                " i -> cast(pmod(xxhash64(id, i), 1000) as double) / 500.0 - 1.0)"
+            ).alias("v"),
+        )
+        emb = emb.withColumn(
+            "vn",
+            F.expr("transform(v, e -> e / sqrt(" + S._DOT.format(a="v", b="v") + "))"),
+        ).persist()
+        emb.count()  # materialize outside both timed windows
+        t0 = time.perf_counter()
+        centers = S._pq_codebook(spark, emb)  # bounded-sample k-means
+        out[f"pq_adc_train_{mult}x_sec"] = round(time.perf_counter() - t0, 3)
+
+        d_sub = 64 // S._PQ_M
+        c_sq = (centers**2).sum(axis=1)
+
+        # no pd.Series annotations: the kernels are nested functions whose
+        # type hints would resolve against bench's module globals (pandas
+        # is imported locally here), so hint inference raises — the
+        # annotation-free form takes the legacy SCALAR pandas_udf path
+        def _encode_kernel(vs):
+            mat = np.vstack(vs.to_numpy()).reshape(-1, S._PQ_M, d_sub)
+            d = -2.0 * (mat @ centers.T) + c_sq
+            return pd.Series(list(d.argmin(axis=2).astype("int32")))
+
+        def _lut_kernel(vs):
+            mat = np.vstack(vs.to_numpy()).reshape(-1, S._PQ_M, d_sub)
+            lut = mat @ centers.T
+            return pd.Series([[list(row) for row in t] for t in lut])
+
+        encode = F.pandas_udf(_encode_kernel, "array<int>")
+        lut_of = F.pandas_udf(_lut_kernel, "array<array<double>>")
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            codes = emb.select("vec_id", encode("vn").alias("codes"))
+            q = emb.filter(F.col("vec_id") < 5).select(
+                F.col("vec_id").alias("qid"), lut_of("vn").alias("lut")
+            )
+            scored = (
+                codes.join(F.broadcast(q), F.lit(True))
+                .filter(F.col("vec_id") != F.col("qid"))
+                .select(
+                    "qid",
+                    F.col("vec_id").alias("nid"),
+                    F.expr(
+                        "aggregate(transform(codes, (c, m) -> lut[m][c]),"
+                        " 0D, (a, x) -> a + x)"
+                    ).alias("adc_score"),
+                )
+            )
+            wc = Window.partitionBy("qid").orderBy(
+                F.col("adc_score").desc(), F.col("nid")
+            )
+            (
+                scored.withColumn("crank", F.row_number().over(wc))
+                .filter(F.col("crank") <= S._PQ_C)
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("nid").alias("s"))
+                .collect()
+            )
+            best = min(best, time.perf_counter() - t0)
+        out[f"pq_adc_scan_{mult}x_sec"] = round(best, 3)
+        emb.unpersist()
         spark.catalog.clearCache()
     return out
 

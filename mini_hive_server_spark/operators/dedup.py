@@ -614,17 +614,34 @@ def oph_bands(sha: DataFrame) -> DataFrame:
     that made OPH (Li, Owen & Zhang 2012) the production MinHash at
     scale. Empty buckets (a ~90-shingle doc leaves ~25% of 64 empty) are
     filled by OPTIMAL ROTATION DENSIFICATION (Shrivastava 2017): borrow
-    the nearest non-empty bucket to the right (circular), offset by the
+    the nearest non-empty bucket to the right (circular), keyed by the
     borrow distance so borrowed values stay distinct across patterns —
     preserving the collision property P(m_j(A)=m_j(B)) ≈ J(A,B) that
-    banding needs. Densification is a numpy kernel over Arrow batches
-    (per-doc 64-slot scatter + circular fill — no builtin expresses it);
-    everything before it is codegen'd JVM aggregation.
+    banding needs (slot j of two docs collides iff both borrow an equal
+    source value at the SAME distance).
+
+    Round-10 rework (the r10 scale curve caught it): the original
+    densification was a per-doc Python loop over collect_list structs —
+    fine at fixture scale, but the curve measured 94s at 100x corpus
+    (500k docs) vs the classic tier's 3.6s, pure Arrow-struct unpack +
+    Python iteration. Densification is now ALL-JVM window dataflow:
+    explode a 64-slot spine per doc, left-join the per-bucket minima,
+    and fill each empty slot from `min(struct(bucket, mn))` over the
+    [current, unbounded following] frame (= nearest non-empty to the
+    right; struct min orders by bucket first) with a whole-partition min
+    as the circular wraparound, borrowing as xxhash64(source, distance)
+    — a rehash instead of the old `source + distance` offset, which
+    could overflow under ANSI and could collide across distances.
+    Windows partition by doc_id over exactly-64-row groups — bounded
+    partitions, no skew — and the whole pipeline is codegen'd (measured
+    at 100x: 94s → see BENCH_local experiments `oph_*`).
 
     Banding: same 16x4 layout as the classic tier, so the recall analysis
     carries over; completeness at the fixture's planted >= 0.9
     similarities is pinned by tests/test_llm_ops.py::
     test_oph_candidates_cover_jaccard_pairs on both correctness SFs."""
+    from pyspark.sql import Window
+
     per_bucket = (
         sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
         .select(
@@ -635,36 +652,49 @@ def oph_bands(sha: DataFrame) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.min("h").alias("mn"))
     )
-    slots = per_bucket.groupBy("doc_id").agg(
-        F.collect_list(F.struct("bucket", "mn")).alias("entries")
+    spine = sha.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_OPH_BUCKETS - 1))).alias("bucket"),
     )
-
-    @F.pandas_udf("array<long>")
-    def densify(entries: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for es in entries:
-            arr = np.full(_OPH_BUCKETS, np.iinfo(np.int64).max, dtype=np.int64)
-            mask = np.zeros(_OPH_BUCKETS, dtype=bool)
-            for e in es:
-                arr[e["bucket"]] = e["mn"]
-                mask[e["bucket"]] = True
-            if not mask.all():
-                idx = np.arange(_OPH_BUCKETS)
-                filled = idx[mask]
-                # distance to nearest non-empty at or to the right, circular
-                for j in idx[~mask]:
-                    d = (filled - j) % _OPH_BUCKETS
-                    k = d.min()
-                    src = (j + k) % _OPH_BUCKETS
-                    # offset by borrow distance (wrap-safe via int64 cast of
-                    # a small addend; values are hashes — magnitude is moot)
-                    arr[j] = np.int64(arr[src]) + np.int64(k)
-            out.append(arr.tolist())
-        return pd.Series(out)
-
-    dense = slots.select("doc_id", densify("entries").alias("m"))
+    slots = spine.join(per_bucket, ["doc_id", "bucket"], "left")
+    # running-min formulation: "nearest non-empty at/right" = min over
+    # buckets >= current, computed as a DESC-ordered [unboundedPreceding,
+    # current] frame — the incremental running-frame WindowExec path.
+    # The equivalent ASC [current, unboundedFollowing] frame recomputes
+    # the aggregate per row (O(64^2) per doc, measured ~2x slower at the
+    # 100x curve point).
+    w_right = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.col("bucket").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("doc_id")
+    nonempty = F.when(
+        F.col("mn").isNotNull(),
+        F.struct(F.col("bucket").alias("b"), F.col("mn").alias("v")),
+    )
+    nxt = F.min(nonempty).over(w_right)  # nearest non-empty at/right
+    fst = F.min(nonempty).over(w_all)  # circular wraparound source
+    # explicit when-chain, NOT coalesce over xxhash64: xxhash64 of a NULL
+    # struct field is the non-null seed hash, which would shadow the
+    # wraparound branch
+    m = (
+        F.when(F.col("mn").isNotNull(), F.col("mn"))
+        .when(nxt.isNotNull(), F.xxhash64(nxt["v"], nxt["b"] - F.col("bucket")))
+        .otherwise(
+            F.xxhash64(fst["v"], fst["b"] + F.lit(_OPH_BUCKETS) - F.col("bucket"))
+        )
+    )
+    dense = (
+        slots.select("doc_id", "bucket", m.alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "m"))),
+                lambda e: e["m"],
+            ).alias("m")
+        )
+    )
     rows_per_band = _OPH_BUCKETS // _N_BANDS
     return dense.select(
         "doc_id",
@@ -694,20 +724,24 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scale-optimized signature next to the classic 64-permutation tier
     (`dedup_minhash_lsh`): identical banding, bucket join, and
     candidate-only exact-Jaccard verification; only the signature family
-    differs (one aggregation pass + an Arrow densification kernel instead
+    differs (one aggregation pass + all-JVM window densification instead
     of 64 codegen'd rehash-min aggs). Same exhaustive-Jaccard oracle —
     the output must EQUAL the classic tier's.
 
     Measured A/B at sf0.1 (min-of-3, cleared cache): classic 1.49s, OPH
     1.65s — at fixture scale the classic tier WINS: its 64 rehashes are
     fused in-register by whole-stage codegen, while OPH pays a
-    64x-finer-grained (doc, bucket) aggregation, a collect_list, and an
-    Arrow crossing for the densification kernel. OPH's O(1)-per-element
-    advantage materializes when K grows (hundreds of permutations) or
-    documents are long (web pages, not 10-99-word fixtures) — the regime
-    the papers target. Both tiers stay registered: the classic one is
-    the fixture-scale default, this one is the long-document scale path,
-    and the A/B above is the measured crossover evidence."""
+    64x-finer-grained (doc, bucket) aggregation plus the densification
+    window's shuffles. The round-10 scale curve (bench.py
+    `_oph_scale_experiment`, 128-shingle docs at 10x/100x corpus)
+    measured the same verdict at scale — classic ~3s vs OPH ~26s at
+    500k docs — so at K=64 the classic tier is the default at EVERY
+    scale; OPH's O(1)-per-element advantage needs K in the hundreds
+    (where classic's K rehashes dominate its fixed shuffle cost), the
+    regime the papers target. Both tiers stay registered: classic is
+    the production default, this one is the large-K path, and the curve
+    is the measured crossover evidence (it also caught and drove out
+    the original Python densify kernel — 94s at the 100x point)."""
     docs = load_tables(spark, sf_dir)["documents"]
     sha = tracked_persist(shingle_arrays(docs))
     bands = tracked_persist(oph_bands(sha))
