@@ -989,16 +989,16 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     `_pq_codebook` trains on a bounded 4096-subvector sample, so the
     train seconds must stay flat from 10x to 100x; (b) the ADC scan is
     linear in code rows — encode is one map-only Arrow argmin kernel,
-    the 5-query LUT side broadcasts, the top-C window moves (qid, nid,
-    score) triples only. Production kernels are reproduced with the
-    trained codebook exactly as `_pq_scored` builds them (the kernels
-    close over driver-local centers, so calling the module functions
-    directly would retrain per call — training is the thing timed
-    separately here)."""
+    the query LUTs ride the scoring kernel's task closure
+    (driver-bounded numpy), and the top-C exchange moves (qid, nid,
+    score) triples only. The scan stage calls the PRODUCTION
+    `_pq_scored_over`; the curve's first run earned its keep here too:
+    the original shape broadcast the per-query (M x k) LUT as a COLUMN,
+    materializing 16 KB of LUT into every scored row (21-41 s at the
+    200k-vector point, 16 GB of row traffic) — caught by this curve and
+    reworked into the thin-row closure kernel (similarity.py)."""
     import time
 
-    import numpy as np
-    import pandas as pd
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -1040,44 +1040,13 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         centers = S._pq_codebook(spark, emb)  # bounded-sample k-means
         out[f"pq_adc_train_{mult}x_sec"] = round(time.perf_counter() - t0, 3)
 
-        d_sub = 64 // S._PQ_M
-        c_sq = (centers**2).sum(axis=1)
-
-        # no pd.Series annotations: the kernels are nested functions whose
-        # type hints would resolve against bench's module globals (pandas
-        # is imported locally here), so hint inference raises — the
-        # annotation-free form takes the legacy SCALAR pandas_udf path
-        def _encode_kernel(vs):
-            mat = np.vstack(vs.to_numpy()).reshape(-1, S._PQ_M, d_sub)
-            d = -2.0 * (mat @ centers.T) + c_sq
-            return pd.Series(list(d.argmin(axis=2).astype("int32")))
-
-        def _lut_kernel(vs):
-            mat = np.vstack(vs.to_numpy()).reshape(-1, S._PQ_M, d_sub)
-            lut = mat @ centers.T
-            return pd.Series([[list(row) for row in t] for t in lut])
-
-        encode = F.pandas_udf(_encode_kernel, "array<int>")
-        lut_of = F.pandas_udf(_lut_kernel, "array<array<double>>")
+        q = emb.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("vn").alias("qvn")
+        )
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            codes = emb.select("vec_id", encode("vn").alias("codes"))
-            q = emb.filter(F.col("vec_id") < 5).select(
-                F.col("vec_id").alias("qid"), lut_of("vn").alias("lut")
-            )
-            scored = (
-                codes.join(F.broadcast(q), F.lit(True))
-                .filter(F.col("vec_id") != F.col("qid"))
-                .select(
-                    "qid",
-                    F.col("vec_id").alias("nid"),
-                    F.expr(
-                        "aggregate(transform(codes, (c, m) -> lut[m][c]),"
-                        " 0D, (a, x) -> a + x)"
-                    ).alias("adc_score"),
-                )
-            )
+            scored = S._pq_scored_over(spark, emb, q, centers)
             wc = Window.partitionBy("qid").orderBy(
                 F.col("adc_score").desc(), F.col("nid")
             )

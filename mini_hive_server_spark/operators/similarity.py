@@ -741,6 +741,35 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
     if cache_key not in _PQ_CODEBOOKS:
         _PQ_CODEBOOKS[cache_key] = _pq_codebook(spark, emb)
     centers = _PQ_CODEBOOKS[cache_key]  # (k, d_sub)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("vn").alias("qvn"),
+    )
+    scored = _pq_scored_over(spark, emb, q, centers)
+    return emb, q, scored
+
+
+def _pq_scored_over(
+    spark: SparkSession, emb: DataFrame, q: DataFrame, centers: "np.ndarray"
+) -> DataFrame:
+    """The encode → LUT → ADC machinery over an arbitrary normalized
+    corpus (column `vn`) and query side (qid, qvn) with a trained
+    codebook — factored out so the bench scale experiment drives the
+    EXACT production path over synthetic corpora.
+
+    Round-10 rework (the r10 PQ scale curve caught it): the original ADC
+    join broadcast the per-query (M x k) LUT as a COLUMN and scored with
+    a higher-order `aggregate(transform(...))` — which materialized the
+    16 KB LUT struct into EVERY (query, code-row) output row (at the
+    curve's 200k-vector point: 1M rows x 16 KB ≈ 16 GB of row traffic,
+    21-41 s measured; invisible at the 2k-vector fixture). The LUTs are
+    driver-bounded (|q| x M x k doubles, 80 KB at 5 queries), so they
+    now ride the Arrow kernel's task closure — what the registered
+    query's docstring always claimed — and each code row is scored for
+    ALL queries in one vectorized numpy gather, emitting thin
+    (nid, qid, adc_score) rows only. Query vectors come from one
+    bounded |q|-row collect (serving-scale, like the codebook's own
+    bounded-sample fit)."""
     d_sub = 64 // _PQ_M
     c_sq = (centers**2).sum(axis=1)
 
@@ -750,33 +779,39 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         d = -2.0 * (mat @ centers.T) + c_sq
         return pd.Series(list(d.argmin(axis=2).astype("int32")))
 
-    def _lut_kernel(vs: pd.Series) -> pd.Series:
-        mat = np.vstack(vs.to_numpy()).reshape(-1, _PQ_M, d_sub)
-        lut = mat @ centers.T  # (n, M, k) subvector-centroid dots
-        return pd.Series([[list(row) for row in t] for t in lut])
-
     encode = F.pandas_udf(_encode_kernel, "array<int>")
-    lut_of = F.pandas_udf(_lut_kernel, "array<array<double>>")
-
     codes = emb.select("vec_id", encode("vn").alias("codes"))
-    q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("qid"),
-        F.col("vn").alias("qvn"),
-        lut_of("vn").alias("lut"),
+
+    # bounded |q|-row collect: LUTs are (|q|, M, k) driver-local numpy,
+    # shipped via task closure — never through row data
+    qrows = sorted(q.select("qid", "qvn").collect(), key=lambda r: r["qid"])
+    q_ids = [int(r["qid"]) for r in qrows]
+    qmat = np.array([r["qvn"] for r in qrows]).reshape(len(q_ids), _PQ_M, d_sub)
+    luts = qmat @ centers.T  # (|q|, M, k)
+    n_q = len(q_ids)
+
+    def _adc_kernel(codes_s: pd.Series) -> pd.Series:
+        c = np.vstack(codes_s.to_numpy())  # (n, M) int32
+        out = np.zeros((len(c), n_q))
+        for qi in range(n_q):
+            for m in range(_PQ_M):
+                out[:, qi] += luts[qi, m][c[:, m]]
+        return pd.Series(list(out))
+
+    adc_of = F.pandas_udf(_adc_kernel, "array<double>")
+    qid_arr = F.array(*[F.lit(i) for i in q_ids])
+    return (
+        codes.select(
+            F.col("vec_id").alias("nid"), adc_of("codes").alias("scores")
+        )
+        .select("nid", F.posexplode("scores").alias("pos", "adc_score"))
+        .select(
+            F.element_at(qid_arr, F.col("pos") + 1).alias("qid"),
+            "nid",
+            "adc_score",
+        )
+        .filter(F.col("nid") != F.col("qid"))
     )
-    # ADC: sum of M table lookups per (query, code-row) pair — map-only
-    # over the code relation, queries broadcast
-    adc = codes.join(F.broadcast(q.select("qid", "lut")), F.lit(True)).filter(
-        F.col("vec_id") != F.col("qid")
-    )
-    scored = adc.select(
-        "qid",
-        F.col("vec_id").alias("nid"),
-        F.expr(
-            "aggregate(transform(codes, (c, m) -> lut[m][c]), 0D, (a, x) -> a + x)"
-        ).alias("adc_score"),
-    )
-    return emb, q, scored
 
 
 # --------------------------- truncated-dimension retrieval (MRL) report
