@@ -422,11 +422,15 @@ def test_cms_probe_broadcasts_the_sketch(spark):
 
 
 def test_pq_adc_no_cartesian(spark):
-    """PQ guard: the ADC scan pairs codes with the (broadcast, query
-    -count-bounded) query side; the re-rank joins winner ids by equi-key.
-    No unbounded cartesian anywhere — the corpus never self-pairs."""
+    """PQ guard: since the round-10 rework the ADC scan is JOIN-FREE —
+    the query LUTs ride the scoring kernel's task closure and every code
+    row emits thin (nid, qid, score) rows via posexplode (the old
+    broadcast-LUT-column join materialized 16 KB of LUT into every
+    scored row). The re-rank joins winner ids by equi-key. No cartesian,
+    and no nested-loop join of any kind, anywhere in the plan."""
     plan = _plan(spark, "similarity_pq_adc")
     assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
 def test_asof_forward_is_window_not_range_join(spark):
