@@ -270,13 +270,20 @@ def minhash_bands(sha: DataFrame) -> DataFrame:
     higher-order transform/array_min formulation is interpreted per
     element and benched ~40x slower).
 
-    Permutation family: xxhash64(h, i) per permutation index. A
-    multiply-shift family (min over a*h+b, two integer ops) would halve
-    the signature stage, but Spark 4's default ANSI mode faults on the
-    intentional long wraparound and the driver's vanilla session keeps
-    ANSI on — rehashing the fixed-width long is the fastest ANSI-safe
-    form (still ~40x over the interpreted higher-order formulation; see
-    module history)."""
+    Permutation family: xxhash64(h, i) per permutation index. NEGATIVE
+    result (round 10, measured so it isn't retried): the "cheaper"
+    overflow-free Carter-Wegman family — h1, h2 reduced into [0, 2^31),
+    then min over (h1 + i*h2) mod p (and a bitwiseAND-mask variant of
+    the same) — is ANSI-safe and keeps LSH recall complete
+    (verified == exhaustive at sf0.001/sf0.01), but benched SLOWER than
+    the 64 rehashes at sf0.1 in same-session A/Bs: signature stage
+    0.72s classic vs 1.04s mod-p, and 1.08s vs 1.45s for the AND-mask
+    form in a second (noisier) pair. xxhash64 over a fixed-width long
+    is a handful of multiply/rotate instructions inside whole-stage
+    codegen, and the arithmetic family's wider (h1, h2) carry row plus
+    64 multiply-add-mod projections costs more than it saves — so the
+    rehash form stays (still ~40x over the interpreted higher-order
+    transform/array_min formulation; see module history)."""
     rows_per_band = _N_PERM // _N_BANDS
     shh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh")).select(
         "doc_id", F.xxhash64("sh").alias("h")
