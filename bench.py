@@ -1046,7 +1046,7 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
-            scored = S._pq_scored_over(spark, emb, q, centers)
+            scored = S._pq_scored_over(emb, q, centers)
             wc = Window.partitionBy("qid").orderBy(
                 F.col("adc_score").desc(), F.col("nid")
             )

@@ -1066,21 +1066,37 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
 #   No pre-persist coalesce either: the relation lands at the
 #   aggregate's AQE-coalesced width, and a forced coalesce(8) measured
 #   ~0.5s slower on the rebuild path for no warm-path gain.
-_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+# Entries hold (session, edges): applicationId alone cannot key the
+# cache because `spark.newSession()` children SHARE the parent's
+# applicationId while carrying their own SQLConf — serving a DataFrame
+# built under session A to a caller on session B would execute A's plan
+# under ambiguous conf semantics (the hostile-sweep false-green the
+# round-10 self-review caught). The session ref in the entry is strong
+# on purpose: it pins the id/identity of the creating session for as
+# long as the entry lives (no id-reuse hazard), and a retained stale
+# session object is a few KB against the ~57 KB persisted relation.
+_EDGE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 _EDGE_CACHE_MAX = 2
 
 
 def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-scoped cached wrapper around `_copurchase_edges`: one
-    persisted build per (applicationId, sf_dir), shared by the five
+    persisted build per (session, sf_dir), shared by the five
     graph-family consumers; safe under external clearCache (a fresh
-    plan is rebuilt — see the invalidation note above) and size-bounded
-    (see the cache-design comment above)."""
+    plan is rebuilt — see the invalidation note above), size-bounded
+    (see the cache-design comment above), and session-identity-checked
+    (a `newSession()` sibling sharing the applicationId never serves or
+    poisons another session's entry — it rebuilds under its own conf)."""
     from pyspark.storagelevel import StorageLevel
 
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _EDGE_CACHE.get(key)
-    if hit is not None and hit.storageLevel != StorageLevel.NONE:
+    entry = _EDGE_CACHE.get(key)
+    hit_session, hit = entry if entry is not None else (None, None)
+    if (
+        hit is not None
+        and hit_session is spark
+        and hit.storageLevel != StorageLevel.NONE
+    ):
         # True LRU (ADVICE r9 / VERDICT r9 #4): refresh recency on hit by
         # re-inserting the key at the end of the dict's insertion order —
         # without this, eviction below is FIFO and with alternating
@@ -1089,20 +1105,32 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     li = load_tables(spark, sf_dir)["lineitem"]
     edges = _copurchase_edges(li).persist(StorageLevel.MEMORY_AND_DISK)
-    if hit is None and len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
+    if hit is not None:
+        # rebuild path (invalidated blocks or a different session): drop
+        # the stale entry FIRST so the reassignment below lands at the
+        # END of insertion order — plain `d[key] = v` on an existing key
+        # keeps its old position, so without the pop a just-rebuilt
+        # entry could be evicted as "LRU" (round-10 self-review).
+        _EDGE_CACHE.pop(key, None)
+        if hit_session is not spark:
+            try:  # the other session's blocks live in the shared context
+                hit.unpersist()
+            except Exception:
+                pass
+    if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
         lru = next(iter(_EDGE_CACHE))  # front of insertion order = LRU
         try:
-            _EDGE_CACHE.pop(lru).unpersist()
+            _EDGE_CACHE.pop(lru)[1].unpersist()
         except Exception:
             pass
-    _EDGE_CACHE[key] = edges
+    _EDGE_CACHE[key] = (spark, edges)
     return edges
 
 
 def clear_copurchase_cache() -> None:
     """Explicit invalidation: unpersist and forget every cached edge
     relation (tests use this to measure cold-vs-warm builds)."""
-    for df in _EDGE_CACHE.values():
+    for _sess, df in _EDGE_CACHE.values():
         try:
             df.unpersist()
         except Exception:

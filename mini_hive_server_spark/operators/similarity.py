@@ -745,12 +745,12 @@ def _pq_scored(spark: SparkSession, sf_dir: str):
         F.col("vec_id").alias("qid"),
         F.col("vn").alias("qvn"),
     )
-    scored = _pq_scored_over(spark, emb, q, centers)
+    scored = _pq_scored_over(emb, q, centers)
     return emb, q, scored
 
 
 def _pq_scored_over(
-    spark: SparkSession, emb: DataFrame, q: DataFrame, centers: "np.ndarray"
+    emb: DataFrame, q: DataFrame, centers: "np.ndarray"
 ) -> DataFrame:
     """The encode → LUT → ADC machinery over an arbitrary normalized
     corpus (column `vn`) and query side (qid, qvn) with a trained

@@ -197,3 +197,77 @@ def test_edge_cache_lru_hit_refreshes_recency(spark):
         assert b.storageLevel == StorageLevel.NONE, "LRU entry B not evicted"
     finally:
         clear_copurchase_cache()
+
+def test_edge_cache_rebuild_refreshes_recency(spark):
+    """Round-10 self-review companion to the hit-refresh test above: the
+    REBUILD path (external clearCache invalidated the blocks) must also
+    land the refreshed entry at the END of insertion order. Plain
+    `d[key] = v` on an existing key keeps its OLD position, so without
+    an explicit pop the just-rebuilt entry is evicted as "LRU" while a
+    stale untouched sibling survives. Order: fill [A, B], clearCache
+    (both invalid), rebuild A (must become most-recent), insert C —
+    the victim must be B."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mini_hive_server_spark.operators.graph import (
+        clear_copurchase_cache,
+        copurchase_edges,
+    )
+
+    sf_a, sf_b, sf_c = (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    clear_copurchase_cache()
+    try:
+        copurchase_edges(spark, sf_a).count()
+        copurchase_edges(spark, sf_b).count()
+        spark.catalog.clearCache()  # invalidates both entries
+        a2 = copurchase_edges(spark, sf_a)  # rebuild path: A most-recent
+        a2.count()
+        copurchase_edges(spark, sf_c)  # third entry: evicts the LRU
+        assert a2.storageLevel != StorageLevel.NONE, (
+            "rebuild did not refresh recency: the just-rebuilt entry "
+            "was evicted as LRU"
+        )
+        assert copurchase_edges(spark, sf_a) is a2, "A must survive as a hit"
+    finally:
+        clear_copurchase_cache()
+
+
+def test_edge_cache_is_session_identity_checked(spark):
+    """Round-10 self-review: `spark.newSession()` children share the
+    parent's applicationId, so an applicationId-keyed cache would serve
+    a DataFrame BUILT UNDER the parent's SQLConf to the child (and vice
+    versa — the hostile sweep would silently run the graph family under
+    vanilla confs). The cache entry therefore records its creating
+    session and a different session rebuilds: pin both directions and
+    that the child's rebuild replaces (unpersists) the parent's entry."""
+    from pyspark.storagelevel import StorageLevel
+
+    from mini_hive_server_spark.operators.graph import (
+        clear_copurchase_cache,
+        copurchase_edges,
+    )
+
+    clear_copurchase_cache()
+    try:
+        parent_edges = copurchase_edges(spark, SF_SMOKE)
+        parent_edges.count()
+        child = spark.newSession()
+        child_edges = copurchase_edges(child, SF_SMOKE)
+        assert child_edges is not parent_edges, (
+            "a newSession() sibling must NOT be served the parent "
+            "session's cached edge relation"
+        )
+        child_edges.count()
+        # the child's rebuild evicted the parent's same-key entry
+        assert parent_edges.storageLevel == StorageLevel.NONE, (
+            "replaced cross-session entry must be unpersisted"
+        )
+        # and the parent, asking again, rebuilds under ITS OWN session
+        parent_again = copurchase_edges(spark, SF_SMOKE)
+        assert parent_again is not child_edges
+    finally:
+        clear_copurchase_cache()

@@ -67,3 +67,21 @@ def test_oracle_parity_under_non_utc_session(spark, name):
         assert not problems, "\n".join(problems)
     finally:
         spark.conf.set("spark.sql.session.timeZone", before)
+
+def test_load_tables_repins_utc_timezone(spark):
+    """The defense itself, unit-pinned (round-10 self-review): the
+    hostile-sweep and the parametrized tests above rely on
+    `load_tables` re-setting spark.sql.session.timeZone to UTC on EVERY
+    call — flip the session tz, call load_tables, and the conf must be
+    UTC again before any query executes."""
+    from mini_hive_server_spark.catalog import load_tables
+
+    before = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        load_tables(spark, SF_ORACLE)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC", (
+            "load_tables must re-pin the session timezone to UTC"
+        )
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", before)
