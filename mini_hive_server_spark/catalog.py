@@ -102,14 +102,25 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     kind = events_ts_encoding(sf_dir)
     if kind == "ns":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # non-settable on some builds; session.py default covers ours
+        # No fallback exists if this conf can't be set: no session in the
+        # repo (including session.py) sets it by default, so a build where
+        # conf.set raises would fault on the nanos read anyway — let the
+        # conf error surface with context instead of a bare parquet error.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
     dtype = dict(df.dtypes).get("ts")
     if dtype == "bigint":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # ns → µs must FLOOR (what a timestamp downcast means); `div`
+        # truncates toward zero, which would shift a pre-epoch (negative)
+        # ts 1µs late. The generator emits post-epoch data today, but the
+        # exact form costs one CASE on this legacy-vintage path only.
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(ts div 1000 - "
+                "(CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"
+            ),
+        )
     elif dtype == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
@@ -181,7 +192,13 @@ def parallelize_scan(df: DataFrame, *keys: str) -> DataFrame:
 # the plan to an RDD (~120ms through Py4J) on EVERY invocation, even for a
 # plan Spark has analyzed before. The count is a pure function of the
 # (immutable) input layout + plan, so key it by the plan's semanticHash
-# (~7ms) per session.
+# (~7ms) per session. Assumptions this memo rests on (round-10
+# self-review): layout-affecting confs (spark.sql.files.maxPartitionBytes)
+# stay fixed within a session — nothing in the repo flips them after
+# startup — and the fixture files are immutable (TESTDATA.md). A stale
+# count degrades parallelism for the Arrow-kernel scans, never
+# correctness; flip those confs mid-session and this memo must be keyed
+# on them too.
 _NUMPARTS_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[int, int]]" = (
     weakref.WeakKeyDictionary()
 )
@@ -230,12 +247,34 @@ def create_managed_tables(
         f"LOCATION '/tmp/mhs_spark_warehouse/{sf_name}/{database}'"
     )
     for name in tables:
+        expected_loc = f"/tmp/mhs_spark_warehouse/{sf_name}/{database}/{name}"
         if spark.catalog.tableExists(f"{database}.{name}"):
-            continue
-        df = spark.read.parquet(table_path(sf_dir, name))
+            # The Derby metastore persists across JVMs (metastore_db in the
+            # server's CWD), so "exists" is NOT "current": a table created
+            # from a different sf_dir would silently serve the OLD scale
+            # factor's data to every SQL client. The location embeds the
+            # sf name — if it matches, the data is the right fixture
+            # (fixtures are immutable per TESTDATA.md); if not, drop and
+            # rewrite at this run's location.
+            loc_rows = spark.sql(
+                f"DESCRIBE FORMATTED {database}.{name}"
+            ).filter(F.col("col_name") == "Location").collect()
+            actual = loc_rows[0]["data_type"] if loc_rows else ""
+            if actual.rstrip("/").endswith(expected_loc):
+                continue
+            spark.sql(f"DROP TABLE {database}.{name}")
+        # events must go through the same ts normalization every
+        # DataFrame consumer gets (_read_events): a raw parquet read
+        # either faults on the nanos-vintage fixture encoding or stores
+        # a different ts type (NTZ vs LTZ) than the view path serves.
+        df = (
+            _read_events(spark, sf_dir)
+            if name == "events"
+            else spark.read.parquet(table_path(sf_dir, name))
+        )
         (
             df.write.mode("overwrite")
             .format("parquet")
-            .option("path", f"/tmp/mhs_spark_warehouse/{sf_name}/{database}/{name}")
+            .option("path", expected_loc)
             .saveAsTable(f"{database}.{name}")
         )

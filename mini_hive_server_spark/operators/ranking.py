@@ -49,6 +49,11 @@ _TOT = "__rng_tot"
 
 
 def _cols(order_cols) -> list[Column]:
+    # a bare string would otherwise iterate CHARACTER BY CHARACTER —
+    # usually an AnalysisException, but on single-letter schemas it
+    # silently ranges by the wrong keys (round-10 self-review)
+    if isinstance(order_cols, (str, Column)):
+        order_cols = [order_cols]
     return [F.col(c) if isinstance(c, str) else c for c in order_cols]
 
 
@@ -107,8 +112,13 @@ def _prefix_offsets(
 
     def _merge(n):
         # closure factory: a default-arg lambda would read as 3-parameter
-        # to PySpark's higher-order-function arity inspection
-        return lambda acc, y: acc + y[n]
+        # to PySpark's higher-order-function arity inspection.
+        # coalesce: a partition whose value column is ALL NULL aggregates
+        # to a NULL partial (sum semantics) — without it the fold
+        # NULL-poisons every later partition's offset, while the window
+        # form this module promises bit-parity with simply skips NULLs
+        # (round-10 self-review; pinned by test_cumsum_null_partition).
+        return lambda acc, y: acc + F.coalesce(y[n], F.lit(0).cast("bigint"))
 
     def offsets_struct(x):
         fields = [x[_PID].alias(_PID)]
@@ -129,7 +139,8 @@ def _prefix_offsets(
             F.aggregate(
                 F.col("pc"),
                 F.lit(0).cast("bigint"),
-                lambda acc, y: acc + y[names[0]],
+                lambda acc, y: acc
+                + F.coalesce(y[names[0]], F.lit(0).cast("bigint")),
             ).alias(_TOT)
         )
         out_cols.append(_TOT)
@@ -176,6 +187,11 @@ def global_ntile(
     first, identical to Spark's and DuckDB's window ntile) computed from
     the distributed global rank — same cells as the single-sort window,
     no ``Exchange SinglePartition``."""
+    # window ntile(n<=0) raises at analysis time; the interpolated SQL
+    # below would instead compute `% 0` → NULL buckets under non-ANSI
+    # sessions (and n is f-string-interpolated — keep it an int)
+    if not isinstance(n, int) or n < 1:
+        raise ValueError(f"global_ntile: n must be a positive int, got {n!r}")
     ranked = global_row_number(
         df,
         order_cols,
@@ -210,7 +226,15 @@ def global_cumsum(
     ``cumsum_col`` to compute several prefix sums off ONE range exchange
     and one offsets fold. Exact for integral values (the intended
     domain: token counts, arm counts, byte sizes); float inputs would
-    re-associate the summation order."""
+    re-associate the summation order.
+
+    NULL semantics match the window form exactly (round-10 self-review —
+    the fold previously NULL-poisoned every partition after an all-NULL
+    one): window running-sum SKIPS NULLs, and a row whose entire prefix
+    holds no non-NULL value gets NULL. The offsets therefore carry a
+    non-null COUNT alongside each sum: cum is NULL iff the local running
+    sum is NULL (all-NULL local prefix) AND no earlier partition held a
+    non-NULL value; otherwise offset-sum + local (each NULL→0)."""
     value_cols = [value_col] if isinstance(value_col, str) else list(value_col)
     cumsum_cols = (
         [cumsum_col] if isinstance(cumsum_col, str) else list(cumsum_col)
@@ -227,20 +251,31 @@ def global_cumsum(
     local = ranged
     for v in value_cols:
         local = local.withColumn(f"__cs_{v}", F.sum(v).over(w_run))
-    offsets = _prefix_offsets(
-        ranged,
-        {f"__off_{v}": F.sum(v).cast("bigint") for v in value_cols},
-        with_total=False,
-    )
+    per_part: dict[str, Column] = {}
+    for v in value_cols:
+        per_part[f"__off_{v}"] = F.sum(v).cast("bigint")
+        per_part[f"__nn_{v}"] = F.count(v).cast("bigint")
+    offsets = _prefix_offsets(ranged, per_part, with_total=False)
     out = local.join(F.broadcast(offsets), _PID)
+    zero = F.lit(0).cast("bigint")
     for v, c in zip(value_cols, cumsum_cols):
         out = out.withColumn(
-            c, (F.col(f"__off_{v}") + F.col(f"__cs_{v}")).cast("bigint")
+            c,
+            F.when(
+                F.col(f"__cs_{v}").isNull() & (F.col(f"__nn_{v}") == 0),
+                F.lit(None).cast("bigint"),
+            ).otherwise(
+                (
+                    F.coalesce(F.col(f"__off_{v}"), zero)
+                    + F.coalesce(F.col(f"__cs_{v}"), zero)
+                ).cast("bigint")
+            ),
         )
     return out.drop(
         _PID,
         *[f"__cs_{v}" for v in value_cols],
         *[f"__off_{v}" for v in value_cols],
+        *[f"__nn_{v}" for v in value_cols],
     )
 
 

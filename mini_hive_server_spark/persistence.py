@@ -89,6 +89,15 @@ def tracked_persist(df: DataFrame, correctness_bearing: bool = False) -> DataFra
     ids)."""
     p = df.persist()
     _LIVE.append(_DeferredRelease(p) if correctness_bearing else p.unpersist)
+    # Contract boundary (round-10 self-review): deferral protects the
+    # never-materialized direction only. Once the buffers were built AND
+    # a later registered query's start released them, a FURTHER action on
+    # the earlier query's still-held DataFrame recomputes from scratch —
+    # for a sampled range exchange that means freshly-sampled bounds and
+    # silently different ranks. The engine's own consumers never do this
+    # (the driver, bench, and the facade build a fresh DataFrame per
+    # invocation); external callers must re-invoke the query function
+    # instead of re-collecting a stale handle across query boundaries.
     return p
 
 

@@ -99,3 +99,32 @@ def test_hive_metastore_ddl_survives_jvm_restart():
     out_b = _run(_PHASE_B)
     assert "PHASE_B_ROWS 5" in out_b, out_b
     assert "PHASE_B_OK" in out_b, out_b
+
+def test_create_managed_tables_refreshes_on_sf_switch(spark):
+    """Round-10 self-review: 'tableExists → skip' is NOT 'current' — the
+    metastore persists across JVMs, so a table created from a different
+    sf_dir would silently serve the OLD scale factor's rows to every SQL
+    client forever. The wrapper now compares the table location (which
+    embeds the sf name) and rewrites on mismatch; same-sf re-creates stay
+    the cheap skip path. Events must also arrive ts-normalized (the raw
+    read bypassed _read_events and could fault on nanos-vintage fixtures
+    or store NTZ where the view path serves TIMESTAMP)."""
+    from mini_hive_server_spark.catalog import create_managed_tables
+
+    db = "mhs_stale_check"
+    tabs = ("region", "customer", "events")
+    try:
+        create_managed_tables(spark, "/root/testdata/sf0.001", database=db, tables=tabs)
+        n_before = spark.table(f"{db}.customer").count()
+        # ts normalization reached the managed table
+        assert dict(spark.table(f"{db}.events").dtypes)["ts"] == "timestamp"
+        create_managed_tables(spark, "/root/testdata/sf0.01", database=db, tables=tabs)
+        n_after = spark.table(f"{db}.customer").count()
+        assert n_after > n_before, (
+            "sf switch must rewrite the managed table, not skip it as existing"
+        )
+        # idempotent same-sf re-create keeps serving the same data
+        create_managed_tables(spark, "/root/testdata/sf0.01", database=db, tables=("customer",))
+        assert spark.table(f"{db}.customer").count() == n_after
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -225,13 +225,18 @@ def test_global_ntile_equals_window_ntile(spark, rows, n_buckets):
 
 @given(
     vals=st.lists(
-        st.integers(min_value=0, max_value=100), min_size=1, max_size=40
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+        min_size=1,
+        max_size=40,
     )
 )
 @_settings
 def test_global_cumsum_equals_window_sum(spark, vals):
     """ranking.global_cumsum must equal the single-partition window
-    running sum exactly for any integral input (zeros included) — the
+    running sum exactly for any integral input — zeros AND NULLs
+    included (round-10 self-review: an all-NULL range partition used to
+    NULL-poison every later partition's offset; window semantics skip
+    NULLs and only an all-NULL prefix yields NULL) — the
     sequence-packing query's bin assignment depends on every prefix."""
     from pyspark.sql import Window
 
@@ -295,3 +300,70 @@ def test_global_cummin_equals_window_min(spark, vals, exclusive):
         ).collect()
     }
     assert got == ref
+
+def test_global_cumsum_null_partition_regression(spark):
+    """Deterministic pin of the round-10 self-review NULL finding
+    (hypothesis may not reliably shrink to it): NULLs concentrated at
+    the LOW end of the order force range partition 0 to aggregate a
+    NULL partial sum — the offsets fold must treat it as 0 for later
+    partitions (not propagate NULL into every downstream cumsum), while
+    the all-NULL-prefix rows themselves stay NULL, and a NULL local
+    prefix in a LATER partition must fall through to the earlier
+    partitions' sum (window parity in all three regimes)."""
+    from pyspark.sql import Window
+
+    from mini_hive_server_spark.operators.ranking import global_cumsum
+
+    vals = [None] * 10 + [1, 2, None, 3] + [None]  # trailing NULL: late
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(5)
+    ref = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            F.sum("v")
+            .over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("c"),
+        ).collect()
+    }
+    got = {
+        r.id: r.cum
+        for r in global_cumsum(df, ["id"], "v", num_partitions=4).collect()
+    }
+    assert got == ref
+    assert got[0] is None and got[9] is None  # all-NULL prefix stays NULL
+    assert got[14] == 6  # trailing NULL falls through to the prior sum
+
+
+def test_global_ntile_rejects_nonpositive_n(spark):
+    """Window ntile(0) raises at analysis time; the distributed form
+    must not silently produce NULL buckets instead (round-10
+    self-review: `% 0` is NULL under non-ANSI sessions)."""
+    import pytest as _pytest
+
+    from mini_hive_server_spark.operators.ranking import global_ntile
+
+    df = spark.createDataFrame([(1, 1)], "id long, v long")
+    for bad in (0, -1, 2.5):
+        with _pytest.raises(ValueError):
+            global_ntile(df, bad, ["id"], "b")
+
+
+def test_ranking_accepts_bare_string_order_cols(spark):
+    """A bare-string order_cols used to iterate character by character
+    (silently wrong keys on single-letter schemas); it must now mean
+    [that column] (round-10 self-review)."""
+    from mini_hive_server_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame(
+        [(3, "c"), (1, "a"), (2, "b")], "id long, name string"
+    )
+    got = {
+        r.name: r.rk for r in global_row_number(df, "id", "rk").collect()
+    }
+    assert got == {"a": 1, "b": 2, "c": 3}
