@@ -28,6 +28,7 @@ value-hash comparison against DuckDB is stable):
 
 from __future__ import annotations
 
+import functools
 import importlib
 from collections.abc import Callable
 from dataclasses import dataclass, field
@@ -166,7 +167,20 @@ def register(
     def deco(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if oracle is None:
+            # enforce the since-round-8 invariant at the production
+            # surface, not just in the test suite: an oracle-less query
+            # reaching the driver burns its window slot on a guaranteed
+            # `err: no_oracle` (module docstring) — fail at registration,
+            # where the developer is, instead of in the remote gate
+            raise ValueError(
+                f"query '{name}' registered without an oracle — every "
+                "registered query must be oracle-paired (give non-SQL-"
+                "expressible semantics an equivalence oracle; see the "
+                "module docstring)"
+            )
 
+        @functools.wraps(fn)
         def gated(spark: SparkSession, sf_dir: str) -> DataFrame:
             # Release the previous query's tracked persist() blocks: the
             # driver runs 50 queries in one session and never clears cache
@@ -178,8 +192,6 @@ def register(
             release_tracked()
             return fn(spark, sf_dir)
 
-        gated.__name__ = fn.__name__
-        gated.__doc__ = fn.__doc__
         _REGISTRY[name] = QuerySpec(
             name=name, fn=gated, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
         )
@@ -188,9 +200,23 @@ def register(
     return deco
 
 
+# A module that failed to import is retried by every later _ensure_loaded
+# call (Python drops it from sys.modules), and the retry trips the
+# duplicate-name guard on the module's own EARLIER, innocent
+# registrations — masking the real error. Remember the first failure and
+# re-raise IT (round-10 self-review).
+_LOAD_FAILED: dict[str, BaseException] = {}
+
+
 def _ensure_loaded() -> None:
     for mod in _QUERY_MODULES:
-        importlib.import_module(mod)
+        if mod in _LOAD_FAILED:
+            raise _LOAD_FAILED[mod]
+        try:
+            importlib.import_module(mod)
+        except BaseException as exc:
+            _LOAD_FAILED[mod] = exc
+            raise
 
 
 def all_specs() -> dict[str, QuerySpec]:

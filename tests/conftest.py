@@ -10,8 +10,9 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="mhs-tests", shuffle_partitions=8)
-    yield s
+    # No teardown on purpose: get_spark shares one getOrCreate JVM for the
+    # whole suite; stopping it here would kill later session-scoped users.
+    return get_spark(app_name="mhs-tests", shuffle_partitions=8)
 
 
 @pytest.fixture(scope="session")

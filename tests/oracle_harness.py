@@ -10,6 +10,7 @@ comparison is achievable.
 
 from __future__ import annotations
 
+import datetime as _dt
 import math
 from typing import Any
 
@@ -41,14 +42,37 @@ def _canon_value(v: Any) -> str:
         return repr(v)
     if isinstance(v, bool):
         return "true" if v else "false"
+    if isinstance(v, str):
+        # prefix-tag: without it the canonical encoding is not injective
+        # for the string family — a typed NULL and the literal 4-char
+        # string 'NULL' both rendered "NULL", a false-green the driver's
+        # typed hash (null != 'NULL') would report red (round-10
+        # self-review of the harness).
+        return "S:" + v
+    if isinstance(v, _dt.datetime):
+        # Spark's toArrow() hands back tz-AWARE UTC datetimes, DuckDB's
+        # to_pylist() naive ones — str() would render '...+00:00' vs
+        # '...', a guaranteed false mismatch on any raw timestamp column
+        # (the exact class of artifact the round-8 toArrow switch exists
+        # to kill). Both sessions are pinned UTC, so normalize to naive
+        # UTC before rendering.
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return "T:" + v.isoformat()
     return str(v)
 
 
-def canonicalize(columns: dict[str, list]) -> tuple[list[str], list[tuple[str, ...]]]:
+def canonicalize(
+    columns: dict[str, list], n_rows: int | None = None
+) -> tuple[list[str], list[tuple[str, ...]]]:
     names = sorted(columns)
     rows = list(zip(*[[_canon_value(v) for v in columns[n]] for n in names]))
     if not columns or not rows:
-        n_rows = len(next(iter(columns.values()), []))
+        # zero-column (or zero-row) inputs: the row COUNT must survive —
+        # callers pass the table's num_rows so two zero-column results
+        # with different cardinalities cannot compare equal
+        if n_rows is None:
+            n_rows = len(next(iter(columns.values()), []))
         rows = [() for _ in range(n_rows)]
     return names, sorted(rows)
 
@@ -62,8 +86,7 @@ def spark_df_to_columns(df) -> dict[str, list]:
     before any observation is legitimately NULL). `toArrow()` preserves
     nulls and yields the same python types `to_pylist` gives the oracle
     side."""
-    tbl = df.toArrow()
-    return {name: tbl.column(name).to_pylist() for name in tbl.column_names}
+    return arrow_to_columns(df.toArrow())
 
 
 def arrow_to_columns(tbl) -> dict[str, list]:
@@ -144,13 +167,14 @@ def type_mismatches(name: str, spark_df, oracle_tbl) -> list[str]:
 def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
-    s_cols = spark_df_to_columns(spark_df)
+    s_tbl = spark_df.toArrow()
+    s_cols = arrow_to_columns(s_tbl)
     o_tbl = run_duckdb_oracle(oracle_sql, sf_dir)
     o_cols = arrow_to_columns(o_tbl)
     problems.extend(type_mismatches(name, spark_df, o_tbl))
 
-    s_names, s_rows = canonicalize(s_cols)
-    o_names, o_rows = canonicalize(o_cols)
+    s_names, s_rows = canonicalize(s_cols, s_tbl.num_rows)
+    o_names, o_rows = canonicalize(o_cols, o_tbl.num_rows)
 
     if s_names != o_names:
         problems.append(f"[{name}] columns differ: spark={s_names} oracle={o_names}")
@@ -159,6 +183,24 @@ def compare(name: str, spark_df, oracle_sql: str, sf_dir: str) -> list[str]:
         problems.append(
             f"[{name}] row count differs: spark={len(s_rows)} oracle={len(o_rows)}"
         )
+        # misaligned zip would report alignment artifacts, not the real
+        # delta — show the symmetric difference instead (round-10
+        # self-review)
+        from collections import Counter
+
+        extra_s = Counter(s_rows) - Counter(o_rows)
+        extra_o = Counter(o_rows) - Counter(s_rows)
+        if extra_s:
+            problems.append(
+                f"[{name}] rows only in spark (first 3): "
+                f"{list(extra_s)[:3]}"
+            )
+        if extra_o:
+            problems.append(
+                f"[{name}] rows only in oracle (first 3): "
+                f"{list(extra_o)[:3]}"
+            )
+        return problems
     diffs = [(a, b) for a, b in zip(s_rows, o_rows) if a != b]
     if diffs:
         head = diffs[:5]
