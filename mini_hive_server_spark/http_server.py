@@ -67,6 +67,7 @@ from __future__ import annotations
 import datetime
 import decimal
 import json
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import urlparse
@@ -126,6 +127,12 @@ def _jsonable(v):
     pre-rounded/stringified values anyway; this is the safety net."""
     if isinstance(v, decimal.Decimal):
         return str(v)
+    if isinstance(v, float) and not math.isfinite(v):
+        # json.dumps would emit NaN/Infinity literals — INVALID JSON that
+        # browsers/jq reject with a 200 status. Express's JSON.stringify
+        # renders them as null; the facade mirrors that (round-10
+        # self-review).
+        return None
     if isinstance(v, (datetime.datetime, datetime.date)):
         return v.isoformat()
     if isinstance(v, bytes):
@@ -196,6 +203,21 @@ class QueryHTTPServer:
                 self._run(name)
 
             def do_POST(self) -> None:
+                # drain the request body BEFORE replying: closing the
+                # socket with Content-Length bytes unread resets the
+                # connection under the client mid-write for any body
+                # larger than the socket buffer (round-10 self-review);
+                # the mapped write folds take their inputs from the
+                # fixture model, so the body is drained, not parsed
+                try:
+                    n = int(self.headers.get("Content-Length") or 0)
+                except ValueError:
+                    n = 0
+                while n > 0:
+                    chunk = self.rfile.read(min(n, 65536))
+                    if not chunk:
+                        break
+                    n -= len(chunk)
                 path = urlparse(self.path).path.rstrip("/") or "/"
                 name = POST_ROUTES.get(path)
                 if name is None:

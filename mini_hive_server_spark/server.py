@@ -38,6 +38,7 @@ def get_thrift_spark(
     warehouse_dir: str = "/tmp/mhs_thrift_warehouse",
     metastore_dir: str = "/tmp/mhs_thrift_metastore",
     shuffle_partitions: int = 8,
+    local_threads: int | None = None,
 ) -> SparkSession:
     """Hive-enabled session pre-configured to host the Thrift endpoint.
 
@@ -47,9 +48,28 @@ def get_thrift_spark(
     (verified empirically — the server then binds its default 10000).
     Like `session.get_hive_spark`, this must create the JVM's FIRST session
     (`spark.sql.catalogImplementation` is static), hence the subprocess
-    pattern in the smoke test."""
+    pattern in the smoke test. Enforced below rather than trusted:
+    getOrCreate against an existing session silently IGNORES every
+    build-time config here (thrift port, hive catalog, metastore), and
+    the failure mode is a server that binds the wrong port with the
+    wrong catalog 90 seconds later (round-10 self-review)."""
+    existing = SparkSession.getActiveSession()
+    if existing is not None:
+        raise RuntimeError(
+            "get_thrift_spark must create the JVM's FIRST session: an "
+            "active session already exists, and getOrCreate would silently "
+            "ignore the thrift port / hive catalog / metastore configs. "
+            "Boot the server in a fresh process (see serve_mini_hive / "
+            "tests/test_thrift_server.py)."
+        )
+    # local_threads (executor parallelism) is a separate knob from
+    # shuffle_partitions (reduce-side width) — one parameter driving both
+    # meant the shuffle count couldn't be raised without oversubscribing
+    # cores; it defaults to the old coupled behavior for compatibility
+    if local_threads is None:
+        local_threads = shuffle_partitions
     return (
-        SparkSession.builder.master(f"local[{shuffle_partitions}]")
+        SparkSession.builder.master(f"local[{local_threads}]")
         .appName("mini-hive-server-spark-thrift")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
@@ -70,7 +90,25 @@ def start_thrift_server(
 ) -> None:
     """Start HiveThriftServer2 inside this session's JVM and block until
     the TCP port accepts connections. The session must come from
-    `get_thrift_spark` (the port conf is build-time-only, see there)."""
+    `get_thrift_spark` (the port conf is build-time-only, see there).
+
+    Pre-checks that nothing already answers on the port: the readiness
+    probe below can only see "something accepts TCP" — if a stale server
+    from a previous run still held the port, this JVM's bind would fail
+    while the probe false-positively reported success against the OLD
+    process and clients would silently query stale data (round-10
+    self-review)."""
+    try:
+        socket.create_connection(("localhost", port), 1).close()
+    except OSError:
+        pass  # nothing listening — the expected state
+    else:
+        raise OSError(
+            f"port {port} already accepts connections before startWithContext "
+            "— a stale Thrift server (or another process) holds it; this "
+            "JVM's bind would fail while the readiness probe reports the "
+            "old server as ready"
+        )
     jctx = spark._jsparkSession.sqlContext()
     spark._jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2.startWithContext(
         jctx
@@ -120,15 +158,21 @@ def beeline_sql(sql: str, port: int = DEFAULT_THRIFT_PORT) -> list[list[str]]:
     # beeline prints its connection prompt glued to the first output line
     # ("0: jdbc:hive2://localhost:PORT> <row>"): strip the known prompt
     # prefix wherever it appears, then every non-empty line is a data row
-    # (header suppressed above).
+    # (header suppressed above). csv2 double-quotes any cell containing a
+    # comma/quote, so parse with the csv module — a naive split(',')
+    # corrupted such cells into extra columns with literal quote chars
+    # (round-10 self-review).
+    import csv as _csv
+    import io as _io
+
     prompt = f"0: jdbc:hive2://localhost:{port}> "
-    rows = []
+    lines = []
     for ln in proc.stdout.splitlines():
         if ln.startswith(prompt):
             ln = ln[len(prompt):]
         if ln.strip():
-            rows.append(ln.split(","))
-    return rows
+            lines.append(ln)
+    return [row for row in _csv.reader(_io.StringIO("\n".join(lines)))]
 
 
 def serve_fixtures(
@@ -136,6 +180,8 @@ def serve_fixtures(
     port: int = DEFAULT_THRIFT_PORT,
     database: str = "mini_hive",
     with_reference_model: bool = True,
+    warehouse_dir: str = "/tmp/mhs_thrift_warehouse",
+    metastore_dir: str = "/tmp/mhs_thrift_metastore",
 ) -> SparkSession:
     """End-to-end convenience: build the hive session, materialize the
     fixture tables AND (by default) the synthesized reference-shaped
@@ -144,10 +190,17 @@ def serve_fixtures(
 
     The reference model defaults ON: this engine is the "mini hive server",
     so a fresh boot serves the mini-hive data model (ref_users, ref_tasks,
-    ...) out of the box next to the analytic fixtures."""
+    ...) out of the box next to the analytic fixtures.
+
+    `warehouse_dir`/`metastore_dir` pass through to get_thrift_spark:
+    embedded Derby is single-process, so a SECOND concurrent instance
+    (different port + sf_dir) must point at its own metastore_dir or
+    Derby refuses to boot (XSDB6)."""
     from .catalog import create_managed_tables
 
-    spark = get_thrift_spark(port=port)
+    spark = get_thrift_spark(
+        port=port, warehouse_dir=warehouse_dir, metastore_dir=metastore_dir
+    )
     create_managed_tables(spark, sf_dir, database=database)
     if with_reference_model:
         _create_reference_tables(spark, database)

@@ -40,8 +40,17 @@ _TMP_ROOT = "/tmp/mhs_spark_sources"
 
 
 def _tmp_dir(sf_dir: str, leaf: str) -> str:
-    sf_name = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(_TMP_ROOT, sf_name, leaf)
+    # key by basename + a short hash of the FULL path: two fixture dirs
+    # sharing a leaf name (e.g. /root/testdata/sf0.01 vs /tmp/alt/sf0.01)
+    # must not share staged copies — the mtime freshness checks in the
+    # staging helpers would otherwise silently serve the other dir's data
+    # (round-10 self-review)
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    sf_name = os.path.basename(ap)
+    tag = hashlib.md5(ap.encode()).hexdigest()[:8]
+    return os.path.join(_TMP_ROOT, f"{sf_name}-{tag}", leaf)
 
 
 _NATION_SCHEMA = T.StructType(

@@ -54,10 +54,11 @@ def read_events_stream(
     sentinel)."""
     kind = events_ts_encoding(sf_dir)
     if kind == "ns":
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass
+        # no fallback exists if this conf can't be set — declaring ts as
+        # LongType against timestamp[ns] files would fail (or mis-decode)
+        # at stream start with no hint; let the conf error surface with
+        # context instead (same repair as catalog._read_events)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ts_type: T.DataType = T.LongType()
     elif kind == "ntz_us":
         ts_type = T.TimestampNTZType()
@@ -72,7 +73,15 @@ def read_events_stream(
         .load(sf_dir)
     )
     if kind == "ns":
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # floor, not truncate-toward-zero — same pre-epoch exactness
+        # repair as the batch reader (catalog._read_events)
+        return raw.withColumn(
+            "ts",
+            F.expr(
+                "timestamp_micros(ts div 1000 - "
+                "(CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"
+            ),
+        )
     if kind == "ntz_us":
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
