@@ -33,7 +33,12 @@ Role assignment is positional (id%100: 0→admin, 1-30→buyer, else worker)
 so foreign keys can target a role in closed form: the k-th buyer is user
 ``(k div 30)*100 + (k mod 30) + 1``, the k-th worker is
 ``(k div 69)*100 + 31 + (k mod 69)`` — both engines compute the same FK
-without sampling.
+without sampling. One deliberate wrinkle: the out-of-enum row id=999
+sits INSIDE the worker id range, so worker FKs hitting k=689 point at
+the 'ghost' user — a role='worker' join therefore drops those rows in
+BOTH engines (the referential-integrity queries treat it as the
+orphaned-FK case the reference's unguarded populate() exhibits;
+quantified in tests: one of 690 worker slots).
 
 Scale note: these are model-parity fixtures (≤50k rows), not throughput
 fixtures — the 100 TB arguments live with the operators that also run on
@@ -76,13 +81,20 @@ class _Dialect:
         # row source with a bigint column `id` = 0..n-1
         return f"range({n})" if self.spark else f"range({n}) t(id)"
 
-    def h(self, seed: str) -> str:
-        # deterministic 32-bit non-negative int per (seed, row): first 8 hex
-        # chars of md5(seed || id), identical in both engines
-        inner = f"md5(concat('{seed}', id))"
+    def h_on(self, seed: str, idx_expr: str) -> str:
+        # deterministic 32-bit non-negative int per (seed, expr): first 8
+        # hex chars of md5(seed || expr), identical in both engines —
+        # keyed by an arbitrary expression so one table can recompute
+        # another's hash-derived column in closed form (e.g. a submission
+        # reproducing its task's buyer)
+        inner = f"md5(concat('{seed}', {idx_expr}))"
         if self.spark:
             return f"cast(conv(substr({inner}, 1, 8), 16, 10) as bigint)"
         return f"(('0x' || substr({inner}, 1, 8))::BIGINT)"
+
+    def h(self, seed: str) -> str:
+        # the common row-keyed form: hash of (seed, the row's own id)
+        return self.h_on(seed, "id")
 
     def ts(self, epoch_expr: str) -> str:
         # epoch seconds -> TIMESTAMP (session/engine-naive UTC)
@@ -95,10 +107,14 @@ class _Dialect:
         return f"substr(md5(concat('{seed}', id)), 1, 24)"
 
     def dbl(self, expr: str) -> str:
-        # Spark parses 50.0-style literals as DECIMAL and propagates it
-        # through arithmetic; DuckDB uses DOUBLE. Money columns cast to
-        # DOUBLE on the Spark side so both engines emit identical floats.
-        return f"cast({expr} as double)" if self.spark else f"({expr})"
+        # BOTH engines parse 50.0-style literals as DECIMAL and propagate
+        # it through arithmetic (the old comment claimed DuckDB used
+        # DOUBLE — false, verified by type probe: ref_payments.coins was
+        # decimal128(5,1) in the oracle CTE while Spark emitted DOUBLE,
+        # a typed-hash family mismatch every consumer had to paper over
+        # with its own compensating cast). Cast on BOTH sides so money
+        # columns leave the generators as identical DOUBLEs.
+        return f"cast({expr} as double)"
 
 
 # buyer k -> user id (role layout: id%100==0 admin, 1..30 buyer, 31..99 worker)
@@ -256,18 +272,6 @@ SELECT {d.oid('w')} AS id,
 FROM {d.src(N_WITHDRAWALS)}
 """
 
-
-def _h_on(self: _Dialect, seed: str, idx_expr: str) -> str:
-    """Hash keyed by an arbitrary expression instead of the row's own id —
-    used to recompute another table's hash-derived column in closed form
-    (e.g. a submission reproducing its task's buyer)."""
-    inner = f"md5(concat('{seed}', {idx_expr}))"
-    if self.spark:
-        return f"cast(conv(substr({inner}, 1, 8), 16, 10) as bigint)"
-    return f"(('0x' || substr({inner}, 1, 8))::BIGINT)"
-
-
-_Dialect.h_on = _h_on
 
 _BUILDERS = {
     "ref_users": _users_sql,

@@ -210,6 +210,11 @@ _UNPIVOT_ORACLE = """
 SELECT user_id, event_type, count(*) AS n
 FROM events
 WHERE user_id < 20
+  -- pinned to the pivot's explicit 5-type list: the Spark side
+  -- round-trips through pivot(values=[...]) and would silently drop a
+  -- 6th type a future fixture vintage added, while an unpinned oracle
+  -- would include it — keep the pair symmetric
+  AND event_type IN ('click', 'view', 'purchase', 'signup', 'error')
 GROUP BY user_id, event_type
 ORDER BY user_id, event_type
 """

@@ -24,9 +24,12 @@ DEFAULT_APP_NAME = "mini-hive-server-spark"
 
 def local_cpu_count() -> int:
     try:
-        return int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
+        n = int(os.environ.get("SPARK_GRAFT_CPUS", "") or os.cpu_count() or 4)
     except ValueError:
         return os.cpu_count() or 4
+    # a mis-set SPARK_GRAFT_CPUS=0 would produce master local[0] and
+    # shuffle_partitions=0 — fall back like the non-numeric case
+    return n if n >= 1 else (os.cpu_count() or 4)
 
 
 def get_hive_spark(
@@ -49,13 +52,34 @@ def get_hive_spark(
     survived. On a cluster the same call shape points at the shared
     metastore service instead of Derby.
     """
-    active = SparkSession.getActiveSession()
+    # getActiveSession is THREAD-LOCAL; a session built in another thread
+    # (e.g. the HTTP facade's) would slip past it and getOrCreate would
+    # silently reuse it with every static hive conf ignored — also check
+    # the process-wide instantiated session (round-10 self-review)
+    active = SparkSession.getActiveSession() or getattr(
+        SparkSession, "_instantiatedSession", None
+    )
     if active is not None:
         impl = active.conf.get("spark.sql.catalogImplementation", "in-memory")
         if impl != "hive":
             raise RuntimeError(
                 "get_hive_spark must create the JVM's first session: an "
                 f"active session with catalogImplementation={impl!r} exists"
+            )
+        # reuse is only safe if the existing hive session points at the
+        # SAME metastore/warehouse the caller asked for — getOrCreate
+        # would silently ignore the arguments otherwise and DDL would
+        # land in the wrong Derby database (round-10 self-review)
+        got_wh = active.conf.get("spark.sql.warehouse.dir", "")
+        got_ms = active.conf.get("javax.jdo.option.ConnectionURL", "")
+        if not got_wh.rstrip("/").endswith(
+            warehouse_dir.rstrip("/")
+        ) or metastore_dir not in got_ms:
+            raise RuntimeError(
+                "get_hive_spark: an active hive session exists but points "
+                f"at warehouse={got_wh!r} / metastore URL={got_ms!r}, not "
+                f"the requested {warehouse_dir!r} / {metastore_dir!r} — "
+                "static confs cannot be changed; use a fresh process"
             )
         return active
     cpus = local_cpu_count()
