@@ -129,6 +129,44 @@ EXTENDED = (
 HEADLINE = HEADLINE10 + EXTENDED
 
 
+def build_stdout_record(
+    timings: dict[str, float],
+    failed: dict[str, str],
+    sf: float,
+    steal_s: float | None,
+    load1: float | None,
+) -> dict:
+    """The EXACT dict main() prints as the driver-facing stdout line —
+    factored out so tests/test_bench_record.py pins the budget of the
+    REAL construction, not a hand-maintained replica that goes stale
+    when a field is added (round-10 self-review: the r10 'noise' field
+    had already required a manual replica update; a missed one would
+    re-expose the BENCH_r07/r08 lost-evidence failure mode)."""
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # round-over-round comparability: headline10 is the frozen round-1
+        # set (compare to r4's 4.548s); extended is the round-5 widening.
+        "subtotals": {
+            "headline10": round(
+                sum(t for n, t in timings.items() if n in HEADLINE10), 3
+            ),
+            "extended": round(
+                sum(t for n, t in timings.items() if n in EXTENDED), 3
+            ),
+        },
+        "noise": {"steal_s": steal_s, "load1": load1},
+    }
+    if failed:
+        # names only on stdout (a traceback string would blow the budget);
+        # full messages live in the local record + stderr
+        out["failed"] = sorted(failed)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -160,6 +198,13 @@ def main() -> None:
         except Exception as e:
             failed[name] = f"warmup: {type(e).__name__}: {e}"
             print(f"# WARMUP FAIL {name}: {traceback.format_exc()}", file=sys.stderr)
+            try:
+                # a multi-stage query can persist intermediates BEFORE
+                # throwing; without this clear the orphaned blocks distort
+                # every later query's medians (round-10 self-review)
+                spark.catalog.clearCache()
+            except Exception:
+                pass
 
     # Repeat-median timing (since round 7; rounds 1-6 reported min-of-2):
     # three timed repetitions per query, report the per-query MEDIAN plus
@@ -237,7 +282,17 @@ def main() -> None:
             experiments.update(got)
             for k, v in got.items():
                 # only *_sec / *x keys are seconds; rounds / fracs are unitless
-                unit = "s" if (k.endswith("_sec") or k.endswith("x") or "x_" in k) else ""
+                # seconds iff *_sec, or a scale-multiplier suffix
+                # (…10x / …_window / …_distributed); counts like
+                # textrank_10x_vocab / fidelity_10x_pairs are unitless
+                unit = (
+                    "s"
+                    if (
+                        k.endswith("_sec")
+                        or re.search(r"\d+x(_window|_distributed)?$", k)
+                    )
+                    else ""
+                )
                 print(f"# experiment {k}: {v:.3f}{unit}", file=sys.stderr)
         except Exception:
             print(
@@ -249,7 +304,7 @@ def main() -> None:
     # `parsed: null`): the driver captures a bounded ~2000-char TAIL of
     # stdout, so a single JSON line longer than that loses its head and
     # never parses. The stdout line therefore carries ONLY the driver
-    # contract (`metric/value/unit/queries/sf` + subtotals; with 33
+    # contract (`metric/value/unit/queries/sf` + subtotals; with 32
     # headline queries that is ~1.2 KB — `tests/test_bench_record.py`
     # pins the worst case under 1900). Everything else — per-rep spread,
     # the experiments block, the timing-methodology string, full failure
@@ -279,28 +334,7 @@ def main() -> None:
             load1 = float(noise_after["loadavg"][0])
         except ValueError:
             pass
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(total, 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf,
-        # round-over-round comparability: headline10 is the frozen round-1
-        # set (compare to r4's 4.548s); extended is the round-5 widening.
-        "subtotals": {
-            "headline10": round(
-                sum(t for n, t in timings.items() if n in HEADLINE10), 3
-            ),
-            "extended": round(
-                sum(t for n, t in timings.items() if n in EXTENDED), 3
-            ),
-        },
-        "noise": {"steal_s": steal_s, "load1": load1},
-    }
-    if failed:
-        # names only on stdout (a traceback string would blow the budget);
-        # full messages live in the local record + stderr
-        out["failed"] = sorted(failed)
+    out = build_stdout_record(timings, failed, sf, steal_s, load1)
     full = {
         **out,
         "timing": "median-of-3, executed warmup (r7: median-of-3 built-only"
@@ -383,9 +417,11 @@ def _cumsum_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     """Scale curve for the distributed prefix-sum (`ranking.global_cumsum`
     — the skeleton under sequence packing / Gini / ABC) vs the
     single-partition `Window.orderBy` running sum, on a synthetic
-    token-count relation at 10x and 100x the fixture's document
-    cardinality at sf0.1 (50k / 500k docs; VERDICT r6 item 3: the ntile
-    harness extended to the cumsum family). Deterministic hash-derived
+    token-count relation at 100x and 1000x the fixture's document
+    cardinality at sf0.1 (~500k / ~5M rows off the ~5k-doc base; VERDICT
+    r6 item 3: the ntile harness extended to the cumsum family, one
+    decade further because the prefix-sum stays cheap enough to afford
+    it). Deterministic hash-derived
     integer token counts; both variants compute identical prefix sums,
     so the timing delta is purely the plan shape — one range exchange +
     P-row offsets fold vs a single-partition global sort."""
@@ -578,7 +614,15 @@ def _cc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
             )
             if prev is not None:
                 prev.unpersist(False)
-            prev = labels._jdf.queryExecution().analyzed().rdd()
+            # best-effort release handle: analyzed().rdd() reaches Spark
+            # internals (the checkpoint plan being a bare LogicalRDD); if
+            # a Spark upgrade changes that shape, leak the 2-3 small
+            # blocks instead of aborting the experiment (round-10
+            # self-review)
+            try:
+                prev = labels._jdf.queryExecution().analyzed().rdd()
+            except Exception:
+                prev = None
         unconv = labels.filter(F.col("label") != 0).count()
         out[f"cc_path_{n}_labelprop_same_rounds_unconverged_frac"] = round(
             unconv / n, 4

@@ -19,27 +19,15 @@ import bench
 
 
 def _stdout_record(timings: dict[str, float], failed: dict[str, str]) -> str:
-    out = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": 0.1,
-        "subtotals": {
-            "headline10": round(
-                sum(t for n, t in timings.items() if n in bench.HEADLINE10), 3
-            ),
-            "extended": round(
-                sum(t for n, t in timings.items() if n in bench.EXTENDED), 3
-            ),
-        },
-        # round-10 noise marker (VERDICT r9 #2) at worst-case width:
-        # steal_s four digits + decimal, load1 three digits + two decimals
-        "noise": {"steal_s": 9999.9, "load1": 999.75},
-    }
-    if failed:
-        out["failed"] = sorted(failed)
-    return json.dumps(out)
+    # the REAL construction (bench.build_stdout_record), not a replica —
+    # a hand-maintained copy went stale the moment main() grew a field
+    # (round-10 self-review); noise marker at worst-case width: steal_s
+    # four digits + decimal, load1 three digits + two decimals
+    return json.dumps(
+        bench.build_stdout_record(
+            timings, failed, sf=0.1, steal_s=9999.9, load1=999.75
+        )
+    )
 
 
 def test_all_timed_record_fits_tail_budget():
@@ -72,3 +60,13 @@ def test_all_failed_record_fits_tail_budget():
 def test_headline_names_unique_and_window_sized():
     assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)
     assert set(bench.HEADLINE10).isdisjoint(bench.EXTENDED)
+
+def test_headline_names_all_registered():
+    """A typo'd or renamed HEADLINE entry would silently burn a bench
+    round as a 'failed' row instead of failing CI (round-10 self-review);
+    registry.queries() resolves without a SparkSession, so pin the
+    subset relation here."""
+    from mini_hive_server_spark import registry
+
+    missing = set(bench.HEADLINE) - set(registry.queries())
+    assert not missing, f"HEADLINE names not in the registry: {sorted(missing)}"
