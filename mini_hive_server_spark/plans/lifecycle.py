@@ -16,6 +16,16 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..registry import register
 
+# Money discipline (round-10 self-review — the same .xx5 tie class the
+# reference_model._cents retrofit fixed after a real round-8 driver red):
+# `round(sum(<double product>), 2)` lets the two engines' different
+# summation orders land on opposite sides of a half-cent boundary. Both
+# sides now fold each term to EXACT integer units first (o_totalprice is
+# 2-decimal → cents; the price*(1-disc) product is 4-decimal → ten-
+# thousandths), sum the integers exactly, and only then produce the
+# 2-decimal value with one identical IEEE op sequence. Exact while the
+# integer sum stays under 2^53 (≈ $9e11 per tenant — far above any
+# per-tenant balance).
 _BUYER_HOME_ORACLE = """
 SELECT * FROM
   (SELECT c_name AS name, c_acctbal AS coins
@@ -23,15 +33,18 @@ SELECT * FROM
 CROSS JOIN
   (SELECT count(*)                              AS n_tasks,
           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open_tasks,
-          round(sum(o_totalprice), 2)           AS total_paid
+          sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                                                AS total_paid
    FROM orders WHERE o_custkey = 42)
 CROSS JOIN
   (SELECT count(*)                                AS n_submissions,
           count(*) FILTER (WHERE l_linestatus = 'O')    AS n_pending,
           count(*) FILTER (WHERE l_linestatus = 'F')    AS n_approved,
-          round(sum(CASE WHEN l_linestatus = 'F'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END), 2)          AS approved_value
+          floor((sum(CASE WHEN l_linestatus = 'F'
+                          THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                          * 10000 + 0.5) AS BIGINT)
+                          ELSE 0 END) + 50) / 100.0) / 100.0
+                                                  AS approved_value
    FROM lineitem
    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_custkey = 42))
 """
@@ -50,33 +63,41 @@ def buyer_home_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("c_name").alias("name"), F.col("c_acctbal").alias("coins"))
     )
     my_orders = t["orders"].filter(F.col("o_custkey") == 42)
+    # exact integer-units money folds + empty-safe conditional counts
+    # (count skips NULLs → 0 on empty input, matching the oracle's
+    # count(*) FILTER; sum(when...otherwise(0)) would yield NULL) —
+    # see the oracle's money-discipline comment
+    cents_paid = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
     order_stats = my_orders.agg(
         F.count(F.lit(1)).alias("n_tasks"),
-        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias(
-            "n_open_tasks"
-        ),
-        F.round(F.sum("o_totalprice"), 2).alias("total_paid"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open_tasks"),
+        (F.sum(cents_paid) / F.lit(100.0)).alias("total_paid"),
     )
     li = t["lineitem"]
     keys = my_orders.select("o_orderkey")
+    tenk_value = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
     sub_stats = (
         li.join(F.broadcast(keys), li.l_orderkey == keys.o_orderkey, "left_semi")
         .agg(
             F.count(F.lit(1)).alias("n_submissions"),
-            F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias(
-                "n_pending"
-            ),
-            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias(
-                "n_approved"
-            ),
-            F.round(
-                F.sum(
-                    F.when(
-                        F.col("l_linestatus") == "F",
-                        F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                    ).otherwise(0.0)
-                ),
-                2,
+            F.count(F.when(F.col("l_linestatus") == "O", 1)).alias("n_pending"),
+            F.count(F.when(F.col("l_linestatus") == "F", 1)).alias("n_approved"),
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.when(
+                                F.col("l_linestatus") == "F", tenk_value
+                            ).otherwise(F.lit(0))
+                        )
+                        + F.lit(50)
+                    )
+                    / F.lit(100.0)
+                )
+                / F.lit(100.0)
             ).alias("approved_value"),
         )
     )
@@ -91,9 +112,11 @@ CROSS JOIN
   (SELECT count(*)                             AS total_submissions,
           count(*) FILTER (WHERE l_linestatus = 'O') AS pending_submissions,
           count(*) FILTER (WHERE l_linestatus = 'F') AS approved_submissions,
-          round(sum(CASE WHEN l_linestatus = 'F'
-                         THEN l_extendedprice * (1 - l_discount)
-                         ELSE 0 END), 2)       AS total_earning
+          floor((sum(CASE WHEN l_linestatus = 'F'
+                          THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                          * 10000 + 0.5) AS BIGINT)
+                          ELSE 0 END) + 50) / 100.0) / 100.0
+                                               AS total_earning
    FROM lineitem WHERE l_suppkey = 7)
 """
 
@@ -111,22 +134,33 @@ def worker_home_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("s_name").alias("name"), F.col("s_acctbal").alias("coins"))
     )
     li = t["lineitem"].filter(F.col("l_suppkey") == 7)
+    # same exact integer-units money fold + empty-safe conditional counts
+    # as buyer_home_dashboard (see the money-discipline comment there)
+    tenk_value = F.floor(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
     stats = li.agg(
         F.count(F.lit(1)).alias("total_submissions"),
-        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias(
+        F.count(F.when(F.col("l_linestatus") == "O", 1)).alias(
             "pending_submissions"
         ),
-        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias(
+        F.count(F.when(F.col("l_linestatus") == "F", 1)).alias(
             "approved_submissions"
         ),
-        F.round(
-            F.sum(
-                F.when(
-                    F.col("l_linestatus") == "F",
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
-                ).otherwise(0.0)
-            ),
-            2,
+        (
+            F.floor(
+                (
+                    F.sum(
+                        F.when(
+                            F.col("l_linestatus") == "F", tenk_value
+                        ).otherwise(F.lit(0))
+                    )
+                    + F.lit(50)
+                )
+                / F.lit(100.0)
+            )
+            / F.lit(100.0)
         ).alias("total_earning"),
     )
     return profile.crossJoin(stats)

@@ -44,8 +44,15 @@ def _cents(col) -> "F.Column":
     operand, so a regenerated fixture landing on a boundary cannot flake
     the driver row. The SQL oracles use the literal
     `floor(x * 100 + 0.5) / 100` spelling of the same fold.
+
+    Accepts a column NAME or a Column expression (round-10 self-review:
+    the name-only form made `coins_after` re-spell the fold inline on
+    `coins + added`, a drift hazard for any future fix to the fold).
     """
-    return F.floor(F.col(col) * 100 + F.lit(0.5)) / 100
+    from pyspark.sql import Column
+
+    expr = col if isinstance(col, Column) else F.col(col)
+    return F.floor(expr * 100 + F.lit(0.5)) / 100
 
 
 # --------------------------------------------------- worker submission page
@@ -550,7 +557,7 @@ def ref_approve_submission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_approved",
             _cents("coins").alias("coins_before"),
             _cents("added").alias("coins_added"),
-            (F.floor((F.col("coins") + F.col("added")) * 100 + F.lit(0.5)) / 100).alias("coins_after"),
+            _cents(F.col("coins") + F.col("added")).alias("coins_after"),
         )
         .orderBy(F.col("coins_added").desc(), "worker_email")
         .limit(20)
@@ -912,8 +919,9 @@ def ref_users_admin_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible here, exactly as Mongo would return it. ORDER BY email
     replaces Mongo's unstable natural order (the same determinism
     deviation `ref_top_workers` documents). Users grow with tenancy, not
-    traffic — a bounded listing, collect-at-serving safe; round(coins,2)
-    both sides since the raw doubles are the per-row hash fold."""
+    traffic — a bounded listing, collect-at-serving safe; the floor-cents
+    fold (`_cents` / `floor(x*100+0.5)/100`) on both sides since the raw
+    doubles are the per-row hash fold."""
     users = reference_table(spark, "ref_users")
     return users.select(
         "name",
