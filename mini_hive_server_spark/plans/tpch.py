@@ -29,17 +29,34 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..registry import register
 
+# Money discipline (round-10, same retrofit as plans/lifecycle.py): the
+# old `round(sum(<double>), 2)` / `round(avg(<double>), N)` spellings are
+# the .xx5 tie class — Spark's partial-agg summation order vs DuckDB's
+# sequential order can land the float sum on opposite sides of a
+# half-unit boundary, and even the SAME double rounds differently
+# (BigDecimal-HALF-UP-on-shortest-repr vs multiply-then-round). Every
+# term folds to EXACT integer units first (quantity is integer-valued;
+# extendedprice/discount are 2-decimal → cents; the disc_price product
+# is 4-decimal → ten-thousandths; the charge triple product 6-decimal →
+# millionths), the integer sums are exact, and the displayed decimals
+# come from one identical IEEE op sequence on both engines.
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
-  round(sum(l_quantity), 2)                                        AS sum_qty,
-  round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-  round(avg(l_quantity), 4)                                        AS avg_qty,
-  round(avg(l_extendedprice), 4)                                   AS avg_price,
-  round(avg(l_discount), 6)                                        AS avg_disc,
+  sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) / 1.0               AS sum_qty,
+  sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0  AS sum_base_price,
+  floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                        + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0  AS sum_disc_price,
+  floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                        * 1000000 + 0.5) AS BIGINT)) + 5000)
+        / 10000.0) / 100.0                                         AS sum_charge,
+  floor((sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) / count(*))
+        * 10000.0 + 0.5) / 10000.0                                 AS avg_qty,
+  floor((sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / count(*))
+        * 100.0 + 0.5) / 10000.0                                   AS avg_price,
+  floor((sum(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / count(*))
+        * 10000.0 + 0.5) / 1000000.0                               AS avg_disc,
   count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -58,17 +75,43 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     lineitem = load_tables(spark, sf_dir)["lineitem"]
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer-units folds — operation order mirrors the oracle
+    # character for character (see the money-discipline comment there)
+    half = F.lit(0.5)
+    qty_i = F.floor(F.col("l_quantity") + half).cast("bigint")
+    cents_price = F.floor(F.col("l_extendedprice") * 100 + half).cast("bigint")
+    tenk_dp = F.floor(disc_price * 10000 + half).cast("bigint")
+    um_charge = F.floor(
+        disc_price * (1 + F.col("l_tax")) * 1000000 + half
+    ).cast("bigint")
+    cents_disc = F.floor(F.col("l_discount") * 100 + half).cast("bigint")
+    n = F.count(F.lit(1))
     return (
         lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            (F.sum(qty_i) / F.lit(1.0)).alias("sum_qty"),
+            (F.sum(cents_price) / F.lit(100.0)).alias("sum_base_price"),
+            (
+                F.floor((F.sum(tenk_dp) + F.lit(50)) / F.lit(100.0))
+                / F.lit(100.0)
+            ).alias("sum_disc_price"),
+            (
+                F.floor((F.sum(um_charge) + F.lit(5000)) / F.lit(10000.0))
+                / F.lit(100.0)
+            ).alias("sum_charge"),
+            (
+                F.floor((F.sum(qty_i) / n) * F.lit(10000.0) + half)
+                / F.lit(10000.0)
+            ).alias("avg_qty"),
+            (
+                F.floor((F.sum(cents_price) / n) * F.lit(100.0) + half)
+                / F.lit(10000.0)
+            ).alias("avg_price"),
+            (
+                F.floor((F.sum(cents_disc) / n) * F.lit(10000.0) + half)
+                / F.lit(1000000.0)
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -78,7 +121,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_ORACLE = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                        + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue,
   strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate,
   o_orderpriority
 FROM customer
@@ -121,8 +165,24 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer ten-thousandths fold (see the q1 money-
+            # discipline comment)
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                                + F.lit(0.5)
+                            ).cast("bigint")
+                        )
+                        + F.lit(50)
+                    )
+                    / F.lit(100.0)
+                )
+                / F.lit(100.0)
             ).alias("revenue")
         )
         .select(
@@ -137,7 +197,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name,
+       floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                             + 0.5) AS BIGINT)) + 50) / 100.0) / 100.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -191,8 +253,24 @@ def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         joined.groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            # exact integer ten-thousandths fold (see the q1 money-
+            # discipline comment)
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("l_extendedprice")
+                                * (1 - F.col("l_discount"))
+                                * 10000
+                                + F.lit(0.5)
+                            ).cast("bigint")
+                        )
+                        + F.lit(50)
+                    )
+                    / F.lit(100.0)
+                )
+                / F.lit(100.0)
             ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
@@ -303,7 +381,9 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, yr, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, yr,
+       floor((sum(CAST(floor(volume * 10000 + 0.5) AS BIGINT)) + 50)
+             / 100.0) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          year(l_shipdate) AS yr,
@@ -367,15 +447,35 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "yr")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        # exact integer ten-thousandths fold (see the q1 money-discipline
+        # comment); volume is the 4-decimal disc_price product
+        .agg(
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.floor(
+                                F.col("volume") * 10000 + F.lit(0.5)
+                            ).cast("bigint")
+                        )
+                        + F.lit(50)
+                    )
+                    / F.lit(100.0)
+                )
+                / F.lit(100.0)
+            ).alias("revenue")
+        )
         .orderBy("supp_nation", "cust_nation", "yr")
     )
 
 
 _Q8_ORACLE = """
 SELECT yr,
-       round(sum(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       floor((sum(CASE WHEN supp_nation = 'NATION_5'
+                       THEN CAST(floor(volume * 10000 + 0.5) AS BIGINT)
+                       ELSE 0 END)
+              / sum(CAST(floor(volume * 10000 + 0.5) AS BIGINT)))
+             * 1000000.0 + 0.5) / 1000000.0 AS mkt_share
 FROM (
   SELECT year(o_orderdate) AS yr,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -435,11 +535,32 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "supp_nation",
         )
         .groupBy("yr")
+        # exact integer folds: both sums are exact ten-thousandths, the
+        # ratio is one deterministic IEEE division, and the 6-decimal
+        # display is the pure-IEEE fold (see the q1 money-discipline
+        # comment); the units cancel in the ratio
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_5", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
-                6,
+            (
+                F.floor(
+                    (
+                        F.sum(
+                            F.when(
+                                F.col("supp_nation") == "NATION_5",
+                                F.floor(
+                                    F.col("volume") * 10000 + F.lit(0.5)
+                                ).cast("bigint"),
+                            ).otherwise(F.lit(0))
+                        )
+                        / F.sum(
+                            F.floor(
+                                F.col("volume") * 10000 + F.lit(0.5)
+                            ).cast("bigint")
+                        )
+                    )
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
             ).alias("mkt_share")
         )
         .orderBy("yr")
@@ -488,11 +609,14 @@ def q13_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q14_ORACLE = """
-SELECT round(
-         100.00 * sum(CASE WHEN p_type = 'PROMO'
-                           THEN l_extendedprice * (1 - l_discount)
+SELECT floor(
+         (100.0 * sum(CASE WHEN p_type = 'PROMO'
+                           THEN CAST(floor(l_extendedprice * (1 - l_discount)
+                                           * 10000 + 0.5) AS BIGINT)
                            ELSE 0 END)
-         / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+          / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                           + 0.5) AS BIGINT)))
+         * 10000.0 + 0.5) / 10000.0 AS promo_revenue
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -519,11 +643,26 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(
-                100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", vol).otherwise(0.0))
-                / F.sum(vol),
-                4,
+            # exact integer ten-thousandths folds; ratio of two exact
+            # integer sums is one deterministic IEEE division, 4-decimal
+            # display via the pure-IEEE fold (see the q1 money-discipline
+            # comment) — units cancel in the ratio
+            (
+                F.floor(
+                    (
+                        F.lit(100.0)
+                        * F.sum(
+                            F.when(
+                                F.col("p_type") == "PROMO",
+                                F.floor(vol * 10000 + F.lit(0.5)).cast("bigint"),
+                            ).otherwise(F.lit(0))
+                        )
+                        / F.sum(F.floor(vol * 10000 + F.lit(0.5)).cast("bigint"))
+                    )
+                    * F.lit(10000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(10000.0)
             ).alias("promo_revenue")
         )
     )
