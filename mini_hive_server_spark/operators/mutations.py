@@ -162,7 +162,9 @@ def mutation_delete_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_ORACLE = """
 WITH upd AS (
-  SELECT o_custkey, round(sum(o_totalprice) / 1000, 2) AS new_bal
+  SELECT o_custkey,
+         floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               / 1000.0 + 0.5) / 100.0 AS new_bal
   FROM orders
   WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
   GROUP BY o_custkey
@@ -215,7 +217,23 @@ def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("o_orderdate") < F.lit("1996-01-01"))
         )
         .groupBy("o_custkey")
-        .agg(F.round(F.sum("o_totalprice") / 1000, 2).alias("new_bal"))
+        .agg(
+            # exact cents fold: sum(2-dec)/1000 is 5-decimal and CAN sit
+            # on a half-cent boundary (the .xx5 tie class; see the q1
+            # money-discipline comment in plans/tpch.py)
+            (
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("o_totalprice") * 100 + F.lit(0.5)
+                        ).cast("bigint")
+                    )
+                    / F.lit(1000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("new_bal")
+        )
     )
     j = (
         t["customer"]
@@ -260,7 +278,9 @@ def mutation_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIT_ORACLE = """
 WITH upd AS (
-  SELECT o_custkey, round(sum(o_totalprice) / 1000, 2) AS new_bal
+  SELECT o_custkey,
+         floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+               / 1000.0 + 0.5) / 100.0 AS new_bal
   FROM orders
   WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
   GROUP BY o_custkey
@@ -283,7 +303,8 @@ SELECT v.version,
        count(*) AS n_orders,
        count(DISTINCT o.o_custkey) AS n_customers,
        round(sum(o.o_totalprice), 2) AS revenue,
-       round(avg(v.acctbal), 2) AS avg_balance_seen
+       floor((sum(CAST(floor(v.acctbal * 100 + 0.5) AS BIGINT))
+              / count(*)) + 0.5) / 100.0 AS avg_balance_seen
 FROM orders o
 JOIN versions v
   ON o.o_custkey = v.c_custkey
@@ -333,7 +354,20 @@ def orders_point_in_time_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.count_distinct("o_custkey").alias("n_customers"),
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
-            F.round(F.avg("acctbal"), 2).alias("avg_balance_seen"),
+            (
+                # exact cents avg: acctbal versions are 2-dec; the true
+                # mean can sit on a half-cent boundary (tie class)
+                F.floor(
+                    F.sum(
+                        F.floor(
+                            F.col("acctbal") * 100 + F.lit(0.5)
+                        ).cast("bigint")
+                    )
+                    / F.count(F.lit(1))
+                    + F.lit(0.5)
+                )
+                / F.lit(100.0)
+            ).alias("avg_balance_seen"),
         )
         .orderBy("version")
     )
