@@ -40,6 +40,20 @@ from ..registry import register
 # is 4-decimal → ten-thousandths; the charge triple product 6-decimal →
 # millionths), the integer sums are exact, and the displayed decimals
 # come from one identical IEEE op sequence on both engines.
+#
+# Classification for the round() spellings that REMAIN repo-wide:
+# `round(sum(<raw 2-dec column>), 2)` is tie-FREE — the true sum is a
+# multiple of 0.01, the float reorder error is ~1e-9, and the nearest
+# rounding boundary is 0.005 away, so no summation order can cross it.
+# The converted class is sums whose TRUE value has more decimals than
+# the rounding scale (4/5/6-dec products, scaled sums, money averages
+# and ratios), where the boundary can be hit exactly. Residual accepted
+# risk: round(avg/stddev of integer day-counts, 6) in
+# operators/windows.py — irrational true values whose shortest double
+# repr lands on a ...5 at the 7th digit (~1e-10/value); the stddev
+# conversion needs an integer-moment rewrite whose n*Σx² term can
+# overflow ANSI bigint at extreme per-key cardinality, so the exposure
+# is documented instead of traded for an overflow at scale.
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
