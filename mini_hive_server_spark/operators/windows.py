@@ -966,13 +966,15 @@ WITH lat AS (
 ),
 per_supp AS (
   SELECT l_suppkey, count(*) AS n_shipments,
-         round(avg(days), 6) AS mean_days,
+         floor((sum(CAST(days AS BIGINT)) / count(*)) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_days,
          round(stddev_samp(days), 6) AS sd_days
   FROM lat GROUP BY l_suppkey
   HAVING count(*) >= 20
 )
 SELECT s.s_name, p.n_shipments, p.mean_days, p.sd_days,
-       round(p.sd_days / p.mean_days, 6) AS cv
+       floor((p.sd_days / p.mean_days) * 1000000.0 + 0.5)
+         / 1000000.0 AS cv
 FROM per_supp p JOIN supplier s ON p.l_suppkey = s.s_suppkey
 ORDER BY cv, s.s_name
 LIMIT 15
@@ -1010,7 +1012,20 @@ def supplier_leadtime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
         lat.groupBy("l_suppkey")
         .agg(
             F.count(F.lit(1)).alias("n_shipments"),
-            F.round(F.avg("days"), 6).alias("mean_days"),
+            # exact integer-moments mean: sum(int days)/count is one
+            # deterministic IEEE division, displayed via the pure-IEEE
+            # fold (see the money-discipline comment in plans/tpch.py);
+            # sd_days keeps round(stddev,6) — the documented residual
+            # (integer-moment stddev would overflow ANSI bigint at
+            # extreme per-key cardinality)
+            (
+                F.floor(
+                    (F.sum(F.col("days").cast("bigint")) / F.count(F.lit(1)))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("mean_days"),
             F.round(F.stddev_samp("days"), 6).alias("sd_days"),
         )
         .filter(F.col("n_shipments") >= 20)
@@ -1025,7 +1040,15 @@ def supplier_leadtime_consistency(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_shipments",
             "mean_days",
             "sd_days",
-            F.round(F.col("sd_days") / F.col("mean_days"), 6).alias("cv"),
+            # identical operands both sides → one deterministic division,
+            # displayed via the pure-IEEE fold
+            (
+                F.floor(
+                    (F.col("sd_days") / F.col("mean_days")) * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("cv"),
         )
         .orderBy("cv", "s_name")
         .limit(15)
