@@ -119,6 +119,11 @@ POST_ROUTES: dict[str, str] = {
     "/admin/withdrawals/approve": "ref_approve_withdrawal_batch",  # index.js:1336
 }
 
+# POST bodies are drained and discarded (the write folds take their
+# inputs from the fixture model) — cap the drain so a client declaring
+# a multi-GB Content-Length can't pin a handler thread (ADVICE r10)
+_MAX_POST_BODY = 4 * 1024 * 1024
+
 
 def _jsonable(v):
     """Row value → JSON-safe value, type-faithfully: Decimal renders as
@@ -213,6 +218,13 @@ class QueryHTTPServer:
                     n = int(self.headers.get("Content-Length") or 0)
                 except ValueError:
                     n = 0
+                if n > _MAX_POST_BODY:
+                    # the body is discarded anyway — don't let a huge (or
+                    # slowly trickled) declared length pin this handler
+                    # thread; refuse and drop the connection (ADVICE r10)
+                    self.close_connection = True
+                    self._reply(413, {"message": "request body too large"})
+                    return
                 while n > 0:
                     chunk = self.rfile.read(min(n, 65536))
                     if not chunk:

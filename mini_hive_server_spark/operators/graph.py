@@ -1066,16 +1066,20 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
 #   No pre-persist coalesce either: the relation lands at the
 #   aggregate's AQE-coalesced width, and a forced coalesce(8) measured
 #   ~0.5s slower on the rebuild path for no warm-path gain.
-# Entries hold (session, edges): applicationId alone cannot key the
+# Keyed by (id(session), sf_dir): applicationId alone cannot key the
 # cache because `spark.newSession()` children SHARE the parent's
 # applicationId while carrying their own SQLConf — serving a DataFrame
 # built under session A to a caller on session B would execute A's plan
 # under ambiguous conf semantics (the hostile-sweep false-green the
-# round-10 self-review caught). The session ref in the entry is strong
-# on purpose: it pins the id/identity of the creating session for as
-# long as the entry lives (no id-reuse hazard), and a retained stale
-# session object is a few KB against the ~57 KB persisted relation.
-_EDGE_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+# round-10 self-review caught). Keying by session identity (not just
+# checking it on hit, the r10 shape) lets sibling sessions on the same
+# sf_dir cache INDEPENDENTLY instead of thrashing each other's entry
+# (ADVICE r10 #2). The session ref in the entry is strong on purpose:
+# it pins the creating session alive for as long as the entry lives, so
+# id() cannot be reused by a new session while its key is in the cache,
+# and a retained stale session object is a few KB against the ~57 KB
+# persisted relation.
+_EDGE_CACHE: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
 _EDGE_CACHE_MAX = 2
 
 
@@ -1089,9 +1093,12 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     poisons another session's entry — it rebuilds under its own conf)."""
     from pyspark.storagelevel import StorageLevel
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (id(spark), sf_dir)
     entry = _EDGE_CACHE.get(key)
     hit_session, hit = entry if entry is not None else (None, None)
+    # hit_session is spark is structurally guaranteed by the id() key +
+    # the entry's strong session ref (no id reuse while cached); kept as
+    # a cheap belt-and-braces identity check
     if (
         hit is not None
         and hit_session is spark
@@ -1106,17 +1113,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     edges = _copurchase_edges(li).persist(StorageLevel.MEMORY_AND_DISK)
     if hit is not None:
-        # rebuild path (invalidated blocks or a different session): drop
-        # the stale entry FIRST so the reassignment below lands at the
-        # END of insertion order — plain `d[key] = v` on an existing key
-        # keeps its old position, so without the pop a just-rebuilt
-        # entry could be evicted as "LRU" (round-10 self-review).
+        # rebuild path (externally invalidated blocks — same session, per
+        # the id() key): drop the stale entry FIRST so the reassignment
+        # below lands at the END of insertion order — plain `d[key] = v`
+        # on an existing key keeps its old position, so without the pop a
+        # just-rebuilt entry could be evicted as "LRU" (round-10
+        # self-review). No unpersist needed: the blocks are already gone.
         _EDGE_CACHE.pop(key, None)
-        if hit_session is not spark:
-            try:  # the other session's blocks live in the shared context
-                hit.unpersist()
-            except Exception:
-                pass
     if len(_EDGE_CACHE) >= _EDGE_CACHE_MAX:
         lru = next(iter(_EDGE_CACHE))  # front of insertion order = LRU
         try:

@@ -117,7 +117,9 @@ def _prefix_offsets(
         # to a NULL partial (sum semantics) — without it the fold
         # NULL-poisons every later partition's offset, while the window
         # form this module promises bit-parity with simply skips NULLs
-        # (round-10 self-review; pinned by test_cumsum_null_partition).
+        # (round-10 self-review; pinned by
+        # test_global_cumsum_null_partition_regression in
+        # tests/test_properties.py).
         return lambda acc, y: acc + F.coalesce(y[n], F.lit(0).cast("bigint"))
 
     def offsets_struct(x):
@@ -190,7 +192,9 @@ def global_ntile(
     # window ntile(n<=0) raises at analysis time; the interpolated SQL
     # below would instead compute `% 0` → NULL buckets under non-ANSI
     # sessions (and n is f-string-interpolated — keep it an int)
-    if not isinstance(n, int) or n < 1:
+    # reject bool explicitly: isinstance(True, int) holds, and ntile(True)
+    # would silently mean ntile(1) (ADVICE r10)
+    if not isinstance(n, int) or isinstance(n, bool) or n < 1:
         raise ValueError(f"global_ntile: n must be a positive int, got {n!r}")
     ranked = global_row_number(
         df,

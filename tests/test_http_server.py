@@ -140,3 +140,26 @@ def test_post_to_read_route_is_404(http_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(http_server, "/buyer/home")
     assert ei.value.code == 404
+
+
+def test_post_huge_declared_body_is_413_without_drain(http_server):
+    """A client declaring a multi-GB Content-Length (while sending
+    almost nothing) must get an immediate 413, not pin a handler thread
+    draining bytes that will never arrive (ADVICE r10 #3). The short
+    urlopen timeout doubles as the no-pin proof: the old drain loop
+    would block on rfile.read until the client timeout."""
+    path = sorted(POST_ROUTES)[0]
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{http_server.port}{path}",
+        data=b"{}",
+        method="POST",
+    )
+    # lie about the length AFTER urllib computed it from `data`
+    req.add_header("Content-Length", str(8 * 1024 * 1024 * 1024))
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        with urllib.request.urlopen(req, timeout=10):
+            pass
+    assert ei.value.code == 413
+    assert json.loads(ei.value.read()) == {
+        "message": "request body too large"
+    }

@@ -236,14 +236,15 @@ def test_edge_cache_rebuild_refreshes_recency(spark):
         clear_copurchase_cache()
 
 
-def test_edge_cache_is_session_identity_checked(spark):
-    """Round-10 self-review: `spark.newSession()` children share the
-    parent's applicationId, so an applicationId-keyed cache would serve
-    a DataFrame BUILT UNDER the parent's SQLConf to the child (and vice
-    versa — the hostile sweep would silently run the graph family under
-    vanilla confs). The cache entry therefore records its creating
-    session and a different session rebuilds: pin both directions and
-    that the child's rebuild replaces (unpersists) the parent's entry."""
+def test_edge_cache_is_session_identity_keyed(spark):
+    """Round-10 self-review + ADVICE r10 #2: `spark.newSession()`
+    children share the parent's applicationId, so an applicationId-keyed
+    cache would serve a DataFrame BUILT UNDER the parent's SQLConf to
+    the child (and vice versa — the hostile sweep would silently run the
+    graph family under vanilla confs). The cache is keyed by session
+    IDENTITY, so siblings never share an entry AND coexist without
+    thrashing: alternating parent/child calls on the same sf_dir must
+    each stay a warm hit on their own persisted relation."""
     from pyspark.storagelevel import StorageLevel
 
     from mini_hive_server_spark.operators.graph import (
@@ -262,12 +263,14 @@ def test_edge_cache_is_session_identity_checked(spark):
             "session's cached edge relation"
         )
         child_edges.count()
-        # the child's rebuild evicted the parent's same-key entry
-        assert parent_edges.storageLevel == StorageLevel.NONE, (
-            "replaced cross-session entry must be unpersisted"
+        # siblings COEXIST (ADVICE r10 #2): the child's build must not
+        # evict or unpersist the parent's entry...
+        assert parent_edges.storageLevel != StorageLevel.NONE, (
+            "sibling sessions on the same sf_dir must cache "
+            "independently, not thrash each other's persisted relation"
         )
-        # and the parent, asking again, rebuilds under ITS OWN session
-        parent_again = copurchase_edges(spark, SF_SMOKE)
-        assert parent_again is not child_edges
+        # ...and alternating callers each get their own warm hit
+        assert copurchase_edges(spark, SF_SMOKE) is parent_edges
+        assert copurchase_edges(child, SF_SMOKE) is child_edges
     finally:
         clear_copurchase_cache()

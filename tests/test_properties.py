@@ -349,7 +349,9 @@ def test_global_ntile_rejects_nonpositive_n(spark):
     from mini_hive_server_spark.operators.ranking import global_ntile
 
     df = spark.createDataFrame([(1, 1)], "id long, v long")
-    for bad in (0, -1, 2.5):
+    # True passes isinstance(n, int) and would silently mean ntile(1)
+    # without the explicit bool rejection (ADVICE r10 #4)
+    for bad in (0, -1, 2.5, True, False):
         with _pytest.raises(ValueError):
             global_ntile(df, bad, ["id"], "b")
 
