@@ -167,6 +167,37 @@ def build_stdout_record(
     return out
 
 
+# SCALE.md §"Bench noise adjudication" thresholds, shared by the local-
+# record routing below and the documentation: a run whose cumulative
+# CPU-steal exceeds this (seconds) or whose finishing 1-min loadavg
+# exceeds 2×CPUs is noise-suspect and must not be quoted as primary.
+NOISE_STEAL_S = 30.0
+
+
+def local_record_path(
+    steal_s: float | None, load1: float | None
+) -> tuple[str, bool]:
+    """Where main() writes the COMPLETE local record, and whether this
+    run is noise-suspect under the SCALE.md adjudication rule.
+
+    VERDICT r10 #3: the round-10 driver run (steal_s 1130.6) overwrote
+    the committed quiet-window `BENCH_local.json` IN PLACE — the
+    adjudicated numbers survived only in the `_r10` snapshot. A
+    noise-suspect run therefore routes its record to
+    `BENCH_local_noisy.json`; the canonical quiet path is reserved for
+    runs the adjudication rule itself would accept as primary. An
+    explicit `SPARK_GRAFT_BENCH_LOCAL` wins unconditionally (operator
+    intent — the driver doesn't set it)."""
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_LOCAL")
+    suspect = bool(
+        (steal_s is not None and steal_s > NOISE_STEAL_S)
+        or (load1 is not None and load1 > 2 * (os.cpu_count() or 1))
+    )
+    if explicit:
+        return explicit, suspect
+    return ("BENCH_local_noisy.json" if suspect else "BENCH_local.json"), suspect
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -344,7 +375,8 @@ def main() -> None:
         "failed_detail": failed,
         "noise": {"before": noise_before, "after": noise_after},
     }
-    local_path = os.environ.get("SPARK_GRAFT_BENCH_LOCAL", "BENCH_local.json")
+    local_path, suspect = local_record_path(steal_s, load1)
+    full["noise_suspect"] = suspect
     try:
         with open(local_path, "w") as f:
             json.dump(full, f, indent=1)

@@ -70,3 +70,37 @@ def test_headline_names_all_registered():
 
     missing = set(bench.HEADLINE) - set(registry.queries())
     assert not missing, f"HEADLINE names not in the registry: {sorted(missing)}"
+
+
+def test_noise_suspect_run_never_clobbers_quiet_record(monkeypatch):
+    """VERDICT r10 #3: the round-10 driver run (steal_s 1130.6)
+    overwrote the committed quiet-window BENCH_local.json in place;
+    only the _r10 snapshot preserved the adjudicated numbers. The
+    routing must send any run the SCALE.md adjudication rule would
+    reject as primary (steal_s > 30 or load1 > 2×CPUs) to a separate
+    noisy path, and must honor an explicit operator override."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_LOCAL", raising=False)
+    ncpu = os.cpu_count() or 1
+
+    # the exact r10 driver readings: must NOT land on the quiet path
+    path, suspect = bench.local_record_path(steal_s=1130.6, load1=30.02)
+    assert suspect and path == "BENCH_local_noisy.json"
+    # steal alone over threshold
+    assert bench.local_record_path(31.0, 1.0) == ("BENCH_local_noisy.json", True)
+    # load alone over 2×CPUs
+    assert bench.local_record_path(0.0, 2 * ncpu + 1.0) == (
+        "BENCH_local_noisy.json", True,
+    )
+    # quiet run: canonical path (bench's own local[32] load is NOT
+    # suspect — the r10 quiet run finished at load1 31 on 32 CPUs)
+    assert bench.local_record_path(3.2, float(min(ncpu, 2 * ncpu - 1))) == (
+        "BENCH_local.json", False,
+    )
+    # unadjudicable (no /proc markers): keep the canonical path
+    assert bench.local_record_path(None, None) == ("BENCH_local.json", False)
+    # explicit operator override wins unconditionally, but the suspect
+    # flag still reaches the record's provenance field
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_LOCAL", "/tmp/x.json")
+    assert bench.local_record_path(1130.6, 30.02) == ("/tmp/x.json", True)
