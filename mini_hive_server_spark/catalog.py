@@ -142,6 +142,13 @@ _TABLES_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, Data
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every fixture table as a DataFrame (lazy — no scan happens here).
     Handles are memoized per (session, sf_dir); see _TABLES_CACHE."""
+    # every query path funnels through here, so this is where driver-owned
+    # vanilla sessions (correctness gate, foreign-cwd launches) get the
+    # package zip shipped to executor Python workers (VERDICT r10 #6);
+    # once-per-SparkContext guard inside
+    from mini_hive_server_spark.session import ship_package_to_executors
+
+    ship_package_to_executors(spark)
     try:
         # Timestamp rendering (date_format) follows the session timezone;
         # oracle comparison requires UTC regardless of the caller's session.

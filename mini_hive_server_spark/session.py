@@ -140,4 +140,65 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    ship_package_to_executors(spark)
     return spark
+
+
+# applicationIds whose context already received the package zip — addPyFile
+# is idempotent-by-name but re-zipping per query would be pure waste
+_SHIPPED_APPS: set[str] = set()
+
+
+def ship_package_to_executors(spark: SparkSession) -> None:
+    """Make ``mini_hive_server_spark`` importable on executor Python
+    workers regardless of the launch cwd (VERDICT r10 #6).
+
+    Package functions captured in Arrow-UDF closures are pickled BY
+    REFERENCE (module + qualname), so the worker must import the package
+    itself. In local mode that silently worked only when the app was
+    launched from the repo root (the forked worker inherits the JVM's
+    cwd); launched anywhere else — or on a real cluster with no deploy
+    step — every Python-kernel query dies with an executor-side
+    ModuleNotFoundError. Zip the package once per SparkContext and
+    ``addPyFile`` it: Spark ships the zip to every executor (current and
+    late-joining) and prepends it to the worker's sys.path. On a real
+    cluster this replaces the usual --py-files deploy step; locally it
+    costs one ~100 KB zip per context.
+
+    Called from get_spark AND from catalog.load_tables so driver-owned
+    vanilla sessions (the correctness gate imports __spark_entry__ with
+    its own SparkSession) are covered too."""
+    import tempfile
+    import zipfile
+
+    try:
+        sc = spark.sparkContext
+        app = sc.applicationId
+    except Exception:
+        return
+    if app in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"mhs_pkg_{os.getpid()}_{app}.zip"
+    )
+    try:
+        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+            for root, dirs, files in os.walk(pkg_dir):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for fname in sorted(files):
+                    if fname.endswith(".py"):
+                        full = os.path.join(root, fname)
+                        # arcname keeps the top-level package name so the
+                        # zip root itself is the import path
+                        rel = os.path.relpath(
+                            full, os.path.dirname(pkg_dir)
+                        )
+                        z.write(full, rel)
+        sc.addPyFile(zpath)
+        _SHIPPED_APPS.add(app)
+    except Exception:
+        # best-effort: a read-only tempdir or an exotic context must not
+        # take down the query path — the run-from-repo-root workflow
+        # still works without the zip
+        pass
