@@ -433,6 +433,21 @@ def test_pq_adc_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_pq_adc_kernel_evaluated_exactly_once(spark):
+    """Round-11 regression pin: plain posexplode (outer=false) over the
+    fused encode+ADC kernel's output let Catalyst infer `size(scores)>0`
+    and push it BELOW the repartition exchange — a second, serial
+    ArrowEvalPython evaluation of the whole kernel just to decide the
+    filter (2x kernel cost at every scale; 1.4s vs 0.5s at sf0.1). The
+    posexplode_outer form must leave exactly ONE ArrowEvalPython node in
+    the scored relation's plan."""
+    from mini_hive_server_spark.operators.similarity import _pq_scored
+
+    _, _, scored = _pq_scored(spark, SF_SMOKE)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
 def test_asof_forward_is_window_not_range_join(spark):
     """Forward as-of guard: the next-error carry must be one window pass
     per user partition (a single key exchange) — never a time-range
