@@ -284,19 +284,29 @@ def minhash_bands(sha: DataFrame) -> DataFrame:
     64 multiply-add-mod projections costs more than it saves — so the
     rehash form stays (still ~40x over the interpreted higher-order
     transform/array_min formulation; see module history)."""
-    rows_per_band = _N_PERM // _N_BANDS
+    return _minhash_bands_k(sha, _N_PERM, _N_BANDS)
+
+
+def _minhash_bands_k(sha: DataFrame, n_perm: int, n_bands: int) -> DataFrame:
+    """`minhash_bands` parameterized over signature width: K rehash-min
+    aggregation columns banded into n_bands × (K/n_bands) band hashes.
+    The K=64 production tier and the K=256 large-K tier
+    (`dedup_minhash_k256`) share this one construction; the OPH/classic
+    crossover A/B (bench.py `_oph_scale_experiment`) drives it directly
+    at both widths."""
+    rows_per_band = n_perm // n_bands
     shh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh")).select(
         "doc_id", F.xxhash64("sh").alias("h")
     )
     sig = shh.groupBy("doc_id").agg(
         *[
             F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-            for i in range(_N_PERM)
+            for i in range(n_perm)
         ]
     )
     return sig.select(
         "doc_id",
-        # explode_outer: 16-element band array is never empty; avoid the
+        # explode_outer: the band array is never empty; avoid the
         # implicit pushable filter re-evaluating the band hashes
         F.explode_outer(
             F.array(
@@ -308,7 +318,7 @@ def minhash_bands(sha: DataFrame) -> DataFrame:
                             *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
                         ).alias("bh"),
                     )
-                    for b in range(_N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -613,7 +623,7 @@ def dedup_lsh_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPH_BUCKETS = 64  # sketch width (same as _N_PERM — comparable band layout)
 
 
-def oph_bands(sha: DataFrame) -> DataFrame:
+def oph_bands(sha: DataFrame, buckets: int = _OPH_BUCKETS, n_bands: int = _N_BANDS) -> DataFrame:
     """(doc_id, band, bh) banded ONE-PERMUTATION-HASHING signature: hash
     each shingle once, partition the hash space into 64 buckets, keep the
     per-bucket minimum — ONE aggregation pass replaces the classic
@@ -655,13 +665,13 @@ def oph_bands(sha: DataFrame) -> DataFrame:
             "doc_id",
             F.xxhash64("sh").alias("h"),
         )
-        .withColumn("bucket", F.pmod("h", F.lit(_OPH_BUCKETS)).cast("int"))
+        .withColumn("bucket", F.pmod("h", F.lit(buckets)).cast("int"))
         .groupBy("doc_id", "bucket")
         .agg(F.min("h").alias("mn"))
     )
     spine = sha.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_OPH_BUCKETS - 1))).alias("bucket"),
+        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("bucket"),
     )
     slots = spine.join(per_bucket, ["doc_id", "bucket"], "left")
     # running-min formulation: "nearest non-empty at/right" = min over
@@ -689,7 +699,7 @@ def oph_bands(sha: DataFrame) -> DataFrame:
         F.when(F.col("mn").isNotNull(), F.col("mn"))
         .when(nxt.isNotNull(), F.xxhash64(nxt["v"], nxt["b"] - F.col("bucket")))
         .otherwise(
-            F.xxhash64(fst["v"], fst["b"] + F.lit(_OPH_BUCKETS) - F.col("bucket"))
+            F.xxhash64(fst["v"], fst["b"] + F.lit(buckets) - F.col("bucket"))
         )
     )
     dense = (
@@ -702,7 +712,7 @@ def oph_bands(sha: DataFrame) -> DataFrame:
             ).alias("m")
         )
     )
-    rows_per_band = _OPH_BUCKETS // _N_BANDS
+    rows_per_band = buckets // n_bands
     return dense.select(
         "doc_id",
         F.explode_outer(
@@ -718,7 +728,7 @@ def oph_bands(sha: DataFrame) -> DataFrame:
                             ],
                         ).alias("bh"),
                     )
-                    for b in range(_N_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -743,15 +753,65 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     `_oph_scale_experiment`, 128-shingle docs at 10x/100x corpus)
     measured the same verdict at scale — classic ~3s vs OPH ~26s at
     500k docs — so at K=64 the classic tier is the default at EVERY
-    scale; OPH's O(1)-per-element advantage needs K in the hundreds
-    (where classic's K rehashes dominate its fixed shuffle cost), the
-    regime the papers target. Both tiers stay registered: classic is
-    the production default, this one is the large-K path, and the curve
-    is the measured crossover evidence (it also caught and drove out
-    the original Python densify kernel — 94s at the 100x point)."""
+    scale. Round 11 MEASURED the "K in the hundreds" crossover
+    hypothesis by adding K=256 arms to the same curve
+    (`dedup_minhash_k256`, 64 bands x 4 rows): classic-256 21s vs
+    OPH-256 32s at the 100x point — classic STILL wins, refuting the
+    prose condition for this corpus shape. The reason is the second
+    axis the prose ignored: with 128 shingles into 256 buckets, >50% of
+    OPH's slots are empty and the densification window (256-row spine
+    per doc, two window passes) dominates; OPH's O(1)-per-element
+    advantage needs shingles-per-doc >> sketch width (book-length
+    documents), not merely large K. Both tiers stay registered: classic
+    is the production default at both widths; this one is the
+    long-document path, with the measured condition now two A/B points
+    instead of prose (the curve also caught and drove out the original
+    Python densify kernel — 94s at the 100x point)."""
     docs = load_tables(spark, sf_dir)["documents"]
     sha = tracked_persist(shingle_arrays(docs))
     bands = tracked_persist(oph_bands(sha))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
+
+
+_K256_PERM = 256
+_K256_BANDS = 64  # 64 bands × 4 rows — same rows/band as the K=64 tier
+
+
+@register("dedup_minhash_k256", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))
+def dedup_minhash_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic MinHash at K=256 (64 bands × 4 rows) — the LARGE-K
+    operating point the OPH/classic crossover analysis names
+    (`dedup_minhash_oph` docstring had hypothesized OPH wins once K is
+    in the hundreds). Registering the tier turned that prose condition
+    into a second MEASURED A/B point — bench.py `_oph_scale_experiment`
+    runs classic-vs-OPH at BOTH K=64 and K=256 through these exact
+    production builders — and the measurement REFUTED it for this
+    corpus shape: classic-256 21s vs OPH-256 32s at the 100x point
+    (128-shingle docs). See `dedup_minhash_oph` for the analysis (the
+    missing axis is shingles-per-doc vs sketch width).
+
+    Recall strictly dominates the K=64 tier at equal rows-per-band
+    (P(candidate | J) = 1 - (1 - J^4)^64 vs ^16), so the
+    exhaustive-Jaccard oracle pairing carries over unchanged; precision
+    is the verifier's job in every tier. Same banding/bucket-join/
+    candidate-verify dataflow — one signature aggregation with 256
+    rehash-min columns instead of 64; the shuffle still carries one
+    signature row per doc."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sha = tracked_persist(shingle_arrays(docs))
+    bands = tracked_persist(_minhash_bands_k(sha, _K256_PERM, _K256_BANDS))
     x = bands.alias("x")
     y = bands.alias("y")
     candidates = (

@@ -88,76 +88,79 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-10 window — the second staleness-rotation round, draining the
-# documented round-10 queue in full (VERDICT r9 #1). Composition:
-# 3 round-10 additions (the final two facade routes `ref_buyer_stats` /
-# `ref_buyer_tasks_all` closing the reference's read surface, VERDICT r9
-# #5, plus the graph family's AQE-less salted-skew twin, #6) + the
-# ENTIRE 36-query queue (the 34 queries whose latest driver row is
-# CORRECTNESS_r02 plus the two r1-checked trivial point-scans deferred
-# from round 9) + 11 re-confirms from the r3-checked set, prioritized by
-# refactor exposure: the six r3 `ref_*` reads (reference_model.py gained
-# the approve-batch folds, floor-cents retrofit, and five new routes
-# since r3), the four r3 streaming queries (the observe/persistence
-# machinery under them changed every round), and `buyer_home_dashboard`
-# (the facade's flagship composite). After r10 the oldest driver row
-# anywhere is r3; the 29 remaining r3-checked queries form the round-11
-# queue in COVERAGE.md.
+# Round-11 window — the third staleness-rotation round, draining the
+# documented round-11 queue in full (VERDICT r10 #1). Composition:
+# 1 round-11 addition (`dedup_minhash_k256`, the large-K classic tier
+# that converted the OPH/classic crossover hypothesis into measured A/B
+# points — VERDICT r10 #8's suggested operating point) + the ENTIRE
+# 29-query queue (the r3-checked set from COVERAGE.md "Round-11
+# queue") + `similarity_pq_adc` (r10-checked but REWORKED this round:
+# encode+ADC fused into one Arrow kernel and the posexplode double-eval
+# fixed — highest refactor exposure in the repo, so it re-enters the
+# window) + 19 re-confirms from the r4-checked set, prioritized by
+# refactor exposure: the three similarity.py neighbors of the PQ rework
+# (`dedup_semantic_clusters`, `embedding_mrl_truncation`,
+# `similarity_filtered_topk`), the four r4 streaming queries (the
+# observe/persistence machinery churns every round), the events long
+# tail, the three r4 `ref_*` reads, the two ingest/CDC folds, and
+# `join_salted_skew` (the skew discipline's flagship). After r11 the
+# oldest driver row anywhere is r4; the 21 remaining r4-checked queries
+# form the round-12 queue in COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- round-10 additions (≤10 budget; 3 used) ---
-    "ref_buyer_stats",
-    "ref_buyer_tasks_all",
-    "graph_degree_salted_topk",
-    # --- the round-10 staleness queue: 34 r2-checked, oldest first ---
-    "mutation_insert_append",
-    "mutation_update_set",
-    "mutation_update_inc",
-    "mutation_delete_anti",
-    "mutation_scd2_merge",
-    "order_desc_recent",
-    "sort_missing_field",
-    "top_workers",
-    "topk_per_group",
-    "worker_home_stats",
-    "payment_dual_shape",
-    "approve_submission_batch",
-    "events_lag_delta",
-    "events_ntile_quartiles",
-    "events_asof_last_click",
-    "dedup_ngram_jaccard",
-    "embedding_norm_stats",
-    "embedding_label_centroids",
-    "text_token_count",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint_md5",
-    "doc_stats_by_lang",
-    "text_tokenize_udtf",
-    "text_hash_split",
-    "multimodal_metadata_stats",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "source_partitioned_prune",
-    "source_bucketed_join",
-    "source_from_json",
-    "source_orc_roundtrip",
-    "range_join_value_tiers",
-    "json_ingest_extract",
-    # --- the two r1-checked point-scans deferred from round 9 ---
-    "full_scan_projection",
-    "point_lookup_pk",
-    # --- 11 r3 re-confirms (refactor-exposure order; see comment) ---
-    "ref_worker_submission_page",
-    "ref_buyer_pending_review",
-    "ref_notifications_feed",
-    "ref_withdrawal_queue",
-    "ref_open_tasks_listing",
-    "ref_oversubscribed_tasks",
-    "streaming_user_running_stats",
-    "streaming_dedup_watermark",
-    "streaming_static_enrich",
-    "streaming_stream_stream_join",
-    "buyer_home_dashboard",
+    # --- round-11 addition (≤10 budget; 1 used) ---
+    "dedup_minhash_k256",
+    # --- the round-11 staleness queue: 29 r3-checked, in queue order ---
+    "q12_late_lines",
+    "events_tumbling_hourly",
+    "similarity_cosine_topk",
+    "dedup_embedding_cosine",
+    "multimodal_feature_extract",
+    "events_sliding_window",
+    "events_running_total",
+    "events_type_pivot",
+    "events_type_unpivot",
+    "events_value_percentiles",
+    "events_date_parts",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "seq_packing_bins",
+    "text_tfidf_top_terms",
+    "ngram_bigram_top",
+    "stratified_sample_by_lang",
+    "embedding_int8_quantize",
+    "decontaminate_ngram",
+    "text_pii_scrub",
+    "text_chunk_dedup",
+    "sketch_approx_distinct",
+    "sketch_approx_quantiles",
+    "sketch_hll_mergeable",
+    "agg_salted_two_stage",
+    "catalog_managed_sql",
+    "source_json_roundtrip",
+    "source_csv_roundtrip",
+    # --- reworked-this-round re-confirm ---
+    "similarity_pq_adc",
+    # --- 19 r4 re-confirms (refactor-exposure order; see comment) ---
+    "dedup_semantic_clusters",
+    "embedding_mrl_truncation",
+    "similarity_filtered_topk",
+    "streaming_cdc_merge",
+    "streaming_cep_error_burst",
+    "streaming_sessionize",
+    "streaming_stream_stream_left_join",
+    "events_asof_next_error",
+    "events_cep_error_burst",
+    "events_funnel_conversion",
+    "events_retention_cohorts",
+    "events_rollup_two_level",
+    "events_sessionize",
+    "ref_admin_platform_stats",
+    "ref_buyer_payment_history",
+    "ref_top_workers",
+    "ingest_cdc_merge",
+    "ingest_incremental_dedup",
+    "join_salted_skew",
 )
 
 

@@ -271,6 +271,18 @@ def test_oph_candidates_cover_jaccard_pairs(spark):
         assert classic == oph, f"{sf}: OPH {len(oph)} vs classic {len(classic)}"
 
 
+def test_k256_candidates_cover_jaccard_pairs(spark):
+    """Same soundness pin for the round-11 K=256 tier: its exhaustive
+    -Jaccard oracle pairing is valid only while the 64x4 band join
+    recalls every >= 0.8 pair — recall strictly dominates the K=64 tier
+    analytically (1-(1-J^4)^64 vs ^16), but pin the implementation, not
+    the analysis."""
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        classic = {tuple(r) for r in registry.queries()["dedup_minhash_lsh"](spark, sf).collect()}
+        k256 = {tuple(r) for r in registry.queries()["dedup_minhash_k256"](spark, sf).collect()}
+        assert classic == k256, f"{sf}: K=256 {len(k256)} vs classic {len(classic)}"
+
+
 def test_pagerank_converged_matches_independent_iteration(spark):
     """graph_pagerank_converged is oracle-paired against the 12-round
     golden unroll's values (round 8; the contraction bound makes the
