@@ -307,6 +307,8 @@ def main() -> None:
         _minhash_fidelity_scale_experiment,
         _oph_scale_experiment,
         _pq_adc_scale_experiment,
+        _rfm_scale_experiment,
+        _pca_scale_experiment,
     ):
         try:
             got = exp(spark, sf_dir)
@@ -1154,6 +1156,99 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         out[f"pq_adc_scan_{mult}x_sec"] = round(best, 3)
         emb.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
+def _rfm_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the RFM composite's ranking machinery (VERDICT
+    r10 #5): three CHAINED `ranking.global_ntile` passes + the (R,F,M)
+    census over synthetic per-customer populations at 10x/100x the
+    sf0.1 customer cardinality, driving the PRODUCTION
+    `behavior._rfm_from_per_cust` (no replica code). The 100 TB question
+    is whether the exact-ntile path — range-partition, per-partition
+    rank, prefix-offset fold — keeps a linear slope when chained three
+    times over a customer-cardinality relation, with NO
+    single-partition sort (the plan audit forbids the `Window.orderBy`
+    shape; this curve measures what the audit only asserts
+    structurally). Values are deterministic hash-derived ints, sized
+    like the real columns (recency days 0-365, frequency 1-40, monetary
+    cents-scale)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.behavior import _rfm_from_per_cust
+
+    base = load_tables(spark, sf_dir)["customer"].count()
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n = base * mult
+        per_cust = spark.range(n).select(
+            F.col("id").alias("o_custkey"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(366)).cast("int").alias(
+                "recency_d"
+            ),
+            (F.pmod(F.xxhash64("id", F.lit(2)), F.lit(40)) + 1).alias(
+                "frequency"
+            ),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(10_000_000)) / 100.0).alias(
+                "monetary"
+            ),
+        ).persist()
+        per_cust.count()  # materialize outside the timed window
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # .collect() the bounded census (<= 125 cells), never .count():
+            # a count lets Catalyst prune the aggregate expressions
+            _rfm_from_per_cust(per_cust).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[f"rfm_census_{mult}x_sec"] = round(best, 3)
+        per_cust.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
+def _pca_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the PCA power iteration (VERDICT r10 #5): the
+    Gram-accumulate -> integer-covariance -> two power steps pipeline
+    over synthetic 64-dim quantized corpora at 10x/100x the sf0.1
+    vector count, driving the PRODUCTION `similarity._pca_power_over`
+    (no replica code). The 100 TB question is the per-iteration corpus
+    pass: the mapInPandas Gram stage must emit <= d^2 + d + 1 partial
+    rows PER TASK regardless of corpus size (vectorized map-side
+    combine), so the curve should be linear in scan cost with a
+    corpus-size-INDEPENDENT shuffle/solve tail. Values are hash-derived
+    ints in the quantized range the production path produces
+    (round(x * 1e4) of unit-norm-ish coordinates)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.similarity import _pca_power_over
+
+    base = load_tables(spark, sf_dir)["embeddings"].count()
+    out: dict[str, float] = {}
+    for mult in (10, 100):
+        n = base * mult
+        q = spark.range(n).select(
+            F.expr(
+                "transform(sequence(0, 63),"
+                " i -> cast(pmod(xxhash64(id, i), 20001) - 10000 as bigint))"
+            ).alias("qv")
+        ).persist()
+        q.count()  # materialize outside the timed window
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            # collect the 64-row loading table (bounded) — not count()
+            _pca_power_over(q).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[f"pca_power_{mult}x_sec"] = round(best, 3)
+        q.unpersist()
         spark.catalog.clearCache()
     return out
 

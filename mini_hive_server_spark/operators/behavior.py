@@ -823,6 +823,19 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
+    return _rfm_from_per_cust(per_cust)
+
+
+def _rfm_from_per_cust(per_cust: DataFrame) -> DataFrame:
+    """The triple-global_ntile scoring + (R,F,M) census over an arbitrary
+    per-customer (o_custkey, recency_d, frequency, monetary) relation —
+    factored out so the bench scale experiment (bench.py
+    `_rfm_scale_experiment`) drives the EXACT production ranking path
+    over synthetic customer populations at 10x/100x (three chained
+    range-partitioned exact ntiles are the 100 TB question: the curve
+    certifies no single-partition sort sneaks in as cardinality grows)."""
+    from .ranking import global_ntile
+
     scored = global_ntile(
         global_ntile(
             global_ntile(per_cust, 5, ["recency_d", "o_custkey"], "r"),

@@ -1512,6 +1512,17 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" x -> CAST(round(x * {_PCA_Q}) AS BIGINT))"
         ).alias("qv")
     )
+    return _pca_power_over(q)
+
+
+def _pca_power_over(q: DataFrame) -> DataFrame:
+    """The Gram-accumulate → integer-covariance → two power steps
+    machinery over an arbitrary quantized corpus (column `qv`,
+    array<bigint>) — factored out so the bench scale experiment
+    (bench.py `_pca_scale_experiment`) drives the EXACT production path
+    over synthetic corpora at 10x/100x (the per-iteration corpus pass is
+    the 100 TB question; the curve certifies the shuffle stays at
+    <= d^2 + d + 1 rows per task regardless of corpus size)."""
 
     def _gram_batches(it):
         # One Arrow pass accumulates the d x d product matrix, the per-dim
