@@ -340,6 +340,46 @@ def test_global_cumsum_null_partition_regression(spark):
     assert got[14] == 6  # trailing NULL falls through to the prior sum
 
 
+def test_global_cummin_null_partition_regression(spark):
+    """The cummin twin of the NULL-partition pin above — round-10
+    self-review finding #8's disposition was REJECTED-as-already-safe:
+    the offsets fold merges with `F.least`, which skips NULLs in Spark,
+    so an all-NULL partition's NULL partial min cannot poison later
+    partitions the way the cumsum `acc + x` fold could. That claim
+    lived only in a comment (ranking.py); this test pins it with the
+    same adversarial layout (NULLs forced into range partition 0)."""
+    from pyspark.sql import Window
+
+    from mini_hive_server_spark.operators.ranking import global_cummin
+
+    vals = [None] * 10 + [5, 2, None, 3] + [None]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    ).repartition(5)
+    ref = {
+        r.id: r.c
+        for r in df.select(
+            "id",
+            F.min("v")
+            .over(
+                Window.orderBy("id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("c"),
+        ).collect()
+    }
+    got = {
+        r.id: r.cm
+        for r in global_cummin(
+            df, ["id"], "v", "cm", num_partitions=4
+        ).collect()
+    }
+    assert got == ref
+    assert got[0] is None and got[9] is None  # all-NULL prefix stays NULL
+    assert got[14] == 2  # trailing NULL falls through to the prior min
+
+
 def test_global_ntile_rejects_nonpositive_n(spark):
     """Window ntile(0) raises at analysis time; the distributed form
     must not silently produce NULL buckets instead (round-10
