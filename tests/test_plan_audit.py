@@ -185,6 +185,56 @@ def _single_partition_sorted(plan: str) -> bool:
     return False
 
 
+# (query, udf) pairs where the SAME Python kernel legitimately appears
+# in TWO live eval nodes: the second application is over a relation
+# bounded BY CONSTRUCTION (the ANN tiers re-bucket the <= 5-row query
+# side, with the vec_id < 5 filter pushed to the scan under the second
+# eval — verified in-plan round 11). Anything unlisted fails: a
+# duplicated corpus-sized kernel is the round-11 PQ-ADC bug class
+# (posexplode's inferred size-filter pushed below the exchange re-ran
+# the WHOLE kernel serially — 2x kernel cost at every scale).
+_DUP_UDF_BOUNDED = {
+    ("similarity_lsh_ann", "_bucket_kernel"),
+    ("similarity_ivf_ann", "_nearest_kernel"),
+}
+
+
+def _live_python_eval_dups(plan: str) -> list[str]:
+    """UDF names appearing in MORE THAN ONE live Python eval node
+    (ArrowEvalPython / BatchEvalPython / MapInPandas) of an
+    executedPlan tree string. Subtrees under `InMemoryRelation` are
+    SKIPPED: a persisted relation's stored build lineage is displayed
+    inside every InMemoryTableScan that reads it, but executes at most
+    once — counting it would false-flag every diamond-over-persist
+    (embedding_pca_power renders its Gram kernel 28 times that way)."""
+    import collections
+    import re as _re
+
+    seen: list[str] = []
+    skip_indent = None
+    for line in plan.splitlines():
+        m = _re.search(r"[:+]- ", line)
+        indent = m.start() if m else -1
+        if skip_indent is not None:
+            if indent > skip_indent:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line:
+            skip_indent = indent
+            continue
+        em = _re.search(
+            r"(?:ArrowEvalPython|BatchEvalPython) \[([^\]]*)\]", line
+        )
+        if em:
+            seen += list(
+                set(_re.findall(r"([A-Za-z_][A-Za-z0-9_]*)\(", em.group(1)))
+            )
+        mm = _re.search(r"MapInPandas ([A-Za-z_][A-Za-z0-9_]*)\(", line)
+        if mm:
+            seen.append(mm.group(1))
+    return [u for u, c in collections.Counter(seen).items() if c > 1]
+
+
 def test_single_partition_matcher_walks_ancestors():
     """The matcher must follow the real parent chain: catch a Sort fed
     through an intervening Project (missed by the old 2-line window),
@@ -350,4 +400,14 @@ def test_no_scale_killer_plan_shapes_anywhere(spark):
                 f"{name}: unlisted single-partition Sort/Window "
                 "(use operators/ranking.py for SF-proportional relations)"
             )
+        exec_plan = df._jdf.queryExecution().executedPlan().toString()
+        for udf in _live_python_eval_dups(exec_plan):
+            if (name, udf) not in _DUP_UDF_BOUNDED:
+                offenders.append(
+                    f"{name}: Python kernel '{udf}' evaluated in more than "
+                    "one live eval node (duplicated corpus-sized kernel — "
+                    "the round-11 PQ-ADC bug class; if the re-application "
+                    "is over a bounded relation, allowlist it in "
+                    "_DUP_UDF_BOUNDED with the justification)"
+                )
     assert not offenders, offenders
