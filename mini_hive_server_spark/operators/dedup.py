@@ -785,6 +785,88 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
 
 
+_DF_CAP = 4  # max docs a shingle may appear in before it is cut
+
+_DF_CAPPED_JACCARD_ORACLE = f"""
+WITH {_DUCK_SHINGLES_CTE},
+df AS (SELECT sh, count(*) AS c FROM shingles GROUP BY sh),
+capped AS (
+  SELECT s.doc_id, s.sh FROM shingles s JOIN df ON df.sh = s.sh
+  WHERE df.c <= {_DF_CAP}
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS c
+  FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2,
+       round(c * 1.0 / (s1.n + s2.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
+ORDER BY d1, d2
+"""
+
+
+@register(
+    "dedup_lsh_df_capped", oracle=_DF_CAPPED_JACCARD_ORACLE, tags=("llm", "dedup")
+)
+def dedup_lsh_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection over DOCUMENT-FREQUENCY-CAPPED
+    shingle sets — the boilerplate/skew defense the module docstring has
+    always prescribed for the band join's one failure mode at 100 TB
+    ("a hot shingle → hot bucket ... capped upstream by dropping
+    shingles with document frequency above a threshold, exactly like a
+    stopword cut"), made executable instead of prose (round 11).
+
+    Semantics: shingles appearing in more than {_DF_CAP} documents are
+    removed BEFORE signatures, candidates, and verification — similarity
+    is Jaccard over the capped sets on both engines (the oracle applies
+    the identical cut), which is the similarity a curation pipeline
+    actually wants: two documents are near-dups because they share RARE
+    content, not because they share a boilerplate header every page
+    carries. At the fixture SFs the cap is live, not vacuous (df <= 4
+    drops ~150-190 shingles at sf0.01/sf0.001; max df is 7-9).
+
+    Scale shape: the df census is one linear groupBy on the exploded
+    shingle relation (the unavoidable stopword-cut cost); the HOT set it
+    produces is small BY CONSTRUCTION (only shingles shared by more than
+    {_DF_CAP} docs — boilerplate cardinality, not corpus cardinality),
+    so the cut itself is a broadcast LEFT ANTI join the corpus streams
+    past. Everything downstream is the classic tier unchanged: 64-perm
+    signatures via the shared builder, 16x4 banding, bucket equi-join,
+    candidate-only exact verification over the capped arrays. Documents
+    whose every shingle is cut vanish from both engines identically."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    sh = shingle_sets(docs)
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _DF_CAP)
+        .select("sh")
+    )
+    capped = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sha = tracked_persist(
+        capped.groupBy("doc_id").agg(F.collect_list("sh").alias("sh_arr"))
+    )
+    bands = tracked_persist(minhash_bands(sha))
+    x = bands.alias("x")
+    y = bands.alias("y")
+    candidates = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"))
+        .distinct()
+    )
+    return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
+
+
 _K256_PERM = 256
 _K256_BANDS = 64  # 64 bands × 4 rows — same rows/band as the K=64 tier
 

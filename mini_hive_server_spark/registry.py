@@ -90,14 +90,16 @@ _QUERY_MODULES = (
 #
 # Round-11 window — the third staleness-rotation round, draining the
 # documented round-11 queue in full (VERDICT r10 #1). Composition:
-# 1 round-11 addition (`dedup_minhash_k256`, the large-K classic tier
+# 2 round-11 additions (`dedup_minhash_k256`, the large-K classic tier
 # that converted the OPH/classic crossover hypothesis into measured A/B
-# points — VERDICT r10 #8's suggested operating point) + the ENTIRE
+# points — VERDICT r10 #8's suggested operating point — and
+# `dedup_lsh_df_capped`, the document-frequency boilerplate cut the
+# dedup module docstring had only prescribed in prose) + the ENTIRE
 # 29-query queue (the r3-checked set from COVERAGE.md "Round-11
 # queue") + `similarity_pq_adc` (r10-checked but REWORKED this round:
 # encode+ADC fused into one Arrow kernel and the posexplode double-eval
 # fixed — highest refactor exposure in the repo, so it re-enters the
-# window) + 19 re-confirms from the r4-checked set, prioritized by
+# window) + 18 re-confirms from the r4-checked set, prioritized by
 # refactor exposure: the three similarity.py neighbors of the PQ rework
 # (`dedup_semantic_clusters`, `embedding_mrl_truncation`,
 # `similarity_filtered_topk`), the four r4 streaming queries (the
@@ -107,8 +109,9 @@ _QUERY_MODULES = (
 # oldest driver row anywhere is r4; the 21 remaining r4-checked queries
 # form the round-12 queue in COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- round-11 addition (≤10 budget; 1 used) ---
+    # --- round-11 additions (≤10 budget; 2 used) ---
     "dedup_minhash_k256",
+    "dedup_lsh_df_capped",
     # --- the round-11 staleness queue: 29 r3-checked, in queue order ---
     "q12_late_lines",
     "events_tumbling_hourly",
@@ -153,7 +156,6 @@ _DRIVER_WINDOW = (
     "events_cep_error_burst",
     "events_funnel_conversion",
     "events_retention_cohorts",
-    "events_rollup_two_level",
     "events_sessionize",
     "ref_admin_platform_stats",
     "ref_buyer_payment_history",
