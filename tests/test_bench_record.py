@@ -84,17 +84,36 @@ def test_noise_suspect_run_never_clobbers_quiet_record(monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_BENCH_LOCAL", raising=False)
     ncpu = os.cpu_count() or 1
 
-    # the exact r10 driver readings: must NOT land on the quiet path
-    path, suspect = bench.local_record_path(steal_s=1130.6, load1=30.02)
+    # the exact r10 driver readings at a ~8-min wall: 1130 steal-seconds
+    # is ~7% of wall×CPUs — must NOT land on the quiet path
+    path, suspect = bench.local_record_path(1130.6, 30.02, wall_s=480.0)
     assert suspect and path == "BENCH_local_noisy.json"
-    # steal alone over threshold
-    assert bench.local_record_path(31.0, 1.0) == ("BENCH_local_noisy.json", True)
-    # load alone over 2×CPUs
-    assert bench.local_record_path(0.0, 2 * ncpu + 1.0) == (
+    # fraction calibration (round 11): a full-load 32-core bench ALWAYS
+    # accrues some steal — the committed r10 quiet record carried 96 s
+    # and the round-11 quiet retry 116 s over ~6-min runs (0.8-1.6% of
+    # wall×CPUs); those must stay on the quiet path, while anything
+    # past 5% of wall×CPUs is suspect
+    wall = 360.0
+    assert bench.local_record_path(116.0, 21.0, wall_s=wall) == (
+        "BENCH_local.json", False,
+    )
+    quiet_edge = 0.04 * wall * ncpu
+    noisy_edge = 0.06 * wall * ncpu
+    assert bench.local_record_path(quiet_edge, 1.0, wall_s=wall) == (
+        "BENCH_local.json", False,
+    )
+    assert bench.local_record_path(noisy_edge, 1.0, wall_s=wall) == (
         "BENCH_local_noisy.json", True,
     )
-    # quiet run: canonical path (bench's own local[32] load is NOT
-    # suspect — the r10 quiet run finished at load1 31 on 32 CPUs)
+    # no wall time: the absolute floor applies
+    assert bench.local_record_path(31.0, 1.0) == ("BENCH_local_noisy.json", True)
+    assert bench.local_record_path(3.2, 1.0) == ("BENCH_local.json", False)
+    # load alone over 2×CPUs
+    assert bench.local_record_path(0.0, 2 * ncpu + 1.0, wall_s=wall) == (
+        "BENCH_local_noisy.json", True,
+    )
+    # bench's own local[32] load is NOT suspect — the r10 quiet run
+    # finished at load1 31 on 32 CPUs
     assert bench.local_record_path(3.2, float(min(ncpu, 2 * ncpu - 1))) == (
         "BENCH_local.json", False,
     )
@@ -103,4 +122,6 @@ def test_noise_suspect_run_never_clobbers_quiet_record(monkeypatch):
     # explicit operator override wins unconditionally, but the suspect
     # flag still reaches the record's provenance field
     monkeypatch.setenv("SPARK_GRAFT_BENCH_LOCAL", "/tmp/x.json")
-    assert bench.local_record_path(1130.6, 30.02) == ("/tmp/x.json", True)
+    assert bench.local_record_path(1130.6, 30.02, wall_s=480.0) == (
+        "/tmp/x.json", True,
+    )
