@@ -366,9 +366,11 @@ def main() -> None:
     # committed 2.91s) with no in-record way to tell. ~45 chars buys
     # self-adjudication: steal_s = cumulative CPU-steal seconds across the
     # whole run (USER_HZ=100 jiffies), load1 = 1-min loadavg at finish.
-    # Adjudication rule (SCALE.md §"Bench noise adjudication"): steal_s
-    # > 30 or load1 > 2×CPUs → quote the committed BENCH_local_rN.json
-    # quiet-window record as primary.
+    # Adjudication rule (SCALE.md §"Bench noise adjudication",
+    # recalibrated round 11): steal_s > 5% of wall×CPUs (absolute >30
+    # only when wall is unknown) or load1 > 2×CPUs → quote the committed
+    # BENCH_local_rN.json quiet-window record as primary. The same rule
+    # routes this run's own local record (local_record_path below).
     steal_s = None
     if "cpu_steal_jiffies" in noise_before and "cpu_steal_jiffies" in noise_after:
         steal_s = round(

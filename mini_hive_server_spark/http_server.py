@@ -171,6 +171,13 @@ class QueryHTTPServer:
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
+            # socket timeout: bounds BLOCKING reads (request line, headers,
+            # the POST body drain) so a trickling client can't pin a
+            # handler thread in TIME the way the byte cap bounds it in
+            # VOLUME (round-11 review). Long Spark queries are unaffected:
+            # they never block on the socket.
+            timeout = 30
+
             def log_message(self, fmt, *args):  # quiet pytest output
                 pass
 
@@ -218,18 +225,37 @@ class QueryHTTPServer:
                     n = int(self.headers.get("Content-Length") or 0)
                 except ValueError:
                     n = 0
+                refused = False
                 if n > _MAX_POST_BODY:
                     # the body is discarded anyway — don't let a huge (or
                     # slowly trickled) declared length pin this handler
-                    # thread; refuse and drop the connection (ADVICE r10)
+                    # thread; refuse, then drain a BOUNDED amount so an
+                    # honest in-flight sender can still read the 413
+                    # (round-11 review: replying and closing with the
+                    # whole body unread RSTs the buffered response out
+                    # from under a client mid-write — the exact failure
+                    # the round-10 drain comment documents; the reply
+                    # goes out FIRST so even a >cap remainder leaves the
+                    # client a window to read it)
                     self.close_connection = True
+                    refused = True
                     self._reply(413, {"message": "request body too large"})
-                    return
+                    try:
+                        self.wfile.flush()
+                    except OSError:
+                        pass
+                    n = _MAX_POST_BODY  # bounded post-reply drain
                 while n > 0:
-                    chunk = self.rfile.read(min(n, 65536))
+                    try:
+                        chunk = self.rfile.read(min(n, 65536))
+                    except OSError:  # incl. socket timeout mid-trickle
+                        self.close_connection = True
+                        return
                     if not chunk:
                         break
                     n -= len(chunk)
+                if refused:
+                    return  # 413 already sent; bounded drain done
                 path = urlparse(self.path).path.rstrip("/") or "/"
                 name = POST_ROUTES.get(path)
                 if name is None:

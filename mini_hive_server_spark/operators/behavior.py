@@ -801,7 +801,6 @@ def customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer-cardinality relation ever crosses a single-partition sort
     (the old form paid three sequential global-sort exchanges); the
     (R,F,M) cell census is an ordinary distributed groupBy."""
-    from .ranking import global_ntile
 
     orders = load_tables(spark, sf_dir)["orders"]
 

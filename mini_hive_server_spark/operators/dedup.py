@@ -840,7 +840,13 @@ def dedup_lsh_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-only exact verification over the capped arrays. Documents
     whose every shingle is cut vanish from both engines identically."""
     docs = load_tables(spark, sf_dir)["documents"]
-    sh = shingle_sets(docs)
+    # persist the COMPACT array relation before the diamond: the df
+    # census and the anti-join probe both derive from it, and without a
+    # cache boundary each branch re-runs the whole split+shingle
+    # pipeline (the module's measured ~8s-at-sf0.1 stage) — same
+    # discipline as every sibling tier (round-11 review)
+    raw_sha = tracked_persist(shingle_arrays(docs))
+    sh = raw_sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -144,7 +144,7 @@ _DRIVER_WINDOW = (
     "source_csv_roundtrip",
     # --- reworked-this-round re-confirm ---
     "similarity_pq_adc",
-    # --- 19 r4 re-confirms (refactor-exposure order; see comment) ---
+    # --- 18 r4 re-confirms (refactor-exposure order; see comment) ---
     "dedup_semantic_clusters",
     "embedding_mrl_truncation",
     "similarity_filtered_topk",

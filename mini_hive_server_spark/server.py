@@ -53,13 +53,13 @@ def get_thrift_spark(
     build-time config here (thrift port, hive catalog, metastore), and
     the failure mode is a server that binds the wrong port with the
     wrong catalog 90 seconds later (round-10 self-review)."""
-    # getActiveSession is thread-local; a session created on another
-    # thread (e.g. the HTTP facade's) would slip past it, and getOrCreate
-    # would still silently ignore the static confs — check the
-    # process-wide instantiated session too (mirrors session.get_hive_spark)
-    existing = SparkSession.getActiveSession() or getattr(
-        SparkSession, "_instantiatedSession", None
-    )
+    # cross-thread AND liveness-checked (mirrors session.get_hive_spark):
+    # getActiveSession alone misses sessions created on other threads,
+    # and a stale _instantiatedSession left behind by a STOPPED context
+    # must not permanently block thrift startup (round-11 review)
+    from mini_hive_server_spark.session import existing_live_session
+
+    existing = existing_live_session()
     if existing is not None:
         raise RuntimeError(
             "get_thrift_spark must create the JVM's FIRST session: an "

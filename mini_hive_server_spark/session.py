@@ -32,6 +32,31 @@ def local_cpu_count() -> int:
     return n if n >= 1 else (os.cpu_count() or 4)
 
 
+def existing_live_session() -> "SparkSession | None":
+    """The session `getOrCreate` would silently reuse, or None.
+
+    Checks the thread-local active session AND the process-wide
+    `_instantiatedSession` (a session built on another thread slips past
+    the former), but only counts a session whose underlying context is
+    still LIVE — PySpark can leave `_instantiatedSession` pointing at a
+    stopped session, and treating that corpse as "existing" would
+    permanently block first-session-only paths like the thrift/hive
+    factories (round-11 review; the liveness probe mirrors PySpark's own
+    getOrCreate: `session._sc._jsc is not None`)."""
+    for s in (
+        SparkSession.getActiveSession(),
+        getattr(SparkSession, "_instantiatedSession", None),
+    ):
+        if s is None:
+            continue
+        try:
+            if s._sc._jsc is not None:
+                return s
+        except Exception:
+            continue
+    return None
+
+
 def get_hive_spark(
     app_name: str = DEFAULT_APP_NAME + "-hive",
     warehouse_dir: str = "/tmp/mhs_hive_warehouse",
@@ -52,13 +77,11 @@ def get_hive_spark(
     survived. On a cluster the same call shape points at the shared
     metastore service instead of Derby.
     """
-    # getActiveSession is THREAD-LOCAL; a session built in another thread
-    # (e.g. the HTTP facade's) would slip past it and getOrCreate would
-    # silently reuse it with every static hive conf ignored — also check
-    # the process-wide instantiated session (round-10 self-review)
-    active = SparkSession.getActiveSession() or getattr(
-        SparkSession, "_instantiatedSession", None
-    )
+    # cross-thread AND liveness-checked: see existing_live_session —
+    # getActiveSession alone misses sessions built on other threads
+    # (round-10 self-review), and a stale _instantiatedSession from a
+    # stopped context must not block startup (round-11 review)
+    active = existing_live_session()
     if active is not None:
         impl = active.conf.get("spark.sql.catalogImplementation", "in-memory")
         if impl != "hive":
@@ -145,8 +168,14 @@ def get_spark(
 
 
 # applicationIds whose context already received the package zip — addPyFile
-# is idempotent-by-name but re-zipping per query would be pure waste
+# is idempotent-by-name but re-zipping per query would be pure waste.
+# The lock closes a check-then-act race (round-11 review): two threads
+# first-touching the same context would otherwise both open ZipFile(path,
+# "w") on the identical pid+appId path and ship a corrupt archive — the
+# very executor-side ModuleNotFoundError this function exists to fix,
+# made permanent by the guard marking the app shipped.
 _SHIPPED_APPS: set[str] = set()
+_SHIP_LOCK = __import__("threading").Lock()
 
 
 def ship_package_to_executors(spark: SparkSession) -> None:
@@ -176,29 +205,32 @@ def ship_package_to_executors(spark: SparkSession) -> None:
         app = sc.applicationId
     except Exception:
         return
-    if app in _SHIPPED_APPS:
+    if app in _SHIPPED_APPS:  # cheap pre-check; re-checked under the lock
         return
-    pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(
-        tempfile.gettempdir(), f"mhs_pkg_{os.getpid()}_{app}.zip"
-    )
-    try:
-        with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
-            for root, dirs, files in os.walk(pkg_dir):
-                dirs[:] = [d for d in dirs if d != "__pycache__"]
-                for fname in sorted(files):
-                    if fname.endswith(".py"):
-                        full = os.path.join(root, fname)
-                        # arcname keeps the top-level package name so the
-                        # zip root itself is the import path
-                        rel = os.path.relpath(
-                            full, os.path.dirname(pkg_dir)
-                        )
-                        z.write(full, rel)
-        sc.addPyFile(zpath)
-        _SHIPPED_APPS.add(app)
-    except Exception:
-        # best-effort: a read-only tempdir or an exotic context must not
-        # take down the query path — the run-from-repo-root workflow
-        # still works without the zip
-        pass
+    with _SHIP_LOCK:
+        if app in _SHIPPED_APPS:
+            return
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zpath = os.path.join(
+            tempfile.gettempdir(), f"mhs_pkg_{os.getpid()}_{app}.zip"
+        )
+        try:
+            with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+                for root, dirs, files in os.walk(pkg_dir):
+                    dirs[:] = [d for d in dirs if d != "__pycache__"]
+                    for fname in sorted(files):
+                        if fname.endswith(".py"):
+                            full = os.path.join(root, fname)
+                            # arcname keeps the top-level package name so
+                            # the zip root itself is the import path
+                            rel = os.path.relpath(
+                                full, os.path.dirname(pkg_dir)
+                            )
+                            z.write(full, rel)
+            sc.addPyFile(zpath)
+            _SHIPPED_APPS.add(app)
+        except Exception:
+            # best-effort: a read-only tempdir or an exotic context must
+            # not take down the query path — the run-from-repo-root
+            # workflow still works without the zip
+            pass

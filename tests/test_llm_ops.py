@@ -283,6 +283,54 @@ def test_k256_candidates_cover_jaccard_pairs(spark):
         assert classic == k256, f"{sf}: K=256 {len(k256)} vs classic {len(classic)}"
 
 
+def test_df_capped_candidates_cover_capped_jaccard_pairs(spark):
+    """Soundness pin for the DF-capped tier (round-11 review: its recall
+    risk is HIGHER than the sibling tiers' — the cut shrinks shingle
+    sets, and smaller sets raise MinHash variance). The tier's output
+    must equal the EXHAUSTIVE pair scan over the same capped sets,
+    computed here via the shared verifier with candidates=None — the
+    comparison the other tiers cannot provide for it (their Jaccard is
+    over uncapped sets)."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.dedup import (
+        _DF_CAP,
+        _exact_jaccard_pairs,
+        shingle_sets,
+    )
+
+    for sf in (SF_SMOKE, "/root/testdata/sf0.01"):
+        docs = load_tables(spark, sf)["documents"]
+        sh = shingle_sets(docs)
+        hot = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") > _DF_CAP)
+            .select("sh")
+        )
+        capped_sha = (
+            sh.join(F.broadcast(hot), "sh", "left_anti")
+            .groupBy("doc_id")
+            .agg(F.collect_list("sh").alias("sh_arr"))
+        )
+        exhaustive = {
+            tuple(r)
+            for r in _exact_jaccard_pairs(
+                docs, candidates=None, sha=capped_sha
+            ).collect()
+        }
+        lsh = {
+            tuple(r)
+            for r in registry.queries()["dedup_lsh_df_capped"](
+                spark, sf
+            ).collect()
+        }
+        assert lsh == exhaustive, (
+            f"{sf}: capped LSH {len(lsh)} vs exhaustive {len(exhaustive)}"
+        )
+
+
 def test_pagerank_converged_matches_independent_iteration(spark):
     """graph_pagerank_converged is oracle-paired against the 12-round
     golden unroll's values (round 8; the contraction bound makes the
