@@ -18,6 +18,60 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables
 from ..registry import register
 
+
+def _cents(col: "F.Column | str") -> "F.Column":
+    """The exact-money fold: ``floor(x*100 + 0.5) -> BIGINT`` — one
+    identical IEEE op sequence in both engines, applied BEFORE any
+    aggregation so partial sums re-associate exactly (the round-8
+    money-hardening discipline). Centralized (round-11 review) so the
+    next money-determinism fix lands once, not in four copies. NOTE:
+    floor(x*100+0.5) is round-HALF-UP, not half-away-from-zero — fine
+    for the always-positive money columns this file folds; a negative-
+    amount column needs a sign-split first."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("long")
+
+
+def _md5_bucket(col: "F.Column", n: "int | F.Column") -> "F.Column":
+    """Engine-stable deterministic bucket in [0, n): the first 8 hex
+    digits of md5 as an integer, mod n — the same split family as
+    text_hash_split, shared (round-11 review) so the A/B arms, CUPED,
+    OOF folds, and negative sampling provably use ONE expression
+    instead of four hand-rolled copies that could silently drift."""
+    m = F.lit(n) if isinstance(n, int) else n
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"), m
+    )
+
+
+def _arm_moments(events: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(a, b) per-arm moment relations for the click-vs-view A/B pair —
+    n / rounded mean / rounded var per arm, arm A = click, arm B = view.
+    Shared by the t-test and the power analysis (round-11 review): the
+    power sizing must use EXACTLY the arm definition and rounding grid
+    the t-test tests, or the sample-size answer quietly stops matching
+    the test it is sizing."""
+    g = (
+        events.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("mean"),
+            F.round(F.var_samp("value"), 6).alias("var"),
+        )
+    )
+    a = g.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = g.filter(F.col("event_type") == "view").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    return a, b
+
 _RETENTION_ORACLE = """
 WITH first_seen AS (
   SELECT user_id, date_trunc('week', min(CAST(ts AS TIMESTAMP))) AS cohort_w
@@ -198,9 +252,14 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous stage's user-cardinality aggregate (user-keyed hash joins;
     the event table is filtered by type BEFORE each join, so stage inputs
     shrink monotonically). Final counts are scalar 1-row aggregates
-    cross-joined as broadcasts."""
+    cross-joined as broadcasts. The s and c stage aggregates are
+    tracked_persisted: each feeds BOTH its own census and the next
+    stage's join (the final plan would otherwise embed s three times and
+    c twice — ~6 event-table scans for one action; round-11 review)."""
+    from ..persistence import tracked_persist
+
     events = load_tables(spark, sf_dir)["events"]
-    s = (
+    s = tracked_persist(
         events.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("signup_ts"))
@@ -215,6 +274,7 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "signup_ts")
         .agg(F.min("ts").alias("click_ts"))
     )
+    c = tracked_persist(c)
     p = (
         events.filter(F.col("event_type") == "purchase")
         .join(c, "user_id")
@@ -307,25 +367,11 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_JOIN_SALT = 8
 
-_SALTED_JOIN_ORACLE = """
-WITH clicks AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
-  FROM events WHERE event_type = 'click'
-),
-purchases AS (
-  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts
-  FROM events WHERE event_type = 'purchase'
-)
-SELECT c.user_id, count(*) AS n_attributed
-FROM clicks c
-JOIN purchases p
-  ON p.user_id = c.user_id
- AND p.pts >= c.cts
- AND p.pts <= c.cts + INTERVAL 1 HOUR
-GROUP BY c.user_id
-ORDER BY n_attributed DESC, c.user_id
-LIMIT 20
-"""
+# the salted-join twin must return the IDENTICAL result as the plain
+# attribution join — salting is a physical rewrite, not a semantic one
+# — so the oracle IS the attribution oracle, aliased rather than
+# duplicated so the two can never drift (round-11 review)
+_SALTED_JOIN_ORACLE = _ATTRIBUTION_ORACLE
 
 
 @register("join_salted_skew", oracle=_SALTED_JOIN_ORACLE, tags=("events", "join", "skew"))
@@ -692,34 +738,12 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = events.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                # Microsecond precision to mirror the oracle's epoch_us
-                # comparison exactly — unix_timestamp truncates to whole
-                # seconds and misclassifies gaps within ~1s of the 30-min
-                # boundary (the events fixture carries sub-second micros).
-                # Same fix events_sessionize already ships.
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = flagged.withColumn(
-        "sid",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    # shared gaps-and-islands sessionizer (windows.sessionized):
+    # microsecond-precision 30-min gap, one definition for all three
+    # batch sessionizers (round-11 review)
+    from .windows import sessionized
+
+    sessions = sessionized(events, "event_type")
     ws = Window.partitionBy("user_id", "sid").orderBy("ts", "event_id")
     stepped = sessions.select(
         "user_id",
@@ -905,10 +929,16 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     round med/mad to 6 BEFORE the threshold comparison so the outlier
     cut is bit-identical too."""
     events = load_tables(spark, sf_dir)["events"].select("event_type", "value")
+    from ..persistence import tracked_persist
+
     med = events.groupBy("event_type").agg(
         F.round(F.median("value"), 6).alias("med")
     )
-    dev = events.join(F.broadcast(med), "event_type")
+    # dev feeds BOTH the mad aggregate and the flagged join — without a
+    # cache boundary the final plan evaluates dev twice, each embedding
+    # the med aggregation (~4 event scans + two median computations per
+    # run; round-11 review)
+    dev = tracked_persist(events.join(F.broadcast(med), "event_type"))
     mad = dev.groupBy("event_type").agg(
         F.round(F.median(F.abs(F.col("value") - F.col("med"))), 6).alias("mad")
     )
@@ -1041,10 +1071,16 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     size-bounded by construction, and each (day, user) row lands in ≤ 7
     windows — linear expansion, then one partial-agg'd distinct count per
     window day."""
+    from ..persistence import tracked_persist
+
     events = load_tables(spark, sf_dir)["events"]
-    du = events.select(
-        F.to_date("ts").alias("d"), "user_id"
-    ).distinct()
+    # du feeds THREE consumers (dau, the day spine, the wau probe) —
+    # tracked_persist keeps 'the only event-volume pass' true in the
+    # executed plan, not just the docstring (round-11 review: unpersisted
+    # it re-ran the events scan + distinct shuffle once per consumer)
+    du = tracked_persist(
+        events.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
     days = du.select("d").distinct()
     dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
     wau = (
@@ -1204,9 +1240,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     qidx = lambda c: F.year(c) * 4 + F.quarter(c)  # noqa: E731
     cohorted = orders.join(firsts, "o_custkey").select(
         "o_custkey",
-        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("cents"),
+        _cents("o_totalprice").alias("cents"),
         F.concat(
             F.year("first_d").cast("string"),
             F.lit("-Q"),
@@ -1288,21 +1322,7 @@ def events_abtest_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     compares the same rounded-input expression, not an independent
     recomputation)."""
     events = load_tables(spark, sf_dir)["events"]
-    g = (
-        events.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("mean"),
-            F.round(F.var_samp("value"), 6).alias("var"),
-        )
-    )
-    a = g.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
-    )
-    b = g.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("n_b"), F.col("mean").alias("mean_b"), F.col("var").alias("var_b")
-    )
+    a, b = _arm_moments(events)
     se2 = F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
     t = (F.col("mean_a") - F.col("mean_b")) / F.sqrt(se2)
     df = (se2 * se2) / (
@@ -1364,11 +1384,7 @@ def events_abtest_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides; its operands are integers, division by n/2.0 is one IEEE op)."""
     events = load_tables(spark, sf_dir)["events"]
     armed = events.select("user_id").distinct().select(
-        (
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 2
-        ).alias("arm")
+        _md5_bucket(F.col("user_id").cast("string"), 2).alias("arm")
     )
     counts = armed.agg(
         F.count(F.when(F.col("arm") == 0, 1)).alias("n_a"),
@@ -1436,21 +1452,8 @@ def events_abtest_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pooled sd rounded before reuse), so both engines evaluate identical
     operands; ceil() of an identical double is engine-identical."""
     events = load_tables(spark, sf_dir)["events"]
-    g = (
-        events.filter(F.col("event_type").isin("click", "view"))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("mean"),
-            F.round(F.var_samp("value"), 6).alias("var"),
-        )
-    )
-    a = g.filter(F.col("event_type") == "click").select(
-        F.col("n").alias("n_a"), F.col("mean").alias("mean_a"), F.col("var").alias("var_a")
-    )
-    b = g.filter(F.col("event_type") == "view").select(
-        F.col("n").alias("n_b"), F.col("var").alias("var_b")
-    )
+    a, b = _arm_moments(events)
+    b = b.select("n_b", "var_b")  # power uses only B's size and variance
     z = _Z_ALPHA + _Z_BETA
     s = a.crossJoin(F.broadcast(b)).select(
         "n_a",
@@ -1562,29 +1565,10 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     day-cardinality aggregate — events shuffle once."""
     from pyspark.sql import Window
 
+    from .windows import sessionized
+
     events = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = events.select(
-        "user_id",
-        "event_id",
-        "ts",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_session"),
-    )
-    sessions = flagged.withColumn(
-        "sid",
-        F.sum("new_session").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
-    )
+    sessions = sessionized(events)
     per_session = sessions.groupBy("user_id", "sid").agg(
         F.min(F.to_date("ts")).alias("d"),
         F.count(F.lit(1)).alias("n_events"),
@@ -1744,11 +1728,9 @@ def events_abtest_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "pre_mean",
         "post_mean",
-        (
-            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
-            .cast("long")
-            % 2
-        ).cast("int").alias("arm"),
+        _md5_bucket(F.col("user_id").cast("string"), 2)
+        .cast("int")
+        .alias("arm"),
     ).filter(F.col("pre_mean").isNotNull() & F.col("post_mean").isNotNull())
     theta = per_user.agg(
         F.round(
@@ -2964,11 +2946,14 @@ ranked AS (
 cut AS (
   SELECT coalesce(max(rnk), 0) AS k_max
   FROM ranked WHERE abs_z >= {_BH_CASE}
-)
+),
+fam AS (SELECT count(*) AS fm FROM ranked)
 SELECT event_type, abs_z, CAST(rnk AS BIGINT) AS rnk,
        round(CAST({_BH_CASE} AS DOUBLE), 4) AS z_threshold,
-       rnk <= k_max AS rejected
-FROM ranked, cut
+       rnk <= k_max AS rejected,
+       CAST(fm AS BIGINT) AS family_m,
+       CAST(least(fm, {len(_BH_Z)}) AS BIGINT) AS tested_m
+FROM ranked, cut, fam
 ORDER BY rnk
 """
 
@@ -3025,8 +3010,16 @@ def events_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = ranked.filter(F.col("abs_z") >= thresh).agg(
         F.coalesce(F.max("rnk"), F.lit(0)).alias("k_max")
     )
+    # family-visibility columns (round-11 review, the chisq-dof pattern):
+    # the z table is hardcoded for ranks 1..len(_BH_Z) at m=len(_BH_Z);
+    # if event-type arity ever exceeds it, ranks past the table get NULL
+    # thresholds and silently fall out of the step-up family on BOTH
+    # engines. family_m (true arity) vs tested_m (table-bounded) makes
+    # that truncation visible in the output instead of silent.
+    fam = ranked.agg(F.count(F.lit(1)).alias("fm"))
     return (
         ranked.crossJoin(F.broadcast(cut))
+        .crossJoin(F.broadcast(fam))
         .select(
             "event_type",
             "abs_z",
@@ -3035,6 +3028,10 @@ def events_bh_fdr_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             # 2.5758-style literals as DECIMAL (the skill-documented trap)
             F.round(thresh.cast("double"), 4).alias("z_threshold"),
             (F.col("rnk") <= F.col("k_max")).alias("rejected"),
+            F.col("fm").cast("bigint").alias("family_m"),
+            F.least(F.col("fm"), F.lit(len(_BH_Z)))
+            .cast("bigint")
+            .alias("tested_m"),
         )
         .orderBy("rnk")
     )
@@ -3522,19 +3519,10 @@ def orders_target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.col("c_mktsegment").alias("segment"),
-            (
-                F.conv(
-                    F.substring(
-                        F.md5(F.col("o_orderkey").cast("string")), 1, 8
-                    ),
-                    16,
-                    10,
-                ).cast("long")
-                % _TE_FOLDS
+            _md5_bucket(
+                F.col("o_orderkey").cast("string"), _TE_FOLDS
             ).alias("fold"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
+            _cents("o_totalprice").alias("cents"),
         )
     )
     seg = base.groupBy("segment", "fold").agg(
@@ -3638,22 +3626,12 @@ def customers_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cust",
             (
-                F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat(
-                                    F.col("cust").cast("string"),
-                                    F.lit(":"),
-                                    F.col("i").cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("long"),
+                _md5_bucket(
+                    F.concat(
+                        F.col("cust").cast("string"),
+                        F.lit(":"),
+                        F.col("i").cast("string"),
+                    ),
                     F.col("p"),
                 )
                 + 1
@@ -3777,9 +3755,7 @@ def orders_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
         .select(
             F.col("c_mktsegment").alias("segment"),
             F.year("o_orderdate").alias("yr"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
+            _cents("o_totalprice").alias("cents"),
         )
         .filter(F.col("yr").isin(_MIX_Y1, _MIX_Y2))
     )
@@ -3790,8 +3766,20 @@ def orders_mix_rate_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame
 
     cell = tracked_persist(cell)  # 10 rows; read 4x (pivot sides, totals)
     tot = cell.groupBy("yr").agg(F.sum("n").alias("tn"))
-    t1 = tot.filter(F.col("yr") == _MIX_Y1).select(F.col("tn").alias("tn1"))
-    t2 = tot.filter(F.col("yr") == _MIX_Y2).select(F.col("tn").alias("tn2"))
+    # 1-row GRAND aggregates, not filters: the oracle's scalar subquery
+    # `(SELECT tn FROM tot WHERE yr = Y)` yields NULL when a pivot year
+    # is absent, keeping every segment row with NULL shares — a bare
+    # filter here would instead produce an EMPTY relation whose
+    # crossJoin annihilates all rows (round-11 review: row-count
+    # mismatch on any fixture missing one of the two years). max over
+    # the <=1 matching row is the scalar-subquery analog: 1 row, NULL
+    # when the year is absent.
+    t1 = tot.agg(
+        F.max(F.when(F.col("yr") == _MIX_Y1, F.col("tn"))).alias("tn1")
+    )
+    t2 = tot.agg(
+        F.max(F.when(F.col("yr") == _MIX_Y2, F.col("tn"))).alias("tn2")
+    )
     segs = cell.select("segment").distinct()
     c1 = cell.filter(F.col("yr") == _MIX_Y1).select(
         "segment", F.col("n").alias("n1"), F.col("s").alias("s1")
@@ -4019,9 +4007,7 @@ def orders_promo_lift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             (F.col("c_mktsegment") == _DID_SEGMENT).alias("treated"),
             (F.year("o_orderdate") == _DID_POST_Y).alias("post"),
-            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
-            .cast("long")
-            .alias("cents"),
+            _cents("o_totalprice").alias("cents"),
         )
     )
     cells = base.agg(

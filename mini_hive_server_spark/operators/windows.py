@@ -98,6 +98,51 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_GAP_US = 1_800_000_000  # 30-minute inactivity gap, microseconds
+
+
+def session_flags(events: DataFrame, *cols: str) -> DataFrame:
+    """(user_id, event_id, *cols, ts, new_session) — the 30-min-gap
+    gaps-and-islands session-start flag, shared by every batch
+    sessionizer (events_sessionize here; top-paths and bounce-rate in
+    behavior.py — round-11 review: three verbatim copies meant a
+    boundary-precision fix had to land three times or the sessionizers
+    silently diverged). Microsecond precision on purpose: unix_timestamp
+    truncates to whole seconds and misclassifies gaps within ~1 s of the
+    30-min boundary (the events fixture carries sub-second micros)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "event_id",
+        *cols,
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros(F.col("ts"))
+                - F.unix_micros(F.lag("ts").over(w))
+                > _SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+
+
+def sessionized(events: DataFrame, *cols: str) -> DataFrame:
+    """session_flags + the running-sum session id (`sid`, dense per
+    user): the full gaps-and-islands sessionizer for consumers that
+    need per-session grouping keys."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return session_flags(events, *cols).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
 _SESSION_ORACLE = """
 WITH ordered AS (
   SELECT user_id,
@@ -122,18 +167,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     `session_window`; the streaming module exposes the native
     `session_window` form."""
     events = load_tables(spark, sf_dir)["events"]
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = events.withColumn(
-        "new_session",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
-                > 1_800_000_000
-            ),
-            1,
-        ).otherwise(0),
-    )
+    flagged = session_flags(events)
     return (
         flagged.groupBy("user_id")
         .agg(
