@@ -39,18 +39,55 @@ _MIN_AWL, _MAX_AWL = 2.0, 12.0
 _MIN_STOPWORDS = 2
 _MAX_TOP_WORD_FRAC = 0.15
 
+def _gopher_feature_cols() -> "list[F.Column]":
+    """The four Gopher rule features (nw, awl, ns, top_frac) as aliased
+    Columns over a tokenized relation carrying array column `w` — ONE
+    spelling shared by all six rule/classifier queries (round-11 review:
+    six hand-copied blocks had already drifted, `0` vs `0L` fold
+    accumulators and `(acc,x)` vs `(a,x)` lambda names; any future
+    threshold/feature change must land once, not six times). The `0L`
+    accumulator is the keeper: a pathological >2^31-char document would
+    overflow the int spelling. Values are int-sum / int-count IEEE
+    divisions — bit-identical cross-engine."""
+    nw = F.size(F.col("w"))
+    return [
+        nw.alias("nw"),
+        (
+            F.expr(
+                "aggregate(transform(w, x -> length(x)), 0L, (acc, x) -> acc + x)"
+            )
+            * F.lit(1.0)
+            / nw
+        ).alias("awl"),
+        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
+        (
+            F.expr(
+                "array_max(transform(array_distinct(w),"
+                " x -> size(filter(w, y -> y = x))))"
+            )
+            * F.lit(1.0)
+            / nw
+        ).alias("top_frac"),
+    ]
+
+
+# the oracle-side twin of _gopher_feature_cols, spliced into each
+# oracle's `m` CTE — same single-spelling contract
+_GOPHER_M_EXPRS = f"""len(w) AS nw,
+         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
+         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
+         list_max(list_transform(list_distinct(w),
+                                 x -> len(list_filter(w, y -> y = x))))
+           * 1.0 / len(w) AS top_frac"""
+
+
 _GOPHER_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, source, {_WORDS_DUCK} AS w FROM documents
 ),
 m AS (
   SELECT source,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
-         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
-         list_max(list_transform(list_distinct(w),
-                                 x -> len(list_filter(w, y -> y = x))))
-           * 1.0 / len(w) AS top_frac
+         {_GOPHER_M_EXPRS}
   FROM t
 )
 SELECT source,
@@ -92,18 +129,7 @@ def text_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = F.size(F.col("w"))
     m = t.select(
         "source",
-        nw.alias("nw"),
-        (
-            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-            * F.lit(1.0)
-            / nw
-        ).alias("awl"),
-        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
-        (
-            F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
-            * F.lit(1.0)
-            / nw
-        ).alias("top_frac"),
+        *_gopher_feature_cols(),
     )
     ok_len = F.col("nw").between(_MIN_WORDS, _MAX_WORDS)
     ok_awl = F.col("awl").between(_MIN_AWL, _MAX_AWL)
@@ -396,7 +422,10 @@ _SEM_THRESHOLD = 0.45  # same near-dup cosine as dedup_embedding_cosine
 # Spark-side dot product — same left-fold as similarity.py's _DOT, which is
 # documented there to produce bit-identical doubles to DuckDB's
 # list_dot_product.
-_SEM_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+# the canonical bit-identical dot-product fold lives in similarity.py;
+# import rather than copy so an adjustment there cannot silently leave
+# this module on old semantics (round-11 review)
+from .similarity import _DOT as _SEM_DOT  # noqa: E402
 
 _SEMDEDUP_ORACLE = f"""
 WITH e AS (
@@ -548,12 +577,7 @@ WITH t AS (
 ),
 m AS (
   SELECT source,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
-         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
-         list_max(list_transform(list_distinct(w),
-                                 x -> len(list_filter(w, y -> y = x))))
-           * 1.0 / len(w) AS top_frac
+         {_GOPHER_M_EXPRS}
   FROM t
 ),
 s AS (
@@ -565,7 +589,7 @@ s AS (
 )
 SELECT source,
        count(*) AS n_docs,
-       count(*) FILTER (WHERE score > 0.5) AS n_keep,
+       count(*) FILTER (WHERE round(score, 6) > 0.5) AS n_keep,
        round(avg(score), 4) AS avg_score
 FROM s
 GROUP BY source
@@ -596,18 +620,7 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = F.size(F.col("w"))
     m = t.select(
         "source",
-        nw.alias("nw"),
-        (
-            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-            * F.lit(1.0)
-            / nw
-        ).alias("awl"),
-        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
-        (
-            F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
-            * F.lit(1.0)
-            / nw
-        ).alias("top_frac"),
+        *_gopher_feature_cols(),
     )
     logit = (
         F.lit(_LR_W["bias"])
@@ -621,7 +634,10 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.count_if(F.col("score") > 0.5).alias("n_keep"),
+            # round before the cut: a raw sigmoid can differ in the last ulp
+            # between engines (the calibration-bins discipline; round-11
+            # review) — decide on the shared-rounded value
+            F.count_if(F.round(F.col("score"), 6) > 0.5).alias("n_keep"),
             F.round(F.avg("score"), 4).alias("avg_score"),
         )
         .orderBy("source")
@@ -636,12 +652,7 @@ WITH t AS (
 ),
 m AS (
   SELECT source,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
-         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
-         list_max(list_transform(list_distinct(w),
-                                 x -> len(list_filter(w, y -> y = x))))
-           * 1.0 / len(w) AS top_frac,
+         {_GOPHER_M_EXPRS},
          CASE WHEN len(w) >= 2 THEN
            (len(w) - 1
             - len(list_distinct(list_transform(generate_series(1, len(w) - 1),
@@ -663,7 +674,7 @@ SELECT source,
                           AND awl BETWEEN {_MIN_AWL} AND {_MAX_AWL}
                           AND ns >= {_MIN_STOPWORDS}
                           AND top_frac <= {_MAX_TOP_WORD_FRAC}) AS n_gopher_pass,
-       count(*) FILTER (WHERE score > 0.5) AS n_classifier_keep,
+       count(*) FILTER (WHERE round(score, 6) > 0.5) AS n_classifier_keep,
        count(*) FILTER (WHERE dup_bg_frac > {_REP_FLAG_FRAC}) AS n_repetition_flagged,
        round(avg(score), 4) AS avg_quality_score
 FROM s
@@ -690,18 +701,7 @@ def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bg = nw - 1
     m = t.select(
         "source",
-        nw.alias("nw"),
-        (
-            F.expr("aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)")
-            * F.lit(1.0)
-            / nw
-        ).alias("awl"),
-        F.size(F.expr(f"filter(w, x -> x IN ({_STOPLIST}))")).alias("ns"),
-        (
-            F.expr("array_max(transform(array_distinct(w), x -> size(filter(w, y -> y = x))))")
-            * F.lit(1.0)
-            / nw
-        ).alias("top_frac"),
+        *_gopher_feature_cols(),
         F.when(
             nw >= 2,
             (
@@ -740,7 +740,7 @@ def text_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.count_if(gopher_pass).alias("n_gopher_pass"),
-            F.count_if(F.col("score") > 0.5).alias("n_classifier_keep"),
+            F.count_if(F.round(F.col("score"), 6) > 0.5).alias("n_classifier_keep"),
             F.count_if(F.col("dup_bg_frac") > _REP_FLAG_FRAC).alias(
                 "n_repetition_flagged"
             ),
@@ -872,7 +872,12 @@ def text_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = parallelize_scan(
         load_tables(spark, sf_dir)["documents"].select("doc_id", "source", "text")
     )
-    w = docs.select("doc_id", "source", F.expr(_WORDS_SPARK).alias("arr"))
+    # w feeds the bigram stream AND the vocab count; bg feeds the train
+    # counts AND the scored eval stream — tracked_persist both so the
+    # tokenize/struct-explode pass runs once, not ~3x (round-11 review)
+    w = tracked_persist(
+        docs.select("doc_id", "source", F.expr(_WORDS_SPARK).alias("arr"))
+    )
     bg = w.filter(F.size("arr") >= 2).select(
         "doc_id",
         "source",
@@ -883,6 +888,7 @@ def text_bigram_lm_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", "source", "p.w1", "p.w2")
+    bg = tracked_persist(bg)
     train_bg = (
         bg.filter(F.col("source") == _LM_TRAIN_SOURCE)
         .groupBy("w1", "w2")
@@ -922,12 +928,7 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
-         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
-         list_max(list_transform(list_distinct(w),
-                                 x -> len(list_filter(w, y -> y = x))))
-           * 1.0 / len(w) AS top_frac
+         {_GOPHER_M_EXPRS}
   FROM t
 ),
 s AS (
@@ -970,18 +971,7 @@ def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = parallelize_scan(docs.select("doc_id", "text")).select(
         F.expr(_WORDS_SPARK).alias("w")
     )
-    nw = F.size(F.col("w"))
-    awl = F.expr(
-        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
-    ) * F.lit(1.0) / nw
-    ns = F.expr(f"size(filter(w, x -> x IN ({_STOPLIST})))")
-    top_frac = F.expr(
-        "array_max(transform(array_distinct(w),"
-        " x -> size(filter(w, y -> y = x))))"
-    ) * F.lit(1.0) / nw
-    m = t.select(
-        nw.alias("nw"), awl.alias("awl"), ns.alias("ns"), top_frac.alias("top_frac")
-    )
+    m = t.select(*_gopher_feature_cols())
     score = F.round(
         F.lit(1.0)
         / (
@@ -1066,7 +1056,9 @@ def text_safety_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     source-cardinality census — the only shuffle carries (doc, 2 counts)
     partials."""
     docs = load_tables(spark, sf_dir)["documents"]
-    w = docs.select(
+    # parallelize_scan like every other tokenizing query here: the
+    # single-row-group fixture otherwise runs the explode on one core
+    w = parallelize_scan(docs.select("doc_id", "source", "text"), "doc_id").select(
         "doc_id", "source", F.explode(F.expr(_WORDS_SPARK)).alias("term")
     )
     per_doc = w.groupBy("doc_id", "source").agg(
@@ -1095,12 +1087,7 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
-         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
-         list_max(list_transform(list_distinct(w),
-                                 x -> len(list_filter(w, y -> y = x))))
-           * 1.0 / len(w) AS top_frac
+         {_GOPHER_M_EXPRS}
   FROM t
 ),
 s AS (
@@ -1158,22 +1145,7 @@ def classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = parallelize_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_WORDS_SPARK).alias("w")
     )
-    nw = F.size(F.col("w"))
-    awl = F.expr(
-        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
-    ) * F.lit(1.0) / nw
-    ns = F.expr(f"size(filter(w, x -> x IN ({_STOPLIST})))")
-    top_frac = F.expr(
-        "array_max(transform(array_distinct(w),"
-        " x -> size(filter(w, y -> y = x))))"
-    ) * F.lit(1.0) / nw
-    m = t.select(
-        "doc_id",
-        nw.alias("nw"),
-        awl.alias("awl"),
-        ns.alias("ns"),
-        top_frac.alias("top_frac"),
-    )
+    m = t.select("doc_id", *_gopher_feature_cols())
     score = F.round(
         F.lit(1.0)
         / (
@@ -1319,7 +1291,12 @@ def dsir_log_weights(docs: DataFrame) -> DataFrame:
     rounded to 4) under hashed-unigram LMs — the shared scoring core of
     `corpus_dsir_selection` (deterministic top-K) and
     `corpus_dsir_gumbel_resample` (the paper's actual resampling step)."""
-    hashed = docs.select(
+    # parallelize_scan: the tokenize+md5 map stage is CPU-bound and the
+    # fixture is one single-row-group file -> one task; without this all
+    # three DSIR consumers paid a single-core hash pass (round-11 review)
+    hashed = parallelize_scan(
+        docs.select("doc_id", "lang", "text"), "doc_id"
+    ).select(
         "doc_id",
         "lang",
         F.explode(F.expr(_WORDS_SPARK)).alias("tok"),
@@ -1374,7 +1351,7 @@ WITH {_DSIR_WEIGHTS_CTES},
 gumbel AS (
   SELECT w.doc_id, w.log_importance,
          -ln(-ln(
-           ((('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+           ((('0x' || substr(md5(CAST(w.doc_id AS VARCHAR)), 25, 8))::UBIGINT
              % {_GUMBEL_MOD}) + 0.5) / {_GUMBEL_MOD}.0
          )) AS g
   FROM weights w
@@ -1415,10 +1392,16 @@ def corpus_dsir_gumbel_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles to the scoring pass."""
     docs = load_tables(spark, sf_dir)["documents"]
     weights = dsir_log_weights(docs)
+    # md5 offset 25: FRESH bytes — offsets 1/9/17 are taken by the
+    # split/sample/priority hashes (round-11 review caught offset 1 here:
+    # since 100 divides _GUMBEL_MOD, (h % 1e6) % 100 == h % 100, so the
+    # Gumbel draw was an exact function of pipeline.py's split bucket —
+    # the resample was deterministically coupled to train/val/test
+    # membership, defeating the documented hash-offset independence)
     u = (
         (
             F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+                F.substring(F.md5(F.col("doc_id").cast("string")), 25, 8), 16, 10
             ).cast("long")
             % _GUMBEL_MOD
         )
@@ -1530,12 +1513,7 @@ WITH t AS (
 ),
 m AS (
   SELECT doc_id,
-         len(w) AS nw,
-         list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w) AS awl,
-         len(list_filter(w, x -> list_contains([{_STOPLIST}], x))) AS ns,
-         list_max(list_transform(list_distinct(w),
-                                 x -> len(list_filter(w, y -> y = x))))
-           * 1.0 / len(w) AS top_frac
+         {_GOPHER_M_EXPRS}
   FROM t
 ),
 s AS (
@@ -1601,15 +1579,10 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = parallelize_scan(docs.select("doc_id", "text")).select(
         "doc_id", F.expr(_WORDS_SPARK).alias("w")
     )
-    nw = F.size(F.col("w"))
-    awl = F.expr(
-        "aggregate(transform(w, x -> length(x)), 0L, (a, x) -> a + x)"
-    ) * F.lit(1.0) / nw
-    ns = F.expr(f"size(filter(w, x -> x IN ({_STOPLIST})))")
-    top_frac = F.expr(
-        "array_max(transform(array_distinct(w),"
-        " x -> size(filter(w, y -> y = x))))"
-    ) * F.lit(1.0) / nw
+    m = t.select(*_gopher_feature_cols())
+    nw, awl, ns, top_frac = (
+        F.col("nw"), F.col("awl"), F.col("ns"), F.col("top_frac")
+    )
     score = F.round(
         F.lit(1.0)
         / (
@@ -1633,7 +1606,7 @@ def classifier_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (top_frac <= _MAX_TOP_WORD_FRAC)
     ).cast("bigint")
     g = (
-        t.select(score.alias("score"), y.alias("y"))
+        m.select(score.alias("score"), y.alias("y"))
         .groupBy("score")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
