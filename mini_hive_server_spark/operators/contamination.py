@@ -18,8 +18,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables, parallelize_scan
 from ..registry import register
 
-_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
-_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS_SPARK  # noqa: E402
 
 # --------------------------------------------- n-gram decontamination
 

@@ -25,8 +25,8 @@ from ..catalog import load_tables, parallelize_scan
 from ..persistence import tracked_persist
 from ..registry import register
 
-_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
-_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS_SPARK  # noqa: E402
 
 _STOPLIST = "'the','a','of','and','to'"
 
@@ -1021,7 +1021,7 @@ _UNSAFE_TERMS = ("attack", "exploit", "weapon", "poison", "kill")
 _SAFETY_ORACLE = f"""
 WITH w AS (
   SELECT doc_id, source,
-         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+         unnest({_WORDS_DUCK}) AS term
   FROM documents
 ),
 per_doc AS (
@@ -1208,7 +1208,7 @@ _DSIR_TOPK = 100
 # (used by the deterministic top-K selection AND the Gumbel resample).
 _DSIR_WEIGHTS_CTES = f"""toks AS (
   SELECT doc_id,
-         unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS tok
+         unnest({_WORDS_DUCK}) AS tok
   FROM documents
 ),
 hashed AS (

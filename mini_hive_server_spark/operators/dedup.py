@@ -38,16 +38,17 @@ from ..registry import register
 
 # ---------------------------------------------------------------- shingles
 
-_WORDS = "split(lower(trim(text)), '\\\\s+')"
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS  # noqa: E402
 # 3-word shingles, 0-based in Spark (DuckDB oracles use 1-based range)
 _SHINGLES = (
     f"array_distinct(transform(sequence(0, size({_WORDS}) - 3), "
     f"i -> concat({_WORDS}[i], ' ', {_WORDS}[i+1], ' ', {_WORDS}[i+2])))"
 )
 
-_DUCK_SHINGLES_CTE = """
+_DUCK_SHINGLES_CTE = f"""
 words AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  SELECT doc_id, {_WORDS_DUCK} AS w
   FROM documents
 ),
 shingles AS (
@@ -423,7 +424,7 @@ _SIMHASH_CHUNK_BITS = 13
 # is fine at oracle scale (sf0.01, 500 docs).
 _SIMHASH_ORACLE = f"""
 WITH toks AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
   FROM documents
 ),
 hashed AS (

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_tables
 from ..registry import register
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
 
 _INC_DEDUP_ORACLE = """
 WITH existing AS (
@@ -256,9 +257,9 @@ def ingest_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------ incremental MinHash near-dup probe
 
-_INC_MINHASH_ORACLE = """
+_INC_MINHASH_ORACLE = f"""
 WITH words AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  SELECT doc_id, {_WORDS_DUCK} AS w
   FROM documents
 ),
 shingles AS (

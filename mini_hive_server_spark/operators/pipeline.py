@@ -19,8 +19,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables, parallelize_scan
 from ..registry import register
 
-_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
-_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS_SPARK  # noqa: E402
 
 # ------------------------------------------------- corpus curation pipeline
 
@@ -498,9 +498,9 @@ def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RECIPE_PACK_BUDGET = 512
 
-_RECIPE_FUNNEL_ORACLE = """
+_RECIPE_FUNNEL_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  SELECT doc_id, text, {_WORDS_DUCK} AS w
   FROM documents
 ),
 m AS (
@@ -584,7 +584,7 @@ def corpus_recipe_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select(
         "doc_id",
         "text",
-        F.expr("split(lower(trim(text)), '\\\\s+')").alias("w"),
+        F.expr(_WORDS_SPARK).alias("w"),
     ).select(
         "doc_id",
         "text",
@@ -855,7 +855,7 @@ _SEQ_LEN = 2048
 _PACK_ORACLE = f"""
 WITH t AS (
   SELECT doc_id,
-         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS ntok
+         len({_WORDS_DUCK}) AS ntok
   FROM documents
 ),
 c AS (
@@ -897,7 +897,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     t = parallelize_scan(docs.select("doc_id", "text")).select(
         "doc_id",
-        F.expr("size(split(lower(trim(text)), '\\\\s+'))")
+        F.expr(f"size({_WORDS_SPARK})")
         .cast("bigint")
         .alias("ntok"),
     )

@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_tables, parallelize_scan
 from ..persistence import tracked_persist
 from ..registry import register
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS_SPARK  # noqa: E402
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
@@ -1243,9 +1245,9 @@ _RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
 _RRF_DEPTH = 20  # per-ranker candidate depth
 _RRF_TOPN = 10
 
-_RRF_ORACLE = """
+_RRF_ORACLE = f"""
 WITH t AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+  SELECT doc_id, {_WORDS_DUCK} AS w
   FROM documents
 ),
 m AS (
@@ -1338,12 +1340,12 @@ def retrieval_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_tables(spark, sf_dir)["documents"].select("doc_id", "text"),
         "doc_id",
     )
-    w_arr = F.expr("split(lower(trim(text)), '\\\\s+')")
+    w_arr = F.expr(_WORDS_SPARK)
     m = docs.select(
         "doc_id",
         F.size(w_arr).alias("dl"),
         *[
-            F.size(F.expr(f"filter(split(lower(trim(text)), '\\\\s+'), x -> x = '{t}')")).alias(f"tf{i}")
+            F.size(F.expr(f"filter({_WORDS_SPARK}, x -> x = '{t}')")).alias(f"tf{i}")
             for i, t in enumerate(_BM25_TERMS)
         ],
     )

@@ -39,8 +39,8 @@ from ..catalog import load_tables, parallelize_scan
 from ..persistence import tracked_persist
 from ..registry import register
 
-_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
-_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS_SPARK  # noqa: E402
 
 _W = 12  # span window width in tokens (50 in published pipelines; 12 so
 # the 10-99-word synthetic fixture docs carry multi-window spans)

@@ -20,13 +20,21 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_tables, parallelize_scan
+from ..persistence import tracked_persist
 from ..registry import register
 
 # shared normalization: lowercase, trim, whitespace-split
-_WORDS_SPARK = "split(lower(trim(text)), '\\\\s+')"
-_WORDS_DUCK = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+# shared quality-signal stopword list (one constant; round-11 review —
+# four hand-copied literals could drift the decile census away from the
+# per-doc quality signal it documents itself as reusing)
+_STOPWORDS = "'the','a','of','and','to'"
+from ._text import WORDS_DUCK as _WORDS_DUCK  # noqa: E402
+from ._text import WORDS_SPARK as _WORDS_SPARK  # noqa: E402
 
-_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+# explicit whitespace class, NOT backslash-s: Java's class includes
+# x0B but RE2's does not, and the same pattern string feeds both
+# engines (round-11 review; the word splits got the same treatment)
+_TOKEN_PATTERN = "[a-z]+|[0-9]+|[^a-z0-9 \\t\\n\\x0B\\f\\r]"
 
 _TOKEN_COUNT_ORACLE = f"""
 SELECT doc_id,
@@ -64,7 +72,7 @@ SELECT doc_id,
        len(w) AS n_words,
        round(list_sum(list_transform(w, x -> length(x))) * 1.0 / len(w), 4)
          AS avg_word_len,
-       round(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+       round(len(list_filter(w, x -> list_contains([{_STOPWORDS}], x)))
              * 1.0 / len(w), 4) AS stopword_ratio,
        round(len(list_distinct(w)) * 1.0 / len(w), 4) AS distinct_ratio
 FROM t
@@ -97,7 +105,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("avg_word_len"),
         F.round(
-            F.size(F.expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+            F.size(F.expr(f"filter(w, x -> x IN ({_STOPWORDS}))"))
             * F.lit(1.0)
             / n_words,
             4,
@@ -250,9 +258,9 @@ def doc_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOKENIZE_UDTF_ORACLE = """
+_TOKENIZE_UDTF_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS arr
+  SELECT doc_id, {_WORDS_DUCK} AS arr
   FROM documents WHERE doc_id < 20
 )
 SELECT doc_id, CAST(i AS INTEGER) AS pos, arr[i + 1] AS token
@@ -268,13 +276,18 @@ def text_tokenize_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     job the builtin (posexplode(split(...))) is the production path — the
     UDTF exists to prove the extension point where per-row Python must
     emit a variable number of rows (parsers, segmenters, samplers).
-    Python's str.split() and the '\\s+' regex agree on this corpus, so it
+    Python's str.split() and the whitespace-class regex agree on this corpus, so it
     is oracle-gated."""
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="pos: int, token: string")
     class Tokenize:
         def eval(self, text):
+            if text is None:
+                # str(None) would tokenize the literal 'none' while the
+                # oracle's regexp_split(NULL) yields no rows (round-11
+                # review) — a NULL document emits nothing
+                return
             for i, t in enumerate(str(text).lower().split()):
                 yield i, t
 
@@ -682,9 +695,9 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ Heaps-law vocabulary growth
 
-_HEAPS_ORACLE = """
+_HEAPS_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS term
+  SELECT doc_id, unnest({_WORDS_DUCK}) AS term
   FROM documents
 ),
 firsts AS (
@@ -736,8 +749,14 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over 10 points — the regr_* family on identical
     pre-computed log operands in both engines."""
     docs = load_tables(spark, sf_dir)["documents"]
-    w = docs.select(
-        "doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("term")
+    # persist + parallelize the tokenize pass: firsts (term-keyed) and
+    # doc_tokens (doc-keyed) shuffle on DIFFERENT keys, so no exchange
+    # reuse applies and the docstring's 'one tokenization pass' was only
+    # true with this cache boundary (round-11 review)
+    w = tracked_persist(
+        parallelize_scan(docs.select("doc_id", "text"), "doc_id").select(
+            "doc_id", F.explode(F.expr(_WORDS_SPARK)).alias("term")
+        )
     )
     firsts = w.groupBy("term").agg(F.min("doc_id").alias("first_id"))
     doc_tokens = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
@@ -782,12 +801,12 @@ def text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ Flesch-Kincaid readability
 
-_FK_ORACLE = """
+_FK_ORACLE = f"""
 WITH per_doc AS (
   SELECT doc_id, source,
-         greatest(len(regexp_split_to_array(trim(text), '[.!?]+\\s*')), 1)
+         greatest(len(regexp_split_to_array(trim(text), '[.!?]+[ \\t\\n\\x0B\\f\\r]*')), 1)
            AS n_sentences,
-         len(regexp_split_to_array(lower(trim(text)), '\\s+')) AS n_words,
+         len({_WORDS_DUCK}) AS n_words,
          greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
            AS n_syllables
   FROM documents
@@ -830,7 +849,7 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select(
         "source",
         F.greatest(
-            F.size(F.split(F.trim("text"), r"[.!?]+\s*")), F.lit(1)
+            F.size(F.split(F.trim("text"), r"[.!?]+[ \t\n\x0B\f\r]*")), F.lit(1)
         ).alias("n_sentences"),
         F.size(F.expr(_WORDS_SPARK)).alias("n_words"),
         F.greatest(
@@ -867,7 +886,7 @@ WITH t AS (
 ),
 q AS (
   SELECT doc_id, n_chars,
-         round(len(list_filter(w, x -> list_contains(['the','a','of','and','to'], x)))
+         round(len(list_filter(w, x -> list_contains([{_STOPWORDS}], x)))
                * 1.0 / len(w), 4)
            + round(len(list_distinct(w)) * 1.0 / len(w), 4) AS score
   FROM t
@@ -920,7 +939,7 @@ def documents_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         (
             F.round(
-                F.size(F.expr("filter(w, x -> x IN ('the','a','of','and','to'))"))
+                F.size(F.expr(f"filter(w, x -> x IN ({_STOPWORDS}))"))
                 * F.lit(1.0)
                 / n_words,
                 4,
@@ -1112,6 +1131,11 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
             ).alias("s"),
             "freq",
         )
+        # per-round cache boundary: without it state_{k-1} appears twice
+        # in round k's plan (directly AND under best_k), so each action
+        # re-ran the words aggregation 2^k times — the TextRank-loop
+        # persist discipline applied here too (round-11 review)
+        state = tracked_persist(state)
     return state, merges
 
 
@@ -1274,10 +1298,11 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "block",
             "df_block",
             "tf_block",
-            F.expr(
-                "array_join(transform("
-                "  transform(arr, (x, i) -> x - if(i = 0, cast(0 as bigint), arr[i - 1])),"
-                "  g -> cast(g as string)), ',')"
+            # both outputs derive from the ONE gaps expression — the old
+            # inline re-spelling meant a d-gap formula fix could land in
+            # gaps_csv but not max_gap or vice versa (round-11 review)
+            F.array_join(
+                F.transform(gaps, lambda g: g.cast("string")), ","
             ).alias("gaps_csv"),
             F.array_max(gaps).alias("max_gap"),
         )
@@ -1304,7 +1329,10 @@ def _occurrences(col: Column, pat: str) -> Column:
     arithmetic — exact integers, engine-identical (no regex dialect in
     play). Patterns are chosen without quotes or regex metacharacters."""
     return (
-        (F.length(col) - F.length(F.expr(f"replace(t, '{pat}', '')")))
+        # F.replace over the PASSED column — the old f-string expr
+        # hardcoded column name `t`, silently breaking any caller whose
+        # column isn't literally named t (round-11 review)
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
         / F.lit(len(pat))
     ).cast("bigint")
 
@@ -1377,6 +1405,7 @@ def text_blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------- TextRank keyword extraction (round 8)
 
 _TR_DAMPING = 0.85
+_TR_BASE = 0.15  # the folded (1 - damping) literal; see the ws comment
 _TR_ITER = 3
 _TR_TOPK = 15
 _TR_MIN_LEN = 4  # stopword-ish short words stay out of the graph
@@ -1392,9 +1421,9 @@ def _textrank_oracle() -> str:
         steps.append(
             f"""ws{k} AS (
   SELECT n.word,
-         (1 - {_TR_DAMPING})
+         {_TR_BASE}
            + {_TR_DAMPING} * coalesce(
-               sum(p.ws * e.w / dg.deg), 0) AS ws
+               sum(p.ws * (e.w * 1.0 / dg.deg)), 0) AS ws
   FROM nodes n
   LEFT JOIN und e ON e.v = n.word
   LEFT JOIN degs dg ON dg.word = e.u
@@ -1515,7 +1544,12 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws = nodes.join(contrib, nodes["word"] == contrib["v"], "left").select(
             "word",
             (
-                F.lit(1 - _TR_DAMPING)
+                # folded literal, NOT F.lit(1 - _TR_DAMPING): Python's
+                # 1-0.85 = 0.15000000000000002, one ulp ABOVE the 0.15
+                # DuckDB's DECIMAL fold produces — a systematic per-node
+                # per-iteration offset, not reassociation noise
+                # (round-11 review, verified numerically)
+                F.lit(_TR_BASE)
                 + _TR_DAMPING * F.coalesce("c", F.lit(0.0))
             ).alias("ws"),
         )
