@@ -283,7 +283,7 @@ SELECT w.id,
        strftime(w.withdraw_date, '{_STRF}') AS withdraw_date
 FROM ref_withdrawals w
 JOIN ref_users u ON w.worker_email = u.email
-WHERE w.status = 'pending' AND w.withdrawal_coin >= 200
+WHERE w.status = 'pending'
 ORDER BY w.withdraw_date, w.id
 LIMIT 25
 """
@@ -291,18 +291,22 @@ LIMIT 25
 
 @register("ref_withdrawal_queue", oracle=_WITHDRAWAL_QUEUE_ORACLE, tags=("reference", "join"))
 def ref_withdrawal_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The admin withdrawal approval queue (index.js:1345-1365) with the
-    min-withdrawal guard (>= 200 coins, index.js:1062) — the data contains
-    sub-200 rows that must be filtered, enriched with the worker's current
-    coin balance (broadcast users dim)."""
+    """The admin withdrawal queue (GET /admin/withdrawals,
+    index.js:1099-1109) enriched with the worker's current coin balance
+    (broadcast users dim). Round-11 fidelity fix: the reference's READ
+    route has NO minimum-coin filter — the 200-coin minimum
+    (index.js:1062) applies at request CREATION only — so the sub-200
+    rows the fixture plants (representing direct inserts that bypassed
+    the API) appear in the queue exactly as the reference would return
+    them; the earlier >= 200 read-side filter both miscited the
+    reference and contradicted `ref_approve_withdrawal_batch`, which
+    processes every pending row."""
     wds = reference_table(spark, "ref_withdrawals")
     users = reference_table(spark, "ref_users").select(
         F.col("email").alias("u_email"), "coins"
     )
     return (
-        wds.filter(
-            (F.col("status") == "pending") & (F.col("withdrawal_coin") >= 200)
-        )
+        wds.filter(F.col("status") == "pending")
         .join(F.broadcast(users), wds["worker_email"] == F.col("u_email"))
         .select(
             "id",
@@ -323,7 +327,7 @@ def ref_withdrawal_queue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPEN_TASKS_ORACLE = f"""
 WITH {duck_cte("ref_tasks")}
 SELECT id, task_title, required_workers,
-       round(payable_amount, 2) AS payable_amount,
+       floor(payable_amount * 100 + 0.5) / 100 AS payable_amount,
        strftime(createdAt, '{_STRF}') AS createdAt
 FROM ref_tasks
 WHERE status IS DISTINCT FROM 'deleted' AND required_workers > 0
@@ -347,7 +351,7 @@ def ref_open_tasks_listing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id",
             "task_title",
             "required_workers",
-            F.round("payable_amount", 2).alias("payable_amount"),
+            _cents("payable_amount").alias("payable_amount"),
             F.date_format("createdAt", _TS).alias("createdAt"),
         )
         .orderBy(F.col("createdAt").desc(), "id")
@@ -529,8 +533,8 @@ def ref_approve_submission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         subs.filter((F.col("status") != "approved") & F.col("task_id").isNotNull())
-        .join(tasks, F.col("task_id") == F.col("t_id"))
-        .join(cap, F.col("task_id") == F.col("tid"), "left")
+        .join(F.broadcast(tasks), F.col("task_id") == F.col("t_id"))
+        .join(F.broadcast(cap), F.col("task_id") == F.col("tid"), "left")
         .select(
             "id",
             "task_id",
@@ -551,7 +555,7 @@ def ref_approve_submission_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_approved"), F.sum("pay").alias("added"))
     )
     return (
-        per_worker.join(users, per_worker["worker_email"] == users["email"])
+        per_worker.join(F.broadcast(users), per_worker["worker_email"] == users["email"])
         .select(
             F.col("email").alias("worker_email"),
             "n_approved",
@@ -672,7 +676,7 @@ def ref_post_task_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     tasks = reference_table(spark, "ref_tasks")
     users = reference_table(spark, "ref_users").select("email", "role", "coins")
     req = (
-        tasks.join(users, tasks["buyer_email"] == users["email"])
+        tasks.join(F.broadcast(users), tasks["buyer_email"] == users["email"])
         .filter(
             (F.col("role") == "buyer")
             & (F.col("required_workers") > 0)
@@ -788,8 +792,8 @@ def ref_approve_withdrawal_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     req = (
         wd.filter(F.col("status") != "approved")
-        .join(users, wd["worker_email"] == users["email"])
-        .join(earned, "worker_email", "left")
+        .join(F.broadcast(users), wd["worker_email"] == users["email"])
+        .join(F.broadcast(earned), "worker_email", "left")
         .select(
             F.col("worker_email").alias("key"),
             F.col("payment_system").alias("grp"),
@@ -823,7 +827,7 @@ def ref_approve_withdrawal_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ entity resolution census
 
 _ENTITY_RES_ORACLE = f"""
-WITH {{cte}}
+WITH {duck_cte("ref_users")}
 , blocked AS (
   SELECT id, name, substr(name, 1, 6) AS blk FROM ref_users
 ),
@@ -847,7 +851,7 @@ ORDER BY block
 
 @register(
     "ref_entity_resolution",
-    oracle=_ENTITY_RES_ORACLE.format(cte=duck_cte("ref_users")),
+    oracle=_ENTITY_RES_ORACLE,
     tags=("reference", "dedup"),
 )
 def ref_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1207,11 +1211,11 @@ WITH {duck_cte("ref_tasks", "ref_submissions")}
 SELECT
   (SELECT count(*) FROM ref_tasks
    WHERE buyer_email = '{_BUYER_EMAIL}'
-     AND (status IS NULL OR status != 'deleted')) AS total_tasks,
+     AND status IS DISTINCT FROM 'deleted') AS total_tasks,
   (SELECT CAST(coalesce(sum(coalesce(required_workers, 0)), 0) AS BIGINT)
    FROM ref_tasks
    WHERE buyer_email = '{_BUYER_EMAIL}'
-     AND (status IS NULL OR status != 'deleted')) AS pending_workers,
+     AND status IS DISTINCT FROM 'deleted') AS pending_workers,
   (SELECT CAST(coalesce(sum(CAST(floor(coalesce(payable_amount, 0) * 100 + 0.5)
                                  AS BIGINT)), 0) AS DOUBLE) / 100.0
    FROM ref_submissions
@@ -1245,7 +1249,7 @@ def ref_buyer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs = reference_table(spark, "ref_submissions")
     t = tasks.filter(
         (F.col("buyer_email") == _BUYER_EMAIL)
-        & (F.col("status").isNull() | (F.col("status") != "deleted"))
+        & ~F.col("status").eqNullSafe("deleted")  # the one null-safe $ne spelling (see ref_open_tasks_listing)
     ).agg(
         F.count(F.lit(1)).alias("total_tasks"),
         F.coalesce(F.sum(F.coalesce("required_workers", F.lit(0))), F.lit(0))
