@@ -527,6 +527,11 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
         raise ValueError(f"unsupported BMP variant (bpp={bpp})")
     if w <= 0 or h == 0:
         raise ValueError("degenerate BMP dimensions")
+    if offset < 14 + hdr_size or offset > len(payload):
+        # a malformed offset pointing into (or before) the header region
+        # would otherwise silently decode header bytes as pixels
+        # (round-11 review) — the contract promises ValueError instead
+        raise ValueError(f"pixel offset {offset} inside header or past EOF")
     bottom_up, h = h > 0, abs(h)
     stride = (w * 3 + 3) // 4 * 4
     if len(payload) < offset + stride * h:
@@ -547,18 +552,25 @@ _BMP_DECODE_SCHEMA = (
 )
 
 
-def _synthesize_bmp_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload": pdf["doc_id"].map(
-                    lambda d: synthesize_bmp(int(d))
-                ),
-            }
-        )
+def _synth_batches(synth):
+    """mapInPandas iterator factory: (doc_id) batches -> (doc_id, payload)
+    batches via the given per-doc synthesizer — one definition for the
+    BMP / WAV / BMP-variant payload sources (round-11 review: three
+    copy-pasted iterators differing only in the synth function)."""
+
+    def _iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": pdf["doc_id"].map(lambda d: synth(int(d))),
+                }
+            )
+
+    return _iter
+
+
+_synthesize_bmp_batches = _synth_batches(synthesize_bmp)
 
 
 def _decode_bmp_batches(
@@ -695,8 +707,10 @@ def decode_wav_pcm16(payload: bytes) -> tuple[int, list[int]]:
                 raise ValueError(
                     f"unsupported layout ({n_channels}ch/{bits}bit)"
                 )
-            if len(body) != size or size % 2:
-                raise ValueError("truncated or odd-sized data chunk")
+            # len(body) == size is guaranteed by the truncated-chunk
+            # guard above; only odd sample sizes remain to reject
+            if size % 2:
+                raise ValueError("odd-sized PCM16 data chunk")
             return rate, list(struct.unpack(f"<{size // 2}h", body))
         pos += 8 + size + (size % 2)  # RIFF chunks are 2-byte aligned
     raise ValueError("no data chunk")
@@ -708,18 +722,7 @@ _WAV_DECODE_SCHEMA = (
 )
 
 
-def _synthesize_wav_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload": pdf["doc_id"].map(
-                    lambda d: synthesize_wav(int(d))
-                ),
-            }
-        )
+_synthesize_wav_batches = _synth_batches(synthesize_wav)
 
 
 def _decode_wav_batches(
@@ -821,8 +824,10 @@ _PHASH_BASE_MOD = 200  # base byte range [0,200) + shift [0,40) stays < 256
 _PHASH_SHIFTS = 40
 
 
-def _phash_group_dims(grp: int) -> tuple[int, int]:
-    return grp % 5 + 3, grp % 4 + 2  # width 3-7, height 2-5
+# the near-dup groups reuse the document dimension formula — ONE
+# definition (round-11 review: this was a byte-for-byte re-implementation
+# of _bmp_dims that could silently drift)
+_phash_group_dims = _bmp_dims
 
 
 def synthesize_bmp_variant(doc_id: int) -> bytes:
@@ -864,18 +869,7 @@ def dhash_rgb(w: int, h: int, rgb: bytes) -> int:
     return code
 
 
-def _synthesize_bmp_variant_batches(
-    batches: Iterator[pd.DataFrame],
-) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "payload": pdf["doc_id"].map(
-                    lambda d: synthesize_bmp_variant(int(d))
-                ),
-            }
-        )
+_synthesize_bmp_variant_batches = _synth_batches(synthesize_bmp_variant)
 
 
 def _decode_dhash_batches(
@@ -1160,6 +1154,13 @@ def _decode_segment_batches(
         ids, nf, na, ns, es = [], [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
             _rate, samples = decode_wav_pcm16(bytes(payload))
+            if len(samples) < _SEG_FRAME:
+                # oracle parity on sub-frame clips: range(0, (n//10)*10)
+                # yields no frame rows there, dropping the doc entirely —
+                # emitting an (n_frames=0) row here would row-mismatch.
+                # Unreachable on the synthesized fixture (n >= 20) but
+                # load-bearing for real WAVs (round-11 review).
+                continue
             f, a, s, e = segment_energy(samples)
             ids.append(doc_id)
             nf.append(f)
@@ -1293,9 +1294,10 @@ agg AS (
 )
 SELECT CASE c WHEN 0 THEN 'r' WHEN 1 THEN 'g' ELSE 'b' END AS channel,
        CAST(n AS BIGINT) AS n_values,
-       round(CAST(s AS DOUBLE) / n, 6) AS mean,
-       round(sqrt(CAST(s2 AS DOUBLE) / n
-                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)), 6)
+       floor(CAST(s AS DOUBLE) / n * 1000000 + 0.5) / 1000000 AS mean,
+       floor(sqrt(CAST(s2 AS DOUBLE) / n
+                  - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+             * 1000000 + 0.5) / 1000000
          AS std
 FROM agg
 ORDER BY channel
@@ -1345,11 +1347,23 @@ def multimodal_channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     mean = F.col("s").cast("double") / F.col("n_values")
-    return per_channel.select(
-        "channel",
-        F.col("n_values").cast("long").alias("n_values"),
-        F.round(mean, 6).alias("mean"),
-        F.round(
-            F.sqrt(F.col("s2").cast("double") / F.col("n_values") - mean * mean), 6
-        ).alias("std"),
-    ).orderBy("channel")
+    std = F.sqrt(F.col("s2").cast("double") / F.col("n_values") - mean * mean)
+    return (
+        per_channel
+        # empty-input parity: the global agg emits one NULL-sums row even
+        # over zero documents, which stack() expands to 3 NULL rows while
+        # the oracle's GROUP BY yields 0 rows — drop them (round-11
+        # review); n_values is never NULL on any non-empty input
+        .filter(F.col("n_values").isNotNull())
+        .select(
+            "channel",
+            F.col("n_values").cast("long").alias("n_values"),
+            # floor-fold display, not round(x, 6): the means/stds are
+            # irrational doubles, exactly the cross-engine round-tie
+            # class the money discipline retired — floor(x*1e6 + 0.5) is
+            # one identical IEEE op sequence on both engines
+            (F.floor(mean * 1000000 + F.lit(0.5)) / 1000000).alias("mean"),
+            (F.floor(std * 1000000 + F.lit(0.5)) / 1000000).alias("std"),
+        )
+        .orderBy("channel")
+    )

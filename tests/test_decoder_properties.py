@@ -92,6 +92,22 @@ def test_bmp_truncation_raises_never_garbage(w, h, cut):
         assert decode_bmp(prefix)[0] == w
 
 
+def test_bmp_header_offset_must_point_past_headers():
+    """A malformed pixel offset pointing into (or before) the header
+    region must raise, not silently decode header bytes as pixels —
+    the truncation fuzz keeps a VALID offset, so it never hits this
+    path (round-11 review)."""
+    full = bytearray(_build_bmp(3, 2, bytes(3 * 2 * 3), top_down=False))
+    for bad_offset in (0, 10, 53):
+        m = bytes(full[:10]) + struct.pack("<I", bad_offset) + bytes(full[14:])
+        with pytest.raises(ValueError):
+            decode_bmp(m)
+    # past-EOF offset must raise too (not index garbage)
+    m = bytes(full[:10]) + struct.pack("<I", len(full) + 100) + bytes(full[14:])
+    with pytest.raises(ValueError):
+        decode_bmp(m)
+
+
 def _build_wav(rate: int, samples: list[int], extra_chunks: list[bytes]) -> bytes:
     data = struct.pack(f"<{len(samples)}h", *samples)
     fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
