@@ -87,6 +87,17 @@ def events_ts_encoding(sf_dir: str) -> str:
     return "timestamp"
 
 
+# the ns->us decode, shared VERBATIM by the batch reader below and the
+# streaming reader (streaming.events_stream.read_events_stream): ns -> µs
+# must FLOOR (what a timestamp downcast means); `div` truncates toward
+# zero, which would shift a pre-epoch (negative) ts 1µs late. One
+# definition so a future repair cannot land in one reader and not the
+# other (round-11 review).
+NS_TO_TS_EXPR = (
+    "timestamp_micros(ts div 1000 - "
+    "(CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"
+)
+
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Read events with ts normalized to Spark TIMESTAMP (µs, UTC session).
 
@@ -114,13 +125,7 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # truncates toward zero, which would shift a pre-epoch (negative)
         # ts 1µs late. The generator emits post-epoch data today, but the
         # exact form costs one CASE on this legacy-vintage path only.
-        df = df.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_micros(ts div 1000 - "
-                "(CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"
-            ),
-        )
+        df = df.withColumn("ts", F.expr(NS_TO_TS_EXPR))
     elif dtype == "timestamp_ntz":
         df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

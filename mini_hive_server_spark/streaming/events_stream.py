@@ -52,6 +52,14 @@ def read_events_stream(
     streaming can never diverge on decode. `glob` widens the file pin for
     staged source dirs that add files beside the events copy (the flush
     sentinel)."""
+    try:
+        # NTZ->TIMESTAMP casts and date_format renders follow the session
+        # timezone — pin UTC defensively like catalog.load_tables does,
+        # so a driver-owned non-UTC session can't shift every window
+        # boundary off the oracle (round-11 review)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     kind = events_ts_encoding(sf_dir)
     if kind == "ns":
         # no fallback exists if this conf can't be set — declaring ts as
@@ -73,15 +81,12 @@ def read_events_stream(
         .load(sf_dir)
     )
     if kind == "ns":
-        # floor, not truncate-toward-zero — same pre-epoch exactness
-        # repair as the batch reader (catalog._read_events)
-        return raw.withColumn(
-            "ts",
-            F.expr(
-                "timestamp_micros(ts div 1000 - "
-                "(CASE WHEN ts % 1000 < 0 THEN 1 ELSE 0 END))"
-            ),
-        )
+        # the SHARED decode expression (catalog.NS_TO_TS_EXPR): one
+        # definition for batch and streaming so the decoders cannot
+        # drift (round-11 review)
+        from ..catalog import NS_TO_TS_EXPR
+
+        return raw.withColumn("ts", F.expr(NS_TO_TS_EXPR))
     if kind == "ntz_us":
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
@@ -548,14 +553,34 @@ def stage_events_with_flush_sentinel(sf_dir: str) -> str:
 
     from ..sources.connectors import _tmp_dir
 
+    import json
+
     src = os.path.join(sf_dir, "events.parquet")
     out = _tmp_dir(sf_dir, "events_flush_src")
     os.makedirs(out, exist_ok=True)
     dst = os.path.join(out, "events.parquet")
-    if not os.path.exists(dst) or os.path.getmtime(dst) < os.path.getmtime(src):
-        shutil.copyfile(src, dst)
+    # freshness via an EXACT source-stat manifest, not mtime ordering: a
+    # fixture regenerated with preserved timestamps (tar -x, rsync -a)
+    # can be OLDER than the staged copy, which an ordering check would
+    # silently keep serving (round-11 review). The manifest is written
+    # LAST, after both files land via atomic os.replace, so an
+    # interrupted run leaves no manifest and regenerates cleanly instead
+    # of streaming a torn parquet fragment.
+    manifest = os.path.join(out, "staged.json")
+    st = os.stat(src)
+    want = {"mtime_ns": st.st_mtime_ns, "size": st.st_size}
+    try:
+        with open(manifest) as f:
+            fresh = json.load(f) == want
+    except (OSError, ValueError):
+        fresh = False
     sentinel = os.path.join(out, "sentinel.parquet")
-    if not os.path.exists(sentinel) or os.path.getmtime(sentinel) < os.path.getmtime(src):
+    if fresh and os.path.exists(dst) and os.path.exists(sentinel):
+        return out
+    tmp_dst = dst + ".tmp"
+    shutil.copyfile(src, tmp_dst)
+    os.replace(tmp_dst, dst)
+    if True:
         tbl = pq.read_table(src, columns=["ts"])
         schema = pq.read_schema(src)
         ts_type = schema.field("ts").type
@@ -581,8 +606,12 @@ def stage_events_with_flush_sentinel(sf_dir: str) -> str:
             "props": ["{}", "{}"],
         }
         pq.write_table(
-            pa.table(row, schema=schema), sentinel, version="2.6"
+            pa.table(row, schema=schema), sentinel + ".tmp", version="2.6"
         )
+        os.replace(sentinel + ".tmp", sentinel)
+    with open(manifest + ".tmp", "w") as f:
+        json.dump(want, f)
+    os.replace(manifest + ".tmp", manifest)
     return out
 
 
@@ -705,9 +734,17 @@ def cdc_merge_state(events: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        ts_us, eid, ltype, lval, n = (
-            state.get if state.exists else (-1, -1, None, None, 0)
-        )
+        if state.exists:
+            ts_us, eid, ltype, lval, n = state.get
+            have = True
+        else:
+            # no in-band sentinel: the old (-1, -1) init meant a key whose
+            # ENTIRE changelog is pre-epoch (ts_us <= -2) could never win
+            # the version comparison and was silently dropped — breaking
+            # the pre-epoch exactness this file's ns decode pays for
+            # (round-11 review)
+            ts_us, eid, ltype, lval, n = 0, 0, None, None, 0
+            have = False
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -715,10 +752,11 @@ def cdc_merge_state(events: DataFrame) -> DataFrame:
             t = pdf["ts"].values.astype("datetime64[us]").astype("int64")
             e = pdf["event_id"].values.astype("int64")
             last = np.lexsort((e, t))[-1]
-            if (int(t[last]), int(e[last])) > (ts_us, eid):
+            if not have or (int(t[last]), int(e[last])) > (ts_us, eid):
                 ts_us, eid = int(t[last]), int(e[last])
                 ltype = str(pdf["event_type"].values[last])
                 lval = float(pdf["value"].values[last])
+                have = True
         state.update((ts_us, eid, ltype, lval, n))
         yield pd.DataFrame(
             {
