@@ -53,6 +53,56 @@ def _tmp_dir(sf_dir: str, leaf: str) -> str:
     return os.path.join(_TMP_ROOT, f"{sf_name}-{tag}", leaf)
 
 
+def _path_tag(sf_dir: str) -> str:
+    """The _tmp_dir collision tag for use in METASTORE names too: the
+    round-10 self-review hardened the staged-copy paths against two
+    fixture dirs sharing a leaf name, but the bucketed DATABASE name had
+    kept basename-only keying (round-11 review) — same invariant, same
+    tag."""
+    import hashlib
+
+    ap = os.path.abspath(os.path.normpath(sf_dir))
+    return hashlib.md5(ap.encode()).hexdigest()[:8]
+
+
+def _build_once(out_dir: str, src_paths: list[str], build) -> None:
+    """Run `build()` (which materializes derived data under `out_dir`)
+    exactly once per SOURCE CONTENT, safely across processes.
+
+    Three hazards closed here (round-11 review), all previously handled
+    ad hoc or not at all by the per-query exists-guards:
+    * staleness — freshness is an EXACT stat manifest (mtime_ns + size
+      of every source file), not an exists-check or mtime ordering, so a
+      regenerated fixture (even with preserved timestamps) rebuilds;
+    * torn builds — the manifest is written LAST via atomic os.replace,
+      so an interrupted build leaves no manifest and rebuilds cleanly;
+    * cross-process races — an fcntl.flock around check+build serializes
+      the driver gate and a concurrent bench run on the same host (the
+      actual concurrent-writer scenario) instead of letting two
+      mode('overwrite') jobs shred each other's part files."""
+    import fcntl
+    import json
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "_staged_manifest.json")
+    want = {
+        p: {"mtime_ns": os.stat(p).st_mtime_ns, "size": os.stat(p).st_size}
+        for p in src_paths
+    }
+    with open(os.path.join(out_dir, "_staged.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        try:
+            with open(manifest) as f:
+                if json.load(f) == want:
+                    return
+        except (OSError, ValueError):
+            pass
+        build()
+        with open(manifest + ".tmp", "w") as f:
+            json.dump(want, f)
+        os.replace(manifest + ".tmp", manifest)
+
+
 _NATION_SCHEMA = T.StructType(
     [
         T.StructField("n_nationkey", T.LongType()),
@@ -172,7 +222,12 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, groupBy, or window on that key is shuffle-free. (AQE cannot help
     a 10 TB x 10 TB shuffle; bucketing removes it.)"""
     sf_name = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
-    db = f"mhs_bucketed_{sf_name}"
+    # db name carries the _tmp_dir collision tag: basename-only keying
+    # let /root/testdata/sf0.01 and /tmp/alt/sf0.01 share a database, so
+    # the second caller silently read the first dir's bucketed data
+    # (round-11 review — the one path where a wrong answer could pass as
+    # verified)
+    db = f"mhs_bucketed_{sf_name}_{_path_tag(sf_dir)}"
     # explicit LOCATION keeps the database directory out of the session
     # warehouse dir (the CWD for a vanilla driver session)
     spark.sql(
@@ -181,19 +236,35 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tables = load_tables(spark, sf_dir)
     specs = {
-        "orders_b": (tables["orders"], "o_orderkey"),
-        "lineitem_b": (tables["lineitem"], "l_orderkey"),
+        "orders_b": (tables["orders"], "o_orderkey", "orders"),
+        "lineitem_b": (tables["lineitem"], "l_orderkey", "lineitem"),
     }
-    for tbl, (df, key) in specs.items():
-        if not spark.catalog.tableExists(f"{db}.{tbl}"):
+    for tbl, (df, key, src) in specs.items():
+        tbl_path = _tmp_dir(sf_dir, f"bucketed/{tbl}")
+
+        def _write(df=df, key=key, tbl=tbl, tbl_path=tbl_path):
+            # a persistent metastore (get_hive_spark) can outlive /tmp —
+            # drop any stale registration before rewriting so the
+            # saveAsTable never trips over a corpse entry
+            spark.sql(f"DROP TABLE IF EXISTS {db}.{tbl}")
             (
                 df.write.format("parquet")
                 .bucketBy(8, key)
                 .sortBy(key)
-                .option("path", _tmp_dir(sf_dir, f"bucketed/{tbl}"))
+                .option("path", tbl_path)
                 .mode("overwrite")
                 .saveAsTable(f"{db}.{tbl}")
             )
+
+        # freshness + liveness instead of bare tableExists: the metastore
+        # entry can outlive both the fixture vintage AND the /tmp data
+        # (tmpwatch/reboot); _build_once's manifest catches the former,
+        # the explicit registration check inside _write the latter
+        _build_once(tbl_path, [table_path(sf_dir, src)], _write)
+        if not spark.catalog.tableExists(f"{db}.{tbl}"):
+            # data is fresh on disk but the (new/in-memory) catalog has no
+            # entry — register without rewriting
+            _write()
     o = spark.table(f"{db}.orders_b").filter(F.col("o_orderpriority") == "1-URGENT")
     l = spark.table(f"{db}.lineitem_b")
     return (
@@ -767,8 +838,12 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise NotImplementedError("Python DataSource API requires Spark 4+")
     try:
         spark.dataSource.register(SynthRangeDataSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as ex:
+        # tolerate ONLY the already-registered case — swallowing every
+        # failure turned real registration errors into a baffling
+        # 'data source not found' at read time (round-11 review)
+        if "already" not in str(ex).lower():
+            raise
     df = (
         spark.read.format("synthrange")
         .option("n", str(_PYDS_N))
@@ -835,13 +910,16 @@ def source_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFram
     out = _tmp_dir(sf_dir, "orders_by_month")
     orders = load_tables(spark, sf_dir)["orders"]
     month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        (
+    _build_once(
+        out,
+        [table_path(sf_dir, "orders")],
+        lambda: (
             orders.select("o_orderkey", "o_totalprice", month)
             .write.mode("overwrite")
             .partitionBy("o_month")
             .parquet(out)
-        )
+        ),
+    )
     fact = spark.read.parquet(out)
     dim = orders.select(
         month,
@@ -1031,8 +1109,9 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
 
     try:
         spark.dataSource.register(SynthTickStreamSource)
-    except Exception:
-        pass  # already registered in this session
+    except Exception as ex:
+        if "already" not in str(ex).lower():  # see SynthRange note
+            raise
     stream = (
         spark.readStream.format("synthtick")
         .option("n", str(_PYSTREAM_N))
