@@ -28,6 +28,40 @@ from ..catalog import load_tables
 from ..registry import register
 
 _DAMPING = 0.85
+# the teleport numerator interpolated into the ORACLES as the Python
+# float's exact repr: DuckDB evaluates (1 - 0.85) in DECIMAL (exact 0.15
+# -> double 0.1499999999999999944) while every Spark path computes the
+# Python float 1 - 0.85 = 0.15000000000000002 — a 2-ulp divergence that
+# compounds per iteration and contradicted the docstring's
+# 'engine-identical' claim (round-11 review, verified numerically)
+_TELEPORT_NUM = repr(1 - _DAMPING)
+
+
+def _ckpt_rdd(df: "DataFrame"):
+    """The localCheckpointed LogicalRDD's BACKING rdd — the handle whose
+    unpersist actually drops the blocks (queryExecution.toRdd() returns a
+    DERIVED rdd whose unpersist is a silent no-op, verified against
+    getPersistentRDDs). One module-level definition (round-11 review:
+    four verbatim copies of this fragile private-API expression)."""
+    return df._jdf.queryExecution().analyzed().rdd()
+
+
+# the co-purchase edge relation's ORACLE preamble, shared by every graph
+# oracle (round-11 review: seven verbatim copies of the correctness
+# anchor — DISTINCT projection, u < v orientation, min-support HAVING —
+# could silently drift apart). The Spark twin is copurchase_edges.
+def _edges_cte(materialized: bool = False, edges_name: str = "edges") -> str:
+    m = " MATERIALIZED" if materialized else ""
+    return f"""op AS{m} (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+{edges_name} AS{m} (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM op a JOIN op b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING count(*) >= {{sup}}
+)""".replace("{sup}", str(_TRI_MIN_SUPPORT))
 _N_ITER = 3
 
 
@@ -85,7 +119,7 @@ pr0 AS (
 ),
 pr1 AS (
   SELECT n.node,
-         (1 - {_DAMPING}) / nn.n_nodes
+         {_TELEPORT_NUM} / nn.n_nodes
            + {_DAMPING} * coalesce(sum(p.pr * e.w), 0) AS pr
   FROM nodes n CROSS JOIN nn
   LEFT JOIN edges e ON e.dst = n.node
@@ -94,7 +128,7 @@ pr1 AS (
 ),
 pr2 AS (
   SELECT n.node,
-         (1 - {_DAMPING}) / nn.n_nodes
+         {_TELEPORT_NUM} / nn.n_nodes
            + {_DAMPING} * coalesce(sum(p.pr * e.w), 0) AS pr
   FROM nodes n CROSS JOIN nn
   LEFT JOIN edges e ON e.dst = n.node
@@ -103,7 +137,7 @@ pr2 AS (
 ),
 pr3 AS (
   SELECT n.node,
-         (1 - {_DAMPING}) / nn.n_nodes
+         {_TELEPORT_NUM} / nn.n_nodes
            + {_DAMPING} * coalesce(sum(p.pr * e.w), 0) AS pr
   FROM nodes n CROSS JOIN nn
   LEFT JOIN edges e ON e.dst = n.node
@@ -177,7 +211,7 @@ def _pagerank_golden_oracle() -> str:
         steps.append(
             f"""pr{k} AS (
   SELECT n.node,
-         (1 - {_DAMPING}) / nn.n_nodes
+         {_TELEPORT_NUM} / nn.n_nodes
            + {_DAMPING} * coalesce(sum(p.pr * e.w), 0) AS pr
   FROM nodes n CROSS JOIN nn
   LEFT JOIN edges e ON e.dst = n.node
@@ -321,50 +355,54 @@ def graph_pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     teleport = (1.0 - _DAMPING) / n_nodes
 
-    def _ckpt_rdd(df: DataFrame):
-        # the RDD localCheckpoint persisted: the LogicalRDD's backing rdd
-        # (queryExecution.toRdd() would return a DERIVED RDD whose
-        # unpersist is a no-op — verified against getPersistentRDDs)
-        return df._jdf.queryExecution().analyzed().rdd()
-
     pr = nodes.select("node", F.lit(1.0 / n_nodes).alias("pr"))
     prev_ckpt = None
     n_iter, delta = 0, float("inf")
-    while n_iter < _PR_MAX_ITER and delta > _PR_EPS:
-        contrib = (
-            pr.join(edges, pr["node"] == edges["src"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") * F.col("w")).alias("c"))
-        )
-        new_pr = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + _DAMPING * F.coalesce("c", F.lit(0.0))
-                ).alias("pr"),
+    # exception-path block release: see star_contraction_stars (round-11)
+    ok = False
+    try:
+        while n_iter < _PR_MAX_ITER and delta > _PR_EPS:
+            contrib = (
+                pr.join(edges, pr["node"] == edges["src"])
+                .groupBy("dst")
+                .agg(F.sum(F.col("pr") * F.col("w")).alias("c"))
             )
-            .localCheckpoint()  # eager: round k's blocks exist from here
-        )
-        delta = (
-            new_pr.select("node", F.col("pr").alias("pr_new"))
-            .join(pr.select("node", F.col("pr").alias("pr_old")), "node")
-            .agg(F.max(F.abs(F.col("pr_new") - F.col("pr_old"))).alias("d"))
-            .first()[0]
-        ) or 0.0
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist(False)  # round k-1's blocks are now dead
-        prev_ckpt = _ckpt_rdd(new_pr)
-        pr = new_pr
-        n_iter += 1
+            new_pr = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + _DAMPING * F.coalesce("c", F.lit(0.0))
+                    ).alias("pr"),
+                )
+                .localCheckpoint()  # eager: round k's blocks exist from here
+            )
+            delta = (
+                new_pr.select("node", F.col("pr").alias("pr_new"))
+                .join(pr.select("node", F.col("pr").alias("pr_old")), "node")
+                .agg(F.max(F.abs(F.col("pr_new") - F.col("pr_old"))).alias("d"))
+                .first()[0]
+            ) or 0.0
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist(False)  # round k-1's blocks are now dead
+            prev_ckpt = _ckpt_rdd(new_pr)
+            pr = new_pr
+            n_iter += 1
+        ok = True
+    finally:
+        if not ok and prev_ckpt is not None:
+            try:
+                prev_ckpt.unpersist(False)
+            except Exception:
+                pass
     if prev_ckpt is not None:
         final_ckpt = prev_ckpt
         tracked_release(lambda: final_ckpt.unpersist(False))
     return pr.select(
         F.col("node").alias("event_type"),
         F.round("pr", 6).alias("pagerank"),
-        F.lit(delta <= _PR_EPS).alias("converged"),
+        F.lit(delta < _PR_EPS).alias("converged"),  # strict <, as the oracle spells it
     ).orderBy("event_type")
 
 
@@ -408,11 +446,6 @@ def graph_pagerank_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = tracked_persist(edges)
     nodes = tracked_persist(nodes)
     nn = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
-
-    def _ckpt_rdd(df: DataFrame):
-        # same LogicalRDD-backing-rdd form as graph_pagerank_converged:
-        # toRdd() would hand back a derived RDD whose unpersist is a no-op
-        return df._jdf.queryExecution().analyzed().rdd()
 
     pr = nodes.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n_nodes")).alias("pr")
@@ -469,16 +502,7 @@ def graph_pagerank_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TRI_MIN_SUPPORT = 2
 
 _TRIANGLE_ORACLE = f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-edges AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_edges_cte()},
 nodes AS (
   SELECT u AS node FROM edges UNION SELECT v FROM edges
 ),
@@ -639,16 +663,7 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- degree distribution
 
 _DEGREE_ORACLE = f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-edges AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_edges_cte()},
 degs AS (
   SELECT node, count(*) AS deg
   FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
@@ -697,16 +712,7 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SALTED_TOPK_ORACLE = f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-edges AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_edges_cte()},
 degs AS (
   SELECT node, count(*) AS degree
   FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
@@ -770,16 +776,7 @@ def graph_degree_salted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BFS_HOPS = 3
 
 _BFS_ORACLE = f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-edges AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_edges_cte()},
 und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
 nodes AS (SELECT DISTINCT u AS node FROM und),
 d0 AS (SELECT node FROM nodes WHERE node % 10 = 0),
@@ -952,8 +949,15 @@ def _observed(obs, fallback_df: DataFrame, *exprs, timeout_s: float = 60.0) -> d
     deadline = _time.monotonic() + timeout_s
     wait = 0.0
     while _time.monotonic() < deadline:
-        if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
-            return obs.get
+        try:
+            # private JVM accessor — EXACTLY the version-drift surface
+            # this function exists to survive, so a probe failure must
+            # fall through to the loud fallback, not raise Py4JError
+            # mid-loop (round-11 review)
+            if obs._jo is not None and obs._jo.getRowOrEmpty().isDefined():
+                return obs.get
+        except Exception:
+            break  # probe API gone: go straight to the fallback
         _time.sleep(min(0.05 + wait, 0.5))
         wait += 0.05
     warnings.warn(
@@ -966,16 +970,7 @@ def _observed(obs, fallback_df: DataFrame, *exprs, timeout_s: float = 60.0) -> d
     return fallback_df.agg(*exprs).head().asDict()
 
 _CC_ORACLE = f"""
-WITH RECURSIVE op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-edges AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH RECURSIVE {_edges_cte()},
 und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
 nodes AS (SELECT DISTINCT u AS node FROM und),
 -- transitive closure restricted to (node, r) pairs with r <= node: the
@@ -1344,10 +1339,6 @@ def star_contraction_stars(
         .localCheckpoint()
     )
 
-    def _ckpt_rdd(df: DataFrame):
-        # the LogicalRDD's backing rdd (same form as graph_pagerank_converged)
-        return df._jdf.queryExecution().analyzed().rdd()
-
     entry_ckpt = _ckpt_rdd(cur)
     tracked_release(lambda: entry_ckpt.unpersist(False))
 
@@ -1377,45 +1368,61 @@ def star_contraction_stars(
     prev_ckpt = None
     prev_sig: tuple | None = None
     n_rounds = 0
-    while n_rounds < _CC_MAX_ROUNDS:
-        # one star round per checkpoint/action (measured: fusing two
-        # rounds per checkpoint ran ~60% SLOWER — the deeper lineage
-        # defeats exchange reuse and adds an overshoot round; the
-        # observe-fused signature already makes a round exactly one job)
-        obs = Observation()
-        nxt = (
-            _star_round(cur)
-            # xor-fold of per-edge hashes: order-insensitive and immune to
-            # the long overflow an ANSI-mode sum() of 2^63-range hashes
-            # hits; observed metrics are computed BY the checkpoint job
-            .observe(
+    # try/finally: an exception mid-loop (non-convergence RuntimeError, a
+    # failed round job) must not strand the last round's checkpoint
+    # blocks — they are invisible to release_tracked() and would pin
+    # executor storage for the session lifetime (round-11 review; same
+    # hazard graph_bfs_3hop already guards, ADVICE r9)
+    ok = False
+    try:
+        while n_rounds < _CC_MAX_ROUNDS:
+            # one star round per checkpoint/action (measured: fusing two
+            # rounds per checkpoint ran ~60% SLOWER — the deeper lineage
+            # defeats exchange reuse and adds an overshoot round; the
+            # observe-fused signature already makes a round exactly one job)
+            obs = Observation()
+            nxt = (
+                _star_round(cur)
+                # xor-fold of per-edge hashes: order-insensitive and immune
+                # to the long overflow an ANSI-mode sum() of 2^63-range
+                # hashes hits; observed metrics are computed BY the
+                # checkpoint job
+                .observe(
+                    obs,
+                    F.count(F.lit(1)).alias("n"),
+                    F.bit_xor(F.xxhash64("a", "b")).alias("h"),
+                )
+                .localCheckpoint()  # eager: blocks exist from here
+            )
+            # delivered by the checkpoint job — no extra action (bounded
+            # wait + loud aggregate fallback, see _observed)
+            got = _observed(
                 obs,
+                nxt,
                 F.count(F.lit(1)).alias("n"),
                 F.bit_xor(F.xxhash64("a", "b")).alias("h"),
             )
-            .localCheckpoint()  # eager: this round's blocks exist from here
-        )
-        # delivered by the checkpoint job — no extra action (bounded wait +
-        # loud aggregate fallback, see _observed)
-        got = _observed(
-            obs,
-            nxt,
-            F.count(F.lit(1)).alias("n"),
-            F.bit_xor(F.xxhash64("a", "b")).alias("h"),
-        )
-        sig = (got["n"], got["h"])
-        if prev_ckpt is not None:
-            prev_ckpt.unpersist(False)
-        prev_ckpt = _ckpt_rdd(nxt)
-        cur = nxt
-        n_rounds += 1
-        if sig == prev_sig:
-            break
-        prev_sig = sig
-    else:
-        raise RuntimeError(
-            f"large-star/small-star did not converge in {_CC_MAX_ROUNDS} rounds"
-        )
+            sig = (got["n"], got["h"])
+            if prev_ckpt is not None:
+                prev_ckpt.unpersist(False)
+            prev_ckpt = _ckpt_rdd(nxt)
+            cur = nxt
+            n_rounds += 1
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+        else:
+            raise RuntimeError(
+                f"large-star/small-star did not converge in "
+                f"{_CC_MAX_ROUNDS} rounds"
+            )
+        ok = True
+    finally:
+        if not ok and prev_ckpt is not None:
+            try:
+                prev_ckpt.unpersist(False)
+            except Exception:
+                pass
     if prev_ckpt is not None:
         final_ckpt = prev_ckpt
         tracked_release(lambda: final_ckpt.unpersist(False))
@@ -1462,16 +1469,7 @@ l{k} AS (
         for k in range(1, _LP_ROUNDS + 1)
     )
     return f"""
-WITH op AS (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-edges AS (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),
+WITH {_edges_cte()},
 und AS (SELECT u, v FROM edges UNION ALL SELECT v AS u, u AS v FROM edges),
 nodes AS (SELECT DISTINCT u AS node FROM und),
 l0 AS (SELECT node, node AS label FROM nodes),{rounds}
@@ -1583,16 +1581,7 @@ e{k} AS MATERIALIZED (
     )
     last = f"e{_KCORE_ORACLE_UNROLL}"
     return f"""
-WITH op AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-e0 AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM op a JOIN op b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY 1, 2
-  HAVING count(*) >= {_TRI_MIN_SUPPORT}
-),{rounds},
+WITH {_edges_cte(materialized=True, edges_name='e0')},{rounds},
 core_nodes AS (SELECT DISTINCT u AS node FROM {last} UNION SELECT v FROM {last}),
 core_degs AS (
   SELECT node, count(*) AS deg
@@ -1631,47 +1620,53 @@ def kcore_peel(
 
     from ..persistence import tracked_release
 
-    def _ckpt_rdd(df: DataFrame):
-        # the LogicalRDD's backing rdd (same form as graph_pagerank_converged)
-        return df._jdf.queryExecution().analyzed().rdd()
-
     cur = edges.select("u", "v").localCheckpoint()  # eager: round-0 blocks
     prev_ckpt = _ckpt_rdd(cur)
     prev_n = cur.count()
     n_rounds = 0
-    while n_rounds < _KCORE_MAX_ROUNDS:
-        und = cur.select(F.col("u").alias("node")).unionAll(
-            cur.select(F.col("v").alias("node"))
-        )
-        keep = (
-            und.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= k)
-            .select("node")
-        )
-        obs = Observation()
-        nxt = (
-            cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
-            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
-            .select("u", "v")
-            .observe(obs, F.count(F.lit(1)).alias("n"))
-            .localCheckpoint()
-        )
-        # monotone shrink => an unchanged count is a fixpoint certificate;
-        # the metric is computed BY the checkpoint job, not a second action
-        # (bounded wait + loud aggregate fallback, see _observed)
-        n = _observed(obs, nxt, F.count(F.lit(1)).alias("n"))["n"]
-        prev_ckpt.unpersist(False)
-        prev_ckpt = _ckpt_rdd(nxt)
-        cur = nxt
-        n_rounds += 1
-        if n == prev_n:
-            break
-        prev_n = n
-    else:
-        raise RuntimeError(
-            f"k-core peel did not converge in {_KCORE_MAX_ROUNDS} rounds"
-        )
+    # exception-path block release: see star_contraction_stars (round-11)
+    ok = False
+    try:
+        while n_rounds < _KCORE_MAX_ROUNDS:
+            und = cur.select(F.col("u").alias("node")).unionAll(
+                cur.select(F.col("v").alias("node"))
+            )
+            keep = (
+                und.groupBy("node")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("node")
+            )
+            obs = Observation()
+            nxt = (
+                cur.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+                .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+                .select("u", "v")
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint()
+            )
+            # monotone shrink => an unchanged count is a fixpoint certificate;
+            # the metric is computed BY the checkpoint job, not a second action
+            # (bounded wait + loud aggregate fallback, see _observed)
+            n = _observed(obs, nxt, F.count(F.lit(1)).alias("n"))["n"]
+            prev_ckpt.unpersist(False)
+            prev_ckpt = _ckpt_rdd(nxt)
+            cur = nxt
+            n_rounds += 1
+            if n == prev_n:
+                break
+            prev_n = n
+        else:
+            raise RuntimeError(
+                f"k-core peel did not converge in {_KCORE_MAX_ROUNDS} rounds"
+            )
+        ok = True
+    finally:
+        if not ok and prev_ckpt is not None:
+            try:
+                prev_ckpt.unpersist(False)
+            except Exception:
+                pass
     final_ckpt = prev_ckpt
     tracked_release(lambda: final_ckpt.unpersist(False))
     if stats is not None:
