@@ -245,7 +245,25 @@ class QueryHTTPServer:
                     except OSError:
                         pass
                     n = _MAX_POST_BODY  # bounded post-reply drain
+                    # the courtesy drain rides a SHORT deadline, not the
+                    # 30 s request timeout: an honest client that declared
+                    # a huge Content-Length but sent a short body would
+                    # otherwise block this thread in rfile.read() for the
+                    # full socket timeout per refused request (ADVICE
+                    # r11). The connection is closing anyway — per-read
+                    # timeout AND a wall deadline (a trickler paying 1
+                    # byte per read would otherwise extend chunk-by-chunk)
+                    try:
+                        self.connection.settimeout(2.0)
+                    except OSError:
+                        pass
+                import time as _time
+
+                deadline = _time.monotonic() + 5.0 if refused else None
                 while n > 0:
+                    if deadline is not None and _time.monotonic() > deadline:
+                        self.close_connection = True
+                        return
                     try:
                         chunk = self.rfile.read(min(n, 65536))
                     except OSError:  # incl. socket timeout mid-trickle

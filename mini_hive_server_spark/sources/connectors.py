@@ -263,8 +263,23 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build_once(tbl_path, [table_path(sf_dir, src)], _write)
         if not spark.catalog.tableExists(f"{db}.{tbl}"):
             # data is fresh on disk but the (new/in-memory) catalog has no
-            # entry — register without rewriting
-            _write()
+            # entry — register the existing files in place with
+            # catalog-only DDL (CLUSTERED BY preserves the shuffle-free
+            # bucketed plan; bucket ids are recovered from the part-file
+            # names saveAsTable wrote). The earlier fallback called
+            # _write() here, which DROPped and fully rewrote the table
+            # OUTSIDE _build_once's flock — every fresh in-memory-catalog
+            # session paid a rewrite that could shred part files under a
+            # concurrent reader, the exact race the lock exists to close.
+            # Data rewrites now happen exclusively under _build_once.
+            cols = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE IF NOT EXISTS {db}.{tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                f"LOCATION '{tbl_path}'"
+            )
     o = spark.table(f"{db}.orders_b").filter(F.col("o_orderpriority") == "1-URGENT")
     l = spark.table(f"{db}.lineitem_b")
     return (

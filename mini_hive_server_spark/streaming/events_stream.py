@@ -580,35 +580,35 @@ def stage_events_with_flush_sentinel(sf_dir: str) -> str:
     tmp_dst = dst + ".tmp"
     shutil.copyfile(src, tmp_dst)
     os.replace(tmp_dst, dst)
-    if True:
-        tbl = pq.read_table(src, columns=["ts"])
-        schema = pq.read_schema(src)
-        ts_type = schema.field("ts").type
-        if pa.types.is_timestamp(ts_type):
-            two_h = pa.scalar(7200 * 10 ** {"s": 0, "ms": 3, "us": 6, "ns": 9}[ts_type.unit], pa.duration(ts_type.unit))
-            flush_ts = pc.add(pc.max(tbl["ts"]), two_h)
-        else:  # ns-as-int64 vintage
-            flush_ts = pc.add(pc.max(tbl["ts"]), pa.scalar(7200 * 10 ** 9, ts_type))
-        # one sentinel row PER JOIN SIDE, typed to pass that side's filter:
-        # Catalyst pushes deterministic predicates below the
-        # EventTimeWatermark node, so a row that fails the event_type
-        # filter never reaches the watermark stats — a neutral
-        # '__flush__' type advances nothing (measured; the first cut of
-        # this helper did exactly that). The impossible user_id = -1
-        # keeps sentinel rows out of every real join group; the query
-        # filters them from its output.
-        row = {
-            "event_id": [-1, -2],
-            "ts": pa.array([flush_ts.as_py(), flush_ts.as_py()], ts_type),
-            "user_id": [-1, -1],
-            "event_type": ["click", "purchase"],
-            "value": [0.0, 0.0],
-            "props": ["{}", "{}"],
-        }
-        pq.write_table(
-            pa.table(row, schema=schema), sentinel + ".tmp", version="2.6"
+    tbl = pq.read_table(src, columns=["ts"])
+    schema = pq.read_schema(src)
+    ts_type = schema.field("ts").type
+    if pa.types.is_timestamp(ts_type):
+        two_h = pa.scalar(
+            7200 * 10 ** {"s": 0, "ms": 3, "us": 6, "ns": 9}[ts_type.unit],
+            pa.duration(ts_type.unit),
         )
-        os.replace(sentinel + ".tmp", sentinel)
+        flush_ts = pc.add(pc.max(tbl["ts"]), two_h)
+    else:  # ns-as-int64 vintage
+        flush_ts = pc.add(pc.max(tbl["ts"]), pa.scalar(7200 * 10 ** 9, ts_type))
+    # one sentinel row PER JOIN SIDE, typed to pass that side's filter:
+    # Catalyst pushes deterministic predicates below the
+    # EventTimeWatermark node, so a row that fails the event_type
+    # filter never reaches the watermark stats — a neutral
+    # '__flush__' type advances nothing (measured; the first cut of
+    # this helper did exactly that). The impossible user_id = -1
+    # keeps sentinel rows out of every real join group; the query
+    # filters them from its output.
+    row = {
+        "event_id": [-1, -2],
+        "ts": pa.array([flush_ts.as_py(), flush_ts.as_py()], ts_type),
+        "user_id": [-1, -1],
+        "event_type": ["click", "purchase"],
+        "value": [0.0, 0.0],
+        "props": ["{}", "{}"],
+    }
+    pq.write_table(pa.table(row, schema=schema), sentinel + ".tmp", version="2.6")
+    os.replace(sentinel + ".tmp", sentinel)
     with open(manifest + ".tmp", "w") as f:
         json.dump(want, f)
     os.replace(manifest + ".tmp", manifest)
@@ -757,6 +757,15 @@ def cdc_merge_state(events: DataFrame) -> DataFrame:
                 ltype = str(pdf["event_type"].values[last])
                 lval = float(pdf["value"].values[last])
                 have = True
+        if not have:
+            # invoked with only empty batches and no prior state: persist
+            # or emit nothing. The (0, 0, None, None, 0) init is a local
+            # placeholder, not real state — writing it would let a later
+            # restore treat (ts=0, eid=0) as a genuine version that
+            # outranks pre-epoch events, the exact bug class the
+            # sentinel-free init fixed (ADVICE r11; unreachable today
+            # with NoTimeout, latent if a timeout mode is ever enabled)
+            return
         state.update((ts_us, eid, ltype, lval, n))
         yield pd.DataFrame(
             {

@@ -163,3 +163,38 @@ def test_post_huge_declared_body_is_413_without_drain(http_server):
     assert json.loads(ei.value.read()) == {
         "message": "request body too large"
     }
+
+
+def test_refused_drain_releases_connection_quickly(http_server):
+    """After the 413 reply, the courtesy drain must ride a SHORT deadline:
+    an honest client that declared a huge Content-Length but sent a short
+    body must not pin the handler thread in rfile.read() for the full 30 s
+    socket timeout (ADVICE r11). Proof: the server closes the connection
+    within seconds of the refusal, not at the request timeout."""
+    import socket
+    import time
+
+    path = sorted(POST_ROUTES)[0]
+    s = socket.create_connection(("127.0.0.1", http_server.port), timeout=20)
+    try:
+        s.sendall(
+            f"POST {path} HTTP/1.1\r\nHost: x\r\n"
+            "Content-Length: 9000000000\r\n\r\n".encode() + b"xx"
+        )
+        s.settimeout(20)
+        t0 = time.monotonic()
+        buf = b""
+        while b"\r\n\r\n" not in buf:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+        assert b" 413 " in buf, buf[:200]
+        # then: server-side close well before the 30 s request timeout
+        while True:
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+        assert time.monotonic() - t0 < 15
+    finally:
+        s.close()

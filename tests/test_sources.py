@@ -34,6 +34,43 @@ def test_bucketed_join_no_shuffle(spark):
     assert "Bucketed: true" in plan, plan
 
 
+def test_bucketed_catalog_reregister_no_rewrite(spark):
+    """Fresh-catalog fallback: when the bucketed data is on disk and fresh
+    but the session catalog has no entry (the in-memory-catalog restart
+    case), the query must re-register via catalog-only DDL — NOT rewrite
+    the data (ADVICE r11: the old fallback called _write() outside
+    _build_once's flock, a full DROP+rewrite racing concurrent readers).
+    Proof: drop the catalog entries, snapshot part-file stats, re-run —
+    identical files, bucketed shuffle-free plan, same result."""
+    import glob
+    import os
+
+    from mini_hive_server_spark.sources.connectors import _path_tag, _tmp_dir
+
+    first = QS["source_bucketed_join"](spark, SF_SMOKE).collect()
+    sf_name = os.path.basename(os.path.normpath(SF_SMOKE)).replace(".", "_")
+    db = f"mhs_bucketed_{sf_name}_{_path_tag(SF_SMOKE)}"
+
+    def _stats():
+        out = {}
+        for tbl in ("orders_b", "lineitem_b"):
+            for p in glob.glob(os.path.join(_tmp_dir(SF_SMOKE, f"bucketed/{tbl}"), "*.parquet")):
+                st = os.stat(p)
+                out[p] = (st.st_mtime_ns, st.st_size)
+        return out
+
+    before = _stats()
+    assert before, "expected staged bucketed part files"
+    for tbl in ("orders_b", "lineitem_b"):
+        spark.sql(f"DROP TABLE {db}.{tbl}")  # external: metadata only
+    df = QS["source_bucketed_join"](spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "Bucketed: true" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert _stats() == before, "fallback rewrote data files"
+    assert df.collect() == first
+
+
 def test_bucketed_smj_without_broadcast(spark):
     """With broadcast disabled, the bucketed join must run as a SortMergeJoin
     with still zero Exchange — the pre-shuffled layout carries the join."""
