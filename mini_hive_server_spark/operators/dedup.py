@@ -788,8 +788,13 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DF_CAP = 4  # max docs a shingle may appear in before it is cut
 
-_DF_CAPPED_JACCARD_ORACLE = f"""
-WITH {_DUCK_SHINGLES_CTE},
+
+def _df_capped_oracle(shingles_cte: str) -> str:
+    """The df-capped exhaustive-Jaccard oracle tail, parameterized by the
+    shingle CTE so the natural-corpus and planted-boilerplate operating
+    points share one definition (round 12)."""
+    return f"""
+WITH {shingles_cte},
 df AS (SELECT sh, count(*) AS c FROM shingles GROUP BY sh),
 capped AS (
   SELECT s.doc_id, s.sh FROM shingles s JOIN df ON df.sh = s.sh
@@ -809,6 +814,9 @@ JOIN sizes s2 ON s2.doc_id = d2
 WHERE c * 1.0 / (s1.n + s2.n - c) >= {_JACCARD_THRESHOLD}
 ORDER BY d1, d2
 """
+
+
+_DF_CAPPED_JACCARD_ORACLE = _df_capped_oracle(_DUCK_SHINGLES_CTE)
 
 
 @register(
@@ -840,7 +848,26 @@ def dedup_lsh_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures via the shared builder, 16x4 banding, bucket equi-join,
     candidate-only exact verification over the capped arrays. Documents
     whose every shingle is cut vanish from both engines identically."""
-    docs = load_tables(spark, sf_dir)["documents"]
+    return _df_capped_pairs(load_tables(spark, sf_dir)["documents"])
+
+
+def hot_shingles(sh: DataFrame) -> DataFrame:
+    """Shingles with document frequency above _DF_CAP — the boilerplate
+    set the df-capped tiers cut. One linear groupBy on the exploded
+    relation; small by construction (boilerplate cardinality)."""
+    return (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > _DF_CAP)
+        .select("sh")
+    )
+
+
+def _df_capped_pairs(docs: DataFrame) -> DataFrame:
+    """The df-capped LSH pipeline body, shared by the natural-corpus and
+    planted-boilerplate operating points (round 12): df census → broadcast
+    LEFT ANTI cut → classic 64-perm banding → bucket join → candidate-only
+    exact verification over the capped arrays."""
     # persist the COMPACT array relation before the diamond: the df
     # census and the anti-join probe both derive from it, and without a
     # cache boundary each branch re-runs the whole split+shingle
@@ -848,13 +875,7 @@ def dedup_lsh_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # discipline as every sibling tier (round-11 review)
     raw_sha = tracked_persist(shingle_arrays(docs))
     sh = raw_sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > _DF_CAP)
-        .select("sh")
-    )
-    capped = sh.join(F.broadcast(hot), "sh", "left_anti")
+    capped = sh.join(F.broadcast(hot_shingles(sh)), "sh", "left_anti")
     sha = tracked_persist(
         capped.groupBy("doc_id").agg(F.collect_list("sh").alias("sh_arr"))
     )
@@ -872,6 +893,84 @@ def dedup_lsh_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
+
+
+# ---------------------------------------- planted-boilerplate operating point
+
+# a 10-word header → 8 pure-header shingles with df = 30% of the corpus,
+# planted on every doc_id ≡ 0,1,2 (mod 10). The natural fixture's max df
+# is 7-9 (barely above the cap of 4); this drives the defense at its
+# DESIGN point — a boilerplate shingle shared by ~30% of all documents,
+# the "every page carries the same footer" corpus shape (VERDICT r11 #8).
+_PLANT_HEADER = (
+    "subscribe to our newsletter terms of service apply all rights reserved"
+)
+_PLANT_MOD = 10
+_PLANT_REM = 3
+
+_DUCK_PLANTED_SHINGLES_CTE = f"""
+planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {_PLANT_MOD} < {_PLANT_REM}
+              THEN '{_PLANT_HEADER} ' || text ELSE text END AS text
+  FROM documents
+),
+words AS (
+  SELECT doc_id, {_WORDS_DUCK} AS w
+  FROM planted
+),
+shingles AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS sh
+  FROM words, unnest(range(1, len(w) - 1)) AS t(i)
+  WHERE len(w) >= 3
+)
+"""
+
+
+def planted_documents(docs: DataFrame) -> DataFrame:
+    """The planted-boilerplate corpus: a pure function of the fixture
+    (30% of docs by doc_id residue get a constant 10-word header), so the
+    DuckDB oracle replays the identical construction in SQL."""
+    return docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % _PLANT_MOD < _PLANT_REM,
+            F.concat(F.lit(_PLANT_HEADER + " "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+@register(
+    "dedup_lsh_df_capped_planted",
+    oracle=_df_capped_oracle(_DUCK_PLANTED_SHINGLES_CTE),
+    tags=("llm", "dedup"),
+)
+def dedup_lsh_df_capped_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped LSH tier under a PLANTED 30%-df boilerplate header —
+    the second operating point of the hot-shingle defense (round 12,
+    VERDICT r11 #8). `dedup_lsh_df_capped` proves the cap is live on the
+    natural corpus, but the fixture's max df (7-9) is barely above the
+    cap; this query drives the defense at its design point: a constant
+    header prepended to 30% of documents (doc_id % 10 < 3) plants 8
+    shingles with df ≈ 0.3·N — at sf0.01 that is df=150 vs cap 4, the
+    degenerate every-page-footer shape that would otherwise put ~30% of
+    the corpus into ONE LSH bucket per colliding band (a quadratic hot
+    bucket; the band join's one failure mode at 100 TB).
+
+    With the cut, the planted header contributes NOTHING to candidates
+    or similarity: the df census flags its shingles, the broadcast anti
+    join removes them corpus-wide, and the surviving pipeline is the
+    natural tier over the residual content (plus the two rare
+    header-to-content junction shingles per planted doc, which both
+    engines derive identically). The oracle replays the plant AND the
+    cap in SQL — exhaustive Jaccard over the capped planted sets.
+    Mechanism test (`test_dedup.py::test_planted_boilerplate_df_cut`)
+    pins that every pure-header shingle is in the hot set at planted df,
+    not merely that the answer matches."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return _df_capped_pairs(planted_documents(docs))
 
 
 _K256_PERM = 256

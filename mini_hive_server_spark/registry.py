@@ -88,81 +88,78 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-11 window — the third staleness-rotation round, draining the
-# documented round-11 queue in full (VERDICT r10 #1). Composition:
-# 2 round-11 additions (`dedup_minhash_k256`, the large-K classic tier
-# that converted the OPH/classic crossover hypothesis into measured A/B
-# points — VERDICT r10 #8's suggested operating point — and
-# `dedup_lsh_df_capped`, the document-frequency boilerplate cut the
-# dedup module docstring had only prescribed in prose) + the ENTIRE
-# 29-query queue (the r3-checked set from COVERAGE.md "Round-11
-# queue") + `similarity_pq_adc` (r10-checked but REWORKED this round:
-# encode+ADC fused into one Arrow kernel and the posexplode double-eval
-# fixed — highest refactor exposure in the repo, so it re-enters the
-# window) + 18 re-confirms from the r4-checked set, prioritized by
-# refactor exposure: the three similarity.py neighbors of the PQ rework
-# (`dedup_semantic_clusters`, `embedding_mrl_truncation`,
-# `similarity_filtered_topk`), the four r4 streaming queries (the
-# observe/persistence machinery churns every round), the events long
-# tail, the three r4 `ref_*` reads, the two ingest/CDC folds, and
-# `join_salted_skew` (the skew discipline's flagship). After r11 the
-# oldest driver row anywhere is r4; the 21 remaining r4-checked queries
-# form the round-12 queue in COVERAGE.md.
+# Round-12 window — the fourth staleness-rotation round, draining the
+# documented round-12 queue in full (VERDICT r11 #1: all 22 r4-checked
+# queries, including `events_rollup_two_level`, which the COVERAGE.md
+# queue doc had omitted — VERDICT r11 #2). Composition: 1 round-12
+# addition (`dedup_lsh_df_capped_planted`, the planted-30%-df
+# boilerplate operating point for the hot-shingle defense — VERDICT r11
+# #8's suggested candidate) + the ENTIRE 22-query r4 queue + 27
+# re-confirms from the r5-checked set, prioritized by refactor
+# exposure: the two dedup.py neighbors of the df-cap factoring
+# (`dedup_containment`, `dedup_provenance_best`), the five connectors/
+# catalog queries next to the bucketed-registration rewrite (ADVICE r11
+# #1), the two graph.py queries adjacent to the BFS scale-curve work,
+# the three similarity/embedding neighbors, the nine r5 events queries
+# (events decode staging is shared with the reworked sentinel stager),
+# the four text queries riding the shared tokenizer contract the dedup
+# refactor also rides, and the two sliding sketches. After r12 the
+# oldest driver row anywhere is r5; the 15 remaining r5-checked queries
+# form the round-13 queue in COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- round-11 additions (≤10 budget; 2 used) ---
-    "dedup_minhash_k256",
-    "dedup_lsh_df_capped",
-    # --- the round-11 staleness queue: 29 r3-checked, in queue order ---
-    "q12_late_lines",
-    "events_tumbling_hourly",
-    "similarity_cosine_topk",
-    "dedup_embedding_cosine",
-    "multimodal_feature_extract",
-    "events_sliding_window",
-    "events_running_total",
-    "events_type_pivot",
-    "events_type_unpivot",
-    "events_value_percentiles",
-    "events_date_parts",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "seq_packing_bins",
-    "text_tfidf_top_terms",
-    "ngram_bigram_top",
-    "stratified_sample_by_lang",
-    "embedding_int8_quantize",
-    "decontaminate_ngram",
-    "text_pii_scrub",
-    "text_chunk_dedup",
-    "sketch_approx_distinct",
-    "sketch_approx_quantiles",
-    "sketch_hll_mergeable",
-    "agg_salted_two_stage",
-    "catalog_managed_sql",
-    "source_json_roundtrip",
-    "source_csv_roundtrip",
-    # --- reworked-this-round re-confirm ---
-    "similarity_pq_adc",
-    # --- 18 r4 re-confirms (refactor-exposure order; see comment) ---
-    "dedup_semantic_clusters",
-    "embedding_mrl_truncation",
-    "similarity_filtered_topk",
-    "streaming_cdc_merge",
-    "streaming_cep_error_burst",
-    "streaming_sessionize",
-    "streaming_stream_stream_left_join",
-    "events_asof_next_error",
-    "events_cep_error_burst",
-    "events_funnel_conversion",
-    "events_retention_cohorts",
-    "events_sessionize",
-    "ref_admin_platform_stats",
-    "ref_buyer_payment_history",
-    "ref_top_workers",
-    "ingest_cdc_merge",
-    "ingest_incremental_dedup",
-    "join_salted_skew",
+    # --- round-12 additions (≤10 budget; 1 used) ---
+    "dedup_lsh_df_capped_planted",
+    # --- the round-12 staleness queue: ALL 22 r4-checked, in queue order ---
+    "events_rollup_two_level",
+    "events_type_transitions",
+    "events_value_outliers",
+    "events_value_regression",
+    "multimodal_audio_chunks",
+    "profile_table_columns",
+    "sketch_cms_heavy_hitters",
+    "sketch_hll_intersection",
+    "source_compaction_planner",
+    "source_incremental_rollup",
+    "source_mixture_weights",
+    "source_schema_evolution",
+    "source_zorder_layout",
+    "text_boilerplate_templates",
+    "text_geomean_chars_udaf",
+    "text_gopher_quality",
+    "text_perplexity_buckets",
+    "text_quality_classifier",
+    "text_quality_report",
+    "text_repetition_bigrams",
+    "text_rolling_fingerprint",
+    "text_winnowing_fingerprints",
+    # --- 27 r5 re-confirms (refactor-exposure order; see comment) ---
+    "dedup_containment",
+    "dedup_provenance_best",
+    "catalog_sql_view",
+    "source_json_corrupt_census",
+    "source_lang_kl_divergence",
+    "source_mixture_temperature",
+    "source_python_datasource",
+    "graph_pagerank_3iter",
+    "graph_triangle_count",
+    "similarity_hard_negatives",
+    "embedding_centroid_similarity",
+    "embedding_mapinarrow_normalize",
+    "events_anomaly_mad",
+    "events_asof_prev_click_tol",
+    "events_changepoint_cusum",
+    "events_conversion_hazard",
+    "events_dau_stickiness",
+    "events_gapfill_hourly",
+    "events_top_paths",
+    "events_trailing_window_range",
+    "events_variant_props",
+    "text_bigram_lm_xent",
+    "text_bm25_topk",
+    "text_oov_rate",
+    "text_zipf_slope",
+    "sketch_bloom_membership",
+    "sketch_hll_sliding_users",
 )
 
 

@@ -331,6 +331,54 @@ def test_df_capped_candidates_cover_capped_jaccard_pairs(spark):
         )
 
 
+def test_planted_boilerplate_df_cut(spark):
+    """Mechanism pin for `dedup_lsh_df_capped_planted` (the oracle gate
+    proves the answer; this proves the DEFENSE fired at its design
+    point): every pure-header shingle of the planted 30%-df boilerplate
+    must land in the hot set with df equal to the planted-doc count —
+    ~30% of the corpus, two orders of magnitude above the cap — so the
+    broadcast anti join is what keeps ~30% of all documents out of one
+    LSH bucket, not fixture luck."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.dedup import (
+        _DF_CAP,
+        _PLANT_HEADER,
+        _PLANT_MOD,
+        _PLANT_REM,
+        hot_shingles,
+        planted_documents,
+        shingle_sets,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    docs = load_tables(spark, sf)["documents"]
+    sh = shingle_sets(planted_documents(docs))
+    hot = {r.sh for r in hot_shingles(sh).collect()}
+    words = _PLANT_HEADER.split()
+    header_shingles = {
+        " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+    }
+    assert header_shingles <= hot, header_shingles - hot
+    n_planted = docs.filter(F.col("doc_id") % _PLANT_MOD < _PLANT_REM).count()
+    n_docs = docs.count()
+    assert n_planted >= 0.25 * n_docs  # the plant really is ~30% of the corpus
+    df_counts = {
+        r.sh: r.c
+        for r in sh.filter(F.col("sh").isin(list(header_shingles)))
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    # pure-header shingles appear exactly once per planted doc (the
+    # fixture corpus contains none of them naturally — verified), so df
+    # is exactly the planted count: the design-point ratio df/cap is
+    # n_planted/_DF_CAP, not single digits
+    assert df_counts == {s: n_planted for s in header_shingles}
+    assert n_planted > 10 * _DF_CAP
+
+
 def test_pagerank_converged_matches_independent_iteration(spark):
     """graph_pagerank_converged is oracle-paired against the 12-round
     golden unroll's values (round 8; the contraction bound makes the
