@@ -1067,3 +1067,58 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def _streaming_user_running_stats_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing wrapper for the transformWithStateInPandas twin —
+    same oracle and final-state selection as `streaming_user_running_stats`,
+    run through the Spark-4 StatefulProcessor instead of GroupState. The
+    API requires the RocksDB state store provider; the conf is set for
+    the (blocking) stream drain and restored after."""
+    from pyspark.sql import Window
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, sf_dir)
+        run_to_memory(
+            user_running_stats_tws(stream), "mhs_stream_tws_stats", "update"
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    out = spark.table("mhs_stream_tws_stats")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_value", 2).alias("total_value"),
+            "max_value",
+        )
+        .orderBy("user_id")
+    )
+
+
+if tws_available():  # pragma: no cover — protobuf absent in this image
+    # presence-gated auto-registration (VERDICT r11 #8): the moment the
+    # environment gains protobuf, the tws twin registers itself and the
+    # oracle gate covers it like any other query — the documented skip
+    # self-heals instead of waiting for a human to notice the dependency
+    # appeared. `tests/test_streaming.py::
+    # test_tws_registration_tracks_protobuf_presence` pins that the
+    # registration state always equals `tws_available()`.
+    register(
+        "streaming_user_running_stats_tws",
+        oracle=_USER_STATS_ORACLE,
+        tags=("streaming",),
+    )(_streaming_user_running_stats_tws)

@@ -121,6 +121,20 @@ def test_streaming_dedup_matches_batch_distinct(spark):
     assert streamed == batch
 
 
+def test_tws_registration_tracks_protobuf_presence():
+    """The tws twin's registration is presence-gated, not hand-toggled:
+    `streaming_user_running_stats_tws` must be registered exactly when
+    `tws_available()` — so if the image ever gains protobuf, the query
+    enters the oracle gate automatically and this suite's skip
+    self-heals (VERDICT r11 #8)."""
+    from mini_hive_server_spark import registry
+    from mini_hive_server_spark.streaming.events_stream import tws_available
+
+    assert (
+        "streaming_user_running_stats_tws" in registry.all_specs()
+    ) == tws_available()
+
+
 def test_transform_with_state_twin_matches_batch(spark, sf_dir):
     """Spark-4 transformWithStateInPandas twin of user_running_stats:
     runs when the environment provides protobuf (the API's Python-runner
