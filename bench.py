@@ -129,12 +129,57 @@ EXTENDED = (
 HEADLINE = HEADLINE10 + EXTENDED
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed canned CPU+shuffle workload timed before the suite — the
+    host-epoch normalizer (VERDICT r11 #5). Round 11 proved absolute
+    bench numbers do not transfer across host epochs (r10's own code
+    read 1.7x its committed record on the r11 host, with the steal
+    counter blind to the frequency/bandwidth contention responsible);
+    adjudicating that required re-running old HEADs side-by-side. This
+    probe — a seeded 10M-row hash-aggregate, identical every run, data
+    generated in-memory so no IO term — gives every bench record a
+    same-run yardstick: future drift analyses divide query medians by
+    the record's own calibration instead of re-running history. One
+    untimed run pays codegen/first-touch; the reported value is the
+    median of 3.
+
+    The sum(h % 100000) fold keeps the aggregate inside long range under
+    ANSI mode (a raw sum of 2^63-range xxhash64 values overflows)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    def run() -> int:
+        df = (
+            spark.range(0, 10_000_000, 1, 64)
+            .select(
+                (F.xxhash64("id") % 1_000_000).alias("k"),
+                (F.xxhash64("id", F.lit(1)) % 100_000).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("c"), F.sum("h").alias("s"))
+        )
+        return df.select(F.sum("c").alias("n")).collect()[0]["n"]
+
+    run()  # untimed: codegen + shuffle first-touch
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        n = run()
+        times.append(time.perf_counter() - t0)
+    if n != 10_000_000:
+        raise RuntimeError(f"calibration probe returned {n} rows")
+    times.sort()
+    return round(times[1], 3)
+
+
 def build_stdout_record(
     timings: dict[str, float],
     failed: dict[str, str],
     sf: float,
     steal_s: float | None,
     load1: float | None,
+    calibration: float | None = None,
 ) -> dict:
     """The EXACT dict main() prints as the driver-facing stdout line —
     factored out so tests/test_bench_record.py pins the budget of the
@@ -159,6 +204,10 @@ def build_stdout_record(
             ),
         },
         "noise": {"steal_s": steal_s, "load1": load1},
+        # host-epoch yardstick (see _calibration_probe): seconds for the
+        # canned 10M-row hash-agg ON THIS HOST, THIS RUN — divide query
+        # medians by it to compare records across host epochs
+        "calibration": calibration,
     }
     if failed:
         # names only on stdout (a traceback string would blow the budget);
@@ -232,6 +281,19 @@ def main() -> None:
             df.count()
     except Exception:
         print(f"# warm-up load_tables failed:\n{traceback.format_exc()}", file=sys.stderr)
+    try:
+        calibration = _calibration_probe(spark)
+        print(
+            f"# calibration probe: {calibration:.3f}s "
+            "(seeded 10M-row hash-agg, median-of-3)",
+            file=sys.stderr,
+        )
+    except Exception:
+        calibration = None
+        print(
+            f"# calibration probe failed:\n{traceback.format_exc()}",
+            file=sys.stderr,
+        )
     for name in HEADLINE:
         try:
             # EXECUTED warm-up (round 8, VERDICT r7 #6): rounds 1-7 only
@@ -321,7 +383,9 @@ def main() -> None:
         _textrank_scale_experiment,
         _minhash_fidelity_scale_experiment,
         _oph_scale_experiment,
+        _oph_longdoc_experiment,
         _pq_adc_scale_experiment,
+        _bfs_scale_experiment,
         _rfm_scale_experiment,
         _pca_scale_experiment,
     ):
@@ -384,7 +448,7 @@ def main() -> None:
             load1 = float(noise_after["loadavg"][0])
         except ValueError:
             pass
-    out = build_stdout_record(timings, failed, sf, steal_s, load1)
+    out = build_stdout_record(timings, failed, sf, steal_s, load1, calibration)
     full = {
         **out,
         "timing": "median-of-3, executed warmup (r7: median-of-3 built-only"
@@ -1096,6 +1160,65 @@ def _oph_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def _oph_longdoc_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """The missing axis of the OPH/classic crossover (VERDICT r11 #7):
+    shingles-per-doc. The K=256 A/B refuted the documented crossover for
+    128-shingle docs (classic-256 beat OPH-256 at the 100x corpus
+    point), but OPH's theoretical win — one hash per shingle vs K
+    rehash-mins per shingle — scales with DOC LENGTH, not corpus size.
+    One long-document point: 15k docs x 4096 hash-shingles/doc (32x the
+    128-shingle arm; ~61M total shingles, the same total work as the
+    100x corpus point, so arm-vs-arm differences isolate the per-doc
+    length effect). At 4096 shingles and K=256 the expected bucket
+    occupancy is 16, so OPH's densification window is near-no-op and
+    its one-hash advantage should finally show — this measurement
+    decides whether the OPH tier's 'long-document scale path' docstring
+    claim survives (the dedup.py docstring records the outcome)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.dedup import (
+        _minhash_bands_k,
+        oph_bands,
+    )
+
+    n_docs = 15_000
+    shingles_per_doc = 4_096
+    out: dict[str, float] = {}
+    sha = (
+        spark.range(n_docs)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(shingles_per_doc - 1)),
+                lambda i: F.xxhash64(F.col("id"), i),
+            ).alias("sh_arr"),
+        )
+        .repartition(2 * spark.sparkContext.defaultParallelism, "doc_id")
+        .persist()
+    )
+    sha.count()  # materialize outside the timed window
+    arms = (
+        ("classic", lambda s: _minhash_bands_k(s, 64, 16)),
+        ("oph", lambda s: oph_bands(s, 64, 16)),
+        ("classic256", lambda s: _minhash_bands_k(s, 256, 64)),
+        ("oph256", lambda s: oph_bands(s, 256, 64)),
+    )
+    for arm, builder in arms:
+        t0 = time.perf_counter()
+        builder(sha).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(bh)").alias("s"),  # xor-fold: ANSI-safe
+        ).collect()
+        out[f"oph_longdoc_{arm}_sig_sec"] = round(
+            time.perf_counter() - t0, 3
+        )
+    sha.unpersist()
+    spark.catalog.clearCache()
+    return out
+
+
 def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     """Scale curve for PQ+ADC retrieval (VERDICT r9 #3): codebook train
     and the encode→LUT-scan→top-C stage at 10x/100x the sf0.1 vector
@@ -1175,6 +1298,70 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         out[f"pq_adc_scan_{mult}x_sec"] = round(best, 3)
         emb.unpersist()
+        spark.catalog.clearCache()
+    return out
+
+
+def _bfs_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Scale curve for the per-hop checkpoint + observed-census BFS body
+    (VERDICT r11 #4: `graph_bfs_3hop` was the most expensive bench query
+    and the one heavy tier with no 10x/100x entry). Drives the EXACT
+    production machinery (`graph.bfs_census`, factored out of the query
+    this round) over a deterministic expander-ish synthetic graph — per
+    node i, directed edges (i, (2i+1) mod n) and (i, (7i+3) mod n), so
+    every node appears as a source endpoint (node census = n exactly)
+    and the 3-hop frontier genuinely grows (the expensive regime; a path
+    graph would make BFS trivially cheap per hop).
+
+    Sizes are 10x apart (the CC path-graph protocol's ladder): 100k
+    nodes/200k directed edges and 1M/2M. What the curve certifies:
+    wall-clock is dominated by a FIXED number of rounds (hops+1
+    checkpoint jobs) whose per-round cost scales with |frontier|x|edges|
+    join throughput — there is no per-round growth term, so doubling
+    the ladder again is more executors, not more rounds. Built-in
+    exactness pin: tier-0 is every tenth node = exactly ceil(n/10),
+    asserted per size (a wrong frontier seed or node census would shift
+    it)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.graph import bfs_census
+
+    out: dict[str, float] = {}
+
+    def _edges(n: int):
+        ids = spark.range(n)
+        return ids.select(
+            F.col("id").alias("u"), ((F.col("id") * 2 + 1) % n).alias("v")
+        ).union(
+            ids.select(
+                F.col("id").alias("u"), ((F.col("id") * 7 + 3) % n).alias("v")
+            )
+        )
+
+    # untimed warm-up at a throwaway size: the hop pipeline's codegen +
+    # first-touch shuffle setup otherwise lands on the SMALL curve point
+    # (measured: 12.7s cold vs 8.7s for the 10x-bigger size)
+    bfs_census(spark, _edges(10_000), hops=3).collect()
+    spark.catalog.clearCache()
+    for n in (100_000, 1_000_000):
+        edges = _edges(n)
+        t0 = time.perf_counter()
+        census = {
+            r["distance"]: r["n_nodes"]
+            for r in bfs_census(spark, edges, hops=3).collect()
+        }
+        sec = time.perf_counter() - t0
+        d0_expected = (n + 9) // 10
+        if census.get(0) != d0_expected:
+            raise AssertionError(
+                f"bfs tier-0 {census.get(0)} != {d0_expected} at n={n}"
+            )
+        out[f"bfs_expander_{n}_sec"] = round(sec, 3)
+        out[f"bfs_expander_{n}_reached_frac"] = round(
+            1.0 - census.get(-1, 0) / n, 4
+        )
         spark.catalog.clearCache()
     return out
 

@@ -763,11 +763,21 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     OPH's slots are empty and the densification window (256-row spine
     per doc, two window passes) dominates; OPH's O(1)-per-element
     advantage needs shingles-per-doc >> sketch width (book-length
-    documents), not merely large K. Both tiers stay registered: classic
-    is the production default at both widths; this one is the
-    long-document path, with the measured condition now two A/B points
-    instead of prose (the curve also caught and drove out the original
-    Python densify kernel — 94s at the 100x point)."""
+    documents), not merely large K. Round 12 MEASURED that remaining
+    axis (bench.py `_oph_longdoc_experiment`, 15k docs x 4096
+    shingles/doc — same ~61M total shingles as the 100x corpus point,
+    so only per-doc length varies): classic-256 22.2s vs OPH-256 7.8s —
+    **OPH wins 2.8x** once occupancy is high (4096 shingles into 256
+    buckets ≈ 16/slot, densification near-no-op) — while at K=64 classic
+    still wins (5.1s vs 7.5s: 64 fused rehashes stay cheaper than OPH's
+    finer-grained aggregation even on long docs). The crossover is now
+    a measured SURFACE, not prose: classic at K=64 everywhere; at K in
+    the hundreds, classic for short docs (shingles/doc ≲ K), OPH for
+    long docs (shingles/doc >> K). Both tiers stay registered: classic
+    is the production default; this one is the long-document large-K
+    path, with the condition now three A/B measurement points (the
+    curve also caught and drove out the original Python densify kernel
+    — 94s at the 100x point)."""
     docs = load_tables(spark, sf_dir)["documents"]
     sha = tracked_persist(shingle_arrays(docs))
     bands = tracked_persist(oph_bands(sha))
@@ -987,8 +997,12 @@ def dedup_minhash_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs classic-vs-OPH at BOTH K=64 and K=256 through these exact
     production builders — and the measurement REFUTED it for this
     corpus shape: classic-256 21s vs OPH-256 32s at the 100x point
-    (128-shingle docs). See `dedup_minhash_oph` for the analysis (the
-    missing axis is shingles-per-doc vs sketch width).
+    (128-shingle docs). Round 12 measured the missing axis
+    (shingles-per-doc vs sketch width, `_oph_longdoc_experiment`): at
+    4096 shingles/doc OPH-256 WINS 2.8x (7.8s vs 22.2s) — so this
+    classic-256 tier is the short-document large-K point, and the OPH
+    tier is the long-document one. See `dedup_minhash_oph` for the full
+    measured surface.
 
     Recall strictly dominates the K=64 tier at equal rows-per-band
     (P(candidate | J) = 1 - (1 - J^4)^64 vs ^16), so the

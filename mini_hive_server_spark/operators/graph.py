@@ -858,10 +858,21 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier yields observed n=0 — the (distance, 0) row is still
     emitted, which the old per-tier `agg(count)` form guaranteed and a
     groupBy over a unioned `visited` would have dropped."""
+    edges = copurchase_edges(spark, sf_dir)  # session-scoped cached build
+    return bfs_census(spark, edges, hops=_BFS_HOPS)
+
+
+def bfs_census(spark: SparkSession, edges: DataFrame, hops: int) -> DataFrame:
+    """The per-hop checkpoint + observed-census BFS body, factored out of
+    `graph_bfs_3hop` (round 12) so the bench scale curve drives the
+    EXACT production machinery on synthetic 10x/100x graphs — VERDICT
+    r11 #4 (the most expensive bench query was the one heavy tier with
+    no curve). Takes a directed (u, v) edge relation; symmetrizes,
+    sources every tenth node, expands `hops` tiers, and returns the
+    (distance, n_nodes) census including the unreachable row (-1)."""
     from pyspark.sql import Observation
 
     par = 2 * spark.sparkContext.defaultParallelism
-    edges = copurchase_edges(spark, sf_dir)  # session-scoped cached build
     und = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).coalesce(par)
@@ -893,7 +904,7 @@ def graph_bfs_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         ckpts.append(frontier)
         counts = [n0]
         visited = frontier
-        for _ in range(1, _BFS_HOPS + 1):
+        for _ in range(1, hops + 1):
             nxt, nk = _ckpt_observed(
                 frontier.join(und, frontier["node"] == und["u"])
                 .select(F.col("v").alias("node"))

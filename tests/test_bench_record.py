@@ -25,7 +25,8 @@ def _stdout_record(timings: dict[str, float], failed: dict[str, str]) -> str:
     # four digits + decimal, load1 three digits + two decimals
     return json.dumps(
         bench.build_stdout_record(
-            timings, failed, sf=0.1, steal_s=9999.9, load1=999.75
+            timings, failed, sf=0.1, steal_s=9999.9, load1=999.75,
+            calibration=999.999,
         )
     )
 
@@ -39,9 +40,14 @@ def test_all_timed_record_fits_tail_budget():
     back = json.loads(line)
     assert set(back) == {
         "metric", "value", "unit", "queries", "sf", "subtotals", "noise",
+        "calibration",
     }
     assert len(back["queries"]) == len(bench.HEADLINE)
     assert set(back["noise"]) == {"steal_s", "load1"}
+    # the host-epoch yardstick rides every record (VERDICT r11 #5): a
+    # future drift adjudication divides medians by this instead of
+    # re-running old HEADs
+    assert back["calibration"] == 999.999
 
 
 def test_all_failed_record_fits_tail_budget():
