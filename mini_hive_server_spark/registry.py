@@ -94,18 +94,26 @@ _QUERY_MODULES = (
 # queue doc had omitted — VERDICT r11 #2). Composition: 1 round-12
 # addition (`dedup_lsh_df_capped_planted`, the planted-30%-df
 # boilerplate operating point for the hot-shingle defense — VERDICT r11
-# #8's suggested candidate) + the ENTIRE 22-query r4 queue + 27
-# re-confirms from the r5-checked set, prioritized by refactor
+# #8's suggested candidate) + the ENTIRE 22-query r4 queue + 5
+# REWORKED-this-round re-confirms (the similarity_pq_adc precedent:
+# refactored queries re-enter the window regardless of row age) —
+# `tokenizer_bpe_apply`/`tokenizer_bpe_merges` (r7 rows; the `_bpe_train`
+# persist moved from per-round state to the corpus-sized words agg,
+# VERDICT r11 #3 root-cause), `graph_bfs_3hop` (r8 row; body factored
+# into `bfs_census` for the scale curve, VERDICT r11 #4),
+# `dedup_lsh_df_capped` (r11 row; body factored into `_df_capped_pairs`
+# shared with the planted point), `source_bucketed_join` (r10 row; the
+# fresh-catalog fallback rewritten to catalog-only DDL, ADVICE r11 #1)
+# — + 22 re-confirms from the r5-checked set, prioritized by refactor
 # exposure: the two dedup.py neighbors of the df-cap factoring
 # (`dedup_containment`, `dedup_provenance_best`), the five connectors/
-# catalog queries next to the bucketed-registration rewrite (ADVICE r11
-# #1), the two graph.py queries adjacent to the BFS scale-curve work,
-# the three similarity/embedding neighbors, the nine r5 events queries
-# (events decode staging is shared with the reworked sentinel stager),
-# the four text queries riding the shared tokenizer contract the dedup
-# refactor also rides, and the two sliding sketches. After r12 the
-# oldest driver row anywhere is r5; the 15 remaining r5-checked queries
-# form the round-13 queue in COVERAGE.md.
+# catalog queries next to the bucketed-registration rewrite, the two
+# graph.py queries adjacent to the BFS factoring, the three
+# similarity/embedding neighbors, the four text_analysis.py queries
+# sharing the reworked module, four events queries (the repair-history
+# carriers), and the two sliding sketches. After r12 the oldest driver
+# row anywhere is r5; the 20 remaining r5-checked queries form the
+# round-13 queue in COVERAGE.md.
 _DRIVER_WINDOW = (
     # --- round-12 additions (≤10 budget; 1 used) ---
     "dedup_lsh_df_capped_planted",
@@ -132,7 +140,13 @@ _DRIVER_WINDOW = (
     "text_repetition_bigrams",
     "text_rolling_fingerprint",
     "text_winnowing_fingerprints",
-    # --- 27 r5 re-confirms (refactor-exposure order; see comment) ---
+    # --- 5 reworked-this-round re-confirms (see comment) ---
+    "tokenizer_bpe_apply",
+    "tokenizer_bpe_merges",
+    "graph_bfs_3hop",
+    "dedup_lsh_df_capped",
+    "source_bucketed_join",
+    # --- 22 r5 re-confirms (refactor-exposure order; see comment) ---
     "dedup_containment",
     "dedup_provenance_best",
     "catalog_sql_view",
@@ -145,15 +159,10 @@ _DRIVER_WINDOW = (
     "similarity_hard_negatives",
     "embedding_centroid_similarity",
     "embedding_mapinarrow_normalize",
-    "events_anomaly_mad",
     "events_asof_prev_click_tol",
-    "events_changepoint_cusum",
-    "events_conversion_hazard",
-    "events_dau_stickiness",
     "events_gapfill_hourly",
     "events_top_paths",
     "events_trailing_window_range",
-    "events_variant_props",
     "text_bigram_lm_xent",
     "text_bm25_topk",
     "text_oov_rate",
