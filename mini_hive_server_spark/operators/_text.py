@@ -24,6 +24,12 @@ from __future__ import annotations
 
 WS_CLASS_SPARK = "[ \\\\t\\\\n\\\\x0B\\\\f\\\\r]+"
 WS_CLASS_DUCK = "[ \\t\\n\\x0B\\f\\r]+"
+# the same class for Python kernels (re module, actual control chars):
+# Python's str.split() splits on ANY Unicode whitespace (NBSP, \x1c,
+# U+2028, ...), which neither engine's class does — a Python-tokenized
+# kernel must split with THIS pattern or it diverges from its own oracle
+# on exotic-whitespace documents (round-12 review, the simhash kernel)
+WS_CLASS_PY = "[ \t\n\x0B\f\r]+"
 
 WORDS_SPARK = f"split(lower(trim(text)), '{WS_CLASS_SPARK}')"
 WORDS_DUCK = f"regexp_split_to_array(lower(trim(text)), '{WS_CLASS_DUCK}')"

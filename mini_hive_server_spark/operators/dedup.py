@@ -381,13 +381,34 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     @F.pandas_udf("long")
     def simhash64(texts: pd.Series) -> pd.Series:
         import hashlib
+        import re
 
         import numpy as np
 
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
+        from mini_hive_server_spark.operators._text import WS_CLASS_PY
+
+        # the SHARED whitespace contract, not str.split(): Python's bare
+        # split() breaks on ANY Unicode whitespace (NBSP, \x1c, U+2028),
+        # which the oracle's RE2 class does not — and str(None) used to
+        # tokenize the literal 'none' while the oracle's regexp_split of
+        # NULL yields no rows, so two NULL-text docs would pair each
+        # other at Hamming 0 on the Spark side only (round-12 review;
+        # same class as the round-11 UDTF fix). Token-less docs (NULL,
+        # whitespace-only) emit a NULL fingerprint, filtered below —
+        # the oracle's `WHERE tok <> ''` drops them identically.
+        ws = re.compile(WS_CLASS_PY)
+        out: list[int | None] = []
+        for text in texts:
+            toks = (
+                [t for t in ws.split(str(text).lower()) if t]
+                if text is not None
+                else []
+            )
+            if not toks:
+                out.append(None)
+                continue
             votes = np.zeros(64, dtype=np.int64)
-            for tok in str(text).lower().split():
+            for tok in toks:
                 h = np.uint64(
                     int.from_bytes(hashlib.md5(tok.encode("utf-8")).digest()[:8], "big")
                 )
@@ -398,11 +419,13 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
                 if votes[b] > 0:
                     fp |= 1 << b
             # two's-complement into int64
-            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
-        return pd.Series(out)
+            out.append(fp - (1 << 64) if fp >= (1 << 63) else fp)
+        return pd.Series(out, dtype="Int64")
 
-    return parallelize_scan(docs.select("doc_id", "text"), "doc_id").select(
-        "doc_id", simhash64(F.col("text")).alias("simhash")
+    return (
+        parallelize_scan(docs.select("doc_id", "text"), "doc_id")
+        .select("doc_id", simhash64(F.col("text")).alias("simhash"))
+        .filter(F.col("simhash").isNotNull())
     )
 
 

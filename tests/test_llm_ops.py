@@ -28,6 +28,30 @@ def test_simhash_covers_strong_near_dups(spark):
     assert not missed, f"simhash missed strong pairs: {missed}"
 
 
+def test_simhash_tokenizer_contract(spark):
+    """The SimHash kernel must follow the shared whitespace contract
+    (round-12 review): NULL and whitespace-only texts get NO fingerprint
+    (the oracle's regexp_split/`tok <> ''` domain — the old str(None)
+    path fingerprinted the literal 'none', pairing NULL docs with each
+    other at Hamming 0 on the Spark side only), and NBSP does NOT split
+    tokens (Python's bare split() would; the contract class and the
+    oracle's RE2 class do not)."""
+    from mini_hive_server_spark.operators.dedup import simhash_fingerprints
+
+    rows = [
+        (0, None),
+        (1, "   \t \n "),
+        (2, "alpha beta"),   # NBSP: ONE token under the contract
+        (3, "alpha beta"),        # space: TWO tokens
+        (4, "alpha beta"),   # dup of 2 — identical fingerprint
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fp = {r.doc_id: r.simhash for r in simhash_fingerprints(docs).collect()}
+    assert set(fp) == {2, 3, 4}, fp  # token-less docs dropped
+    assert fp[2] == fp[4]
+    assert fp[2] != fp[3]  # NBSP doc is the single token 'alpha\xa0beta'
+
+
 def test_simhash_precision_guard(spark):
     """Hamming ≤ 4 must not degenerate into pairing the whole corpus."""
     n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
