@@ -789,11 +789,14 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents), not merely large K. Round 12 MEASURED that remaining
     axis (bench.py `_oph_longdoc_experiment`, 15k docs x 4096
     shingles/doc — same ~61M total shingles as the 100x corpus point,
-    so only per-doc length varies): classic-256 22.2s vs OPH-256 7.8s —
-    **OPH wins 2.8x** once occupancy is high (4096 shingles into 256
-    buckets ≈ 16/slot, densification near-no-op) — while at K=64 classic
-    still wins (5.1s vs 7.5s: 64 fused rehashes stay cheaper than OPH's
-    finer-grained aggregation even on long docs). The crossover is now
+    so only per-doc length varies): committed quiet record classic-256
+    30.4s vs OPH-256 4.6s — **OPH wins 6.7x** (2.8x in the same-day
+    protocol pass, 7.8s vs 22.2s; decisive in both windows) once
+    occupancy is high (4096 shingles into 256 buckets ≈ 16/slot,
+    densification near-no-op) — while at K=64 classic still wins
+    (2.3s vs 3.2s committed; 5.1s vs 7.5s protocol: 64 fused rehashes
+    stay cheaper than OPH's finer-grained aggregation even on long
+    docs). The crossover is now
     a measured SURFACE, not prose: classic at K=64 everywhere; at K in
     the hundreds, classic for short docs (shingles/doc ≲ K), OPH for
     long docs (shingles/doc >> K). Both tiers stay registered: classic
@@ -1022,7 +1025,8 @@ def dedup_minhash_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus shape: classic-256 21s vs OPH-256 32s at the 100x point
     (128-shingle docs). Round 12 measured the missing axis
     (shingles-per-doc vs sketch width, `_oph_longdoc_experiment`): at
-    4096 shingles/doc OPH-256 WINS 2.8x (7.8s vs 22.2s) — so this
+    4096 shingles/doc OPH-256 WINS 2.8-6.7x across same-day windows
+    (committed record 4.6s vs 30.4s) — so this
     classic-256 tier is the short-document large-K point, and the OPH
     tier is the long-document one. See `dedup_minhash_oph` for the full
     measured surface.
