@@ -933,14 +933,26 @@ def _df_capped_pairs(docs: DataFrame) -> DataFrame:
 
 # ---------------------------------------- planted-boilerplate operating point
 
-# a 10-word header → 8 pure-header shingles with df = 30% of the corpus,
-# planted on every doc_id ≡ 0,1,2 (mod 10). The natural fixture's max df
-# is 7-9 (barely above the cap of 4); this drives the defense at its
-# DESIGN point — a boilerplate shingle shared by ~30% of all documents,
-# the "every page carries the same footer" corpus shape (VERDICT r11 #8).
-_PLANT_HEADER = (
-    "subscribe to our newsletter terms of service apply all rights reserved"
-)
+# a 256-word boilerplate header → 254 pure-header shingles with df = 30%
+# of the corpus, planted on every doc_id ≡ 0,1,2 (mod 10). Two design
+# decisions, both MEASURED (round 12):
+# * df at ~0.3·N: the natural fixture's max df is 7-9 (barely above the
+#   cap of 4); the plant drives the defense at its design point — a
+#   boilerplate shingle shared by ~30% of all documents (VERDICT r11 #8).
+# * header LONGER than the content it pollutes: the first cut planted a
+#   10-word header, and the hot-bucket test REFUTED the expected blowup —
+#   32 uncapped candidate pairs where ~11k were predicted — because 8
+#   boilerplate shingles among a 10-99-word doc's shingles almost never
+#   capture a band's 4 signature minima (per-permutation collision ≈
+#   full-set Jaccard ≈ 8/200). The band join's hot-bucket failure mode
+#   needs boilerplate to DOMINATE the shingle set (the every-page-footer-
+#   on-short-docs regime: cookie banners and license blocks longer than
+#   the content). At 256 header words the planted pairwise full-set
+#   Jaccard is ~0.7 → ≥1-of-16-band collision ≈ 99% → the uncapped join
+#   really does enqueue ~C(0.3·N, 2) candidate pairs, and the mechanism
+#   test pins BOTH sides of the contrast (uncapped blowup ≥ half the
+#   planted pair mass; capped output at natural-corpus scale).
+_PLANT_HEADER = " ".join(f"boilerplate{i:03d}" for i in range(256))
 _PLANT_MOD = 10
 _PLANT_REM = 3
 
@@ -989,11 +1001,17 @@ def dedup_lsh_df_capped_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     VERDICT r11 #8). `dedup_lsh_df_capped` proves the cap is live on the
     natural corpus, but the fixture's max df (7-9) is barely above the
     cap; this query drives the defense at its design point: a constant
-    header prepended to 30% of documents (doc_id % 10 < 3) plants 8
-    shingles with df ≈ 0.3·N — at sf0.01 that is df=150 vs cap 4, the
-    degenerate every-page-footer shape that would otherwise put ~30% of
-    the corpus into ONE LSH bucket per colliding band (a quadratic hot
-    bucket; the band join's one failure mode at 100 TB).
+    256-word header prepended to 30% of documents (doc_id % 10 < 3)
+    plants 254 shingles with df ≈ 0.3·N — at sf0.01 that is df=150 vs
+    cap 4, the degenerate boilerplate-dominates-content shape (cookie
+    banner / license block longer than a short doc's text) under which
+    the UNCAPPED band join measurably enqueues ~C(0.3·N, 2) candidate
+    pairs — the quadratic hot bucket, the band join's one failure mode
+    at 100 TB. (The header length is itself a measured design point:
+    see the `_PLANT_HEADER` comment — a 10-word header planted at the
+    same df produced NO blowup, refuting the naive any-hot-shingle
+    story; the minima-capture math needs boilerplate to dominate the
+    shingle set.)
 
     With the cut, the planted header contributes NOTHING to candidates
     or similarity: the df census flags its shingles, the broadcast anti
@@ -1002,9 +1020,11 @@ def dedup_lsh_df_capped_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     header-to-content junction shingles per planted doc, which both
     engines derive identically). The oracle replays the plant AND the
     cap in SQL — exhaustive Jaccard over the capped planted sets.
-    Mechanism test (`test_dedup.py::test_planted_boilerplate_df_cut`)
-    pins that every pure-header shingle is in the hot set at planted df,
-    not merely that the answer matches."""
+    Mechanism test (`test_llm_ops.py::test_planted_boilerplate_df_cut`)
+    pins that every pure-header shingle is in the hot set at planted
+    df, that the uncapped join really blows up, and that the capped
+    output stays at natural-corpus scale — not merely that the answer
+    matches."""
     docs = load_tables(spark, sf_dir)["documents"]
     return _df_capped_pairs(planted_documents(docs))
 

@@ -401,6 +401,46 @@ def test_planted_boilerplate_df_cut(spark):
     # n_planted/_DF_CAP, not single digits
     assert df_counts == {s: n_planted for s in header_shingles}
     assert n_planted > 10 * _DF_CAP
+    # and the quadratic blowup the cut prevents is REAL, not hypothetical:
+    # band the planted corpus WITHOUT the df cut — every planted doc
+    # shares all 8 header shingles, which dominate the minhash signature
+    # for short docs, so the uncapped band join must emit at least on the
+    # order of C(n_planted, 2) candidate pairs (one hot bucket); the
+    # registered capped query's candidates stay at natural-corpus scale
+    sf_small = "/root/testdata/sf0.001"
+    from mini_hive_server_spark.operators.dedup import (
+        minhash_bands,
+        shingle_arrays,
+    )
+
+    docs_s = load_tables(spark, sf_small)["documents"]
+    planted_s = planted_documents(docs_s)
+    n_planted_s = docs_s.filter(
+        F.col("doc_id") % _PLANT_MOD < _PLANT_REM
+    ).count()
+    bands = minhash_bands(shingle_arrays(planted_s))
+    x, y = bands.alias("x"), bands.alias("y")
+    uncapped_pairs = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bh") == F.col("y.bh"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select("x.doc_id", "y.doc_id")
+        .distinct()
+        .count()
+    )
+    hot_bucket_pairs = n_planted_s * (n_planted_s - 1) // 2
+    assert uncapped_pairs >= hot_bucket_pairs // 2, (
+        f"expected a hot bucket: {uncapped_pairs} uncapped candidate "
+        f"pairs vs ~{hot_bucket_pairs} planted-pair mass"
+    )
+    capped_pairs = QS["dedup_lsh_df_capped_planted"](spark, sf_small).count()
+    assert capped_pairs < hot_bucket_pairs // 2, (
+        f"capped output {capped_pairs} should stay at natural-corpus "
+        f"scale, far below the {hot_bucket_pairs}-pair hot bucket"
+    )
 
 
 def test_pagerank_converged_matches_independent_iteration(spark):
