@@ -271,15 +271,25 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # OUTSIDE _build_once's flock — every fresh in-memory-catalog
             # session paid a rewrite that could shred part files under a
             # concurrent reader, the exact race the lock exists to close.
-            # Data rewrites now happen exclusively under _build_once.
+            # Data rewrites now happen exclusively under _build_once, and
+            # the DDL itself takes the SAME lock (round-12 self-review):
+            # unlocked, the check-then-CREATE could interleave with a
+            # concurrent rebuild's DROP → saveAsTable and make the
+            # rebuild throw TableAlreadyExists on a half-registered entry.
+            import fcntl
+
             cols = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
             )
-            spark.sql(
-                f"CREATE TABLE IF NOT EXISTS {db}.{tbl} ({cols}) USING parquet "
-                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
-                f"LOCATION '{tbl_path}'"
-            )
+            with open(os.path.join(tbl_path, "_staged.lock"), "w") as lock:
+                fcntl.flock(lock, fcntl.LOCK_EX)
+                if not spark.catalog.tableExists(f"{db}.{tbl}"):
+                    spark.sql(
+                        f"CREATE TABLE IF NOT EXISTS {db}.{tbl} ({cols}) "
+                        f"USING parquet "
+                        f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO 8 BUCKETS "
+                        f"LOCATION '{tbl_path}'"
+                    )
     o = spark.table(f"{db}.orders_b").filter(F.col("o_orderpriority") == "1-URGENT")
     l = spark.table(f"{db}.lineitem_b")
     return (
