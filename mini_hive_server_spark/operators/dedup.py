@@ -977,8 +977,11 @@ shingles AS (
 
 def planted_documents(docs: DataFrame) -> DataFrame:
     """The planted-boilerplate corpus: a pure function of the fixture
-    (30% of docs by doc_id residue get a constant 10-word header), so the
-    DuckDB oracle replays the identical construction in SQL."""
+    (30% of docs by doc_id residue get the constant `_PLANT_HEADER` — a
+    256-word header; the 10-word first cut was refuted by its own
+    mechanism test and redesigned, see the registered query's
+    docstring), so the DuckDB oracle replays the identical construction
+    in SQL."""
     return docs.select(
         "doc_id",
         F.when(

@@ -27,6 +27,7 @@ deterministic re-runs, nothing left inside the repo.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -65,6 +66,22 @@ def _path_tag(sf_dir: str) -> str:
     return hashlib.md5(ap.encode()).hexdigest()[:8]
 
 
+@contextlib.contextmanager
+def _staged_lock(out_dir: str):
+    """The staging lock for `out_dir`: one fcntl.flock file shared by
+    EVERY writer/registrar of that directory. `_build_once` (data
+    rebuilds) and the bucketed-catalog DDL fallback both take THIS lock
+    — keeping the path in one place is what makes "the DDL takes the
+    SAME lock" a structural guarantee instead of a string coincidence
+    (ADVICE r12 #3)."""
+    import fcntl
+
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "_staged.lock"), "w") as lock:
+        fcntl.flock(lock, fcntl.LOCK_EX)
+        yield
+
+
 def _build_once(out_dir: str, src_paths: list[str], build) -> None:
     """Run `build()` (which materializes derived data under `out_dir`)
     exactly once per SOURCE CONTENT, safely across processes.
@@ -80,17 +97,14 @@ def _build_once(out_dir: str, src_paths: list[str], build) -> None:
       the driver gate and a concurrent bench run on the same host (the
       actual concurrent-writer scenario) instead of letting two
       mode('overwrite') jobs shred each other's part files."""
-    import fcntl
     import json
 
-    os.makedirs(out_dir, exist_ok=True)
     manifest = os.path.join(out_dir, "_staged_manifest.json")
     want = {
         p: {"mtime_ns": os.stat(p).st_mtime_ns, "size": os.stat(p).st_size}
         for p in src_paths
     }
-    with open(os.path.join(out_dir, "_staged.lock"), "w") as lock:
-        fcntl.flock(lock, fcntl.LOCK_EX)
+    with _staged_lock(out_dir):
         try:
             with open(manifest) as f:
                 if json.load(f) == want:
@@ -272,17 +286,16 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # session paid a rewrite that could shred part files under a
             # concurrent reader, the exact race the lock exists to close.
             # Data rewrites now happen exclusively under _build_once, and
-            # the DDL itself takes the SAME lock (round-12 self-review):
-            # unlocked, the check-then-CREATE could interleave with a
-            # concurrent rebuild's DROP → saveAsTable and make the
+            # the DDL itself takes the SAME lock — via the shared
+            # _staged_lock helper, so the "same lock" guarantee survives
+            # a rename of the lock file (round-12 self-review; ADVICE
+            # r12 #3): unlocked, the check-then-CREATE could interleave
+            # with a concurrent rebuild's DROP → saveAsTable and make the
             # rebuild throw TableAlreadyExists on a half-registered entry.
-            import fcntl
-
             cols = ", ".join(
                 f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
             )
-            with open(os.path.join(tbl_path, "_staged.lock"), "w") as lock:
-                fcntl.flock(lock, fcntl.LOCK_EX)
+            with _staged_lock(tbl_path):
                 if not spark.catalog.tableExists(f"{db}.{tbl}"):
                     spark.sql(
                         f"CREATE TABLE IF NOT EXISTS {db}.{tbl} ({cols}) "

@@ -403,7 +403,8 @@ def test_planted_boilerplate_df_cut(spark):
     assert n_planted > 10 * _DF_CAP
     # and the quadratic blowup the cut prevents is REAL, not hypothetical:
     # band the planted corpus WITHOUT the df cut — every planted doc
-    # shares all 8 header shingles, which dominate the minhash signature
+    # shares all len(header_shingles)=254 pure-header shingles (the
+    # 256-word _PLANT_HEADER), which dominate the minhash signature
     # for short docs, so the uncapped band join must emit at least on the
     # order of C(n_planted, 2) candidate pairs (one hot bucket); the
     # registered capped query's candidates stay at natural-corpus scale
