@@ -411,3 +411,72 @@ def test_no_scale_killer_plan_shapes_anywhere(spark):
                     "_DUP_UDF_BOUNDED with the justification)"
                 )
     assert not offenders, offenders
+
+
+def _corpus_scans_outside_cache(plan: str, table: str) -> int:
+    """Count FileScan-parquet lines over `table` that are LIVE — i.e.
+    not displayed inside an InMemoryRelation subtree (a persisted
+    relation's stored build lineage renders under every
+    InMemoryTableScan that reads it, but executes at most once)."""
+    import re as _re
+
+    n = 0
+    skip_indent = None
+    for line in plan.splitlines():
+        m = _re.search(r"[:+]- ", line)
+        indent = m.start() if m else -1
+        if skip_indent is not None:
+            # the cached-plan block renders right-shifted under the
+            # InMemoryRelation line, and its ROOT line (e.g.
+            # `AdaptiveSparkPlan ...`) carries no `+- ` branch prefix —
+            # a prefix-less line while skipping is still inside the
+            # block, not a return to the main tree
+            if indent > skip_indent or indent == -1:
+                continue
+            skip_indent = None
+        if "InMemoryRelation" in line or "== Initial Plan ==" in line:
+            # an executed AdaptiveSparkPlan prints its pre-AQE plan as a
+            # duplicate `== Initial Plan ==` section — count only the
+            # Final Plan, or every live scan doubles
+            skip_indent = indent
+            continue
+        if "Scan parquet" in line and f"{table}.parquet" in line:
+            n += 1
+    return n
+
+
+def test_bpe_chain_words_persist_shape(spark):
+    """Structural pin for the BPE words-persist boundary (VERDICT r12
+    #4). The round-12 rework rests on a measured argument (per-round
+    persists cost +0.35 s; the one cache the chain needs is the
+    corpus-sized `words` agg) whose bench A/Bs were noise-limited — so
+    pin the SHAPE in-plan instead of re-measuring per round:
+
+    * exactly ONE tracked persist per BPE query (the `words` cache) —
+      a refactor reinstating per-round state persists fails here;
+    * zero live corpus scans in `tokenizer_bpe_merges` (every merge
+      round reads the vocab-sized cache, never the corpus) and exactly
+      one in `tokenizer_bpe_apply` (the per-(source, word) counts —
+      `source` isn't in the cached vocab relation) — a refactor that
+      DROPS the words boundary re-opens the 2^k corpus replay and
+      fails here with merges seeing 2^3 live scans.
+    """
+    from mini_hive_server_spark import persistence
+
+    specs = registry.all_specs()
+    for name, want_live_scans in [
+        ("tokenizer_bpe_merges", 0),
+        ("tokenizer_bpe_apply", 1),
+    ]:
+        # count only persists ADDED by this query: correctness-bearing
+        # _DeferredRelease entries from earlier queries legitimately
+        # survive release_tracked until their buffers were built
+        before = {id(p) for p in persistence._LIVE}
+        df = specs[name].fn(spark, SF_SMOKE)  # gated fn: releases prior persists
+        new = [p for p in persistence._LIVE if id(p) not in before]
+        assert len(new) == 1, (name, len(new))
+        df.collect()  # materialize the cache; finalize the AQE plan
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan, name
+        got = _corpus_scans_outside_cache(plan, "documents")
+        assert got == want_live_scans, (name, got, plan)
