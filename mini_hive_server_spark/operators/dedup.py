@@ -803,7 +803,10 @@ def dedup_minhash_oph(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the production default; this one is the long-document large-K
     path, with the condition now three A/B measurement points (the
     curve also caught and drove out the original Python densify kernel
-    — 94s at the 100x point)."""
+    — 94s at the 100x point). Since round 13 the surface is EXECUTABLE:
+    `signature_tier_select` returns the prescribed scheme per (doc
+    length, K), and `dedup_signature_tier_census` reports the
+    prescription over a corpus's measured shingles-per-doc strata."""
     docs = load_tables(spark, sf_dir)["documents"]
     sha = tracked_persist(shingle_arrays(docs))
     bands = tracked_persist(oph_bands(sha))
@@ -1052,7 +1055,9 @@ def dedup_minhash_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
     (committed record 4.6s vs 30.4s) — so this
     classic-256 tier is the short-document large-K point, and the OPH
     tier is the long-document one. See `dedup_minhash_oph` for the full
-    measured surface.
+    measured surface, and `signature_tier_select` /
+    `dedup_signature_tier_census` (round 13) for the surface as
+    executable engine logic.
 
     Recall strictly dominates the K=64 tier at equal rows-per-band
     (P(candidate | J) = 1 - (1 - J^4)^64 vs ^16), so the
@@ -1077,6 +1082,129 @@ def dedup_minhash_k256(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _exact_jaccard_pairs(docs, candidates=candidates, sha=sha)
+
+
+# ----------------------------- signature-tier selection (measured surface)
+
+# The OPH/classic crossover surface is measured at shingles-per-doc 128
+# (classic-256 wins 2.6x) and 4096 (OPH-256 wins 2.8-6.7x) — SCALE.md
+# rounds 10-12. The boundary BETWEEN the measured points is not: 1024 is
+# the first power of two above the points' geometric midpoint (~724),
+# chosen conservative toward classic (routing a just-over-crossover doc
+# to classic costs less than routing a short doc to OPH costs — the
+# densification spine dominates short docs). Re-measure before moving it.
+_TIER_LONG_DOC_SHINGLES = 1024
+
+
+def signature_tier_select(n_sh, k: int):
+    """The measured OPH/classic crossover surface as engine logic
+    (round 13, VERDICT r12 #6): given a shingles-per-doc column and the
+    sketch width K, return the signature scheme the three A/B points
+    (SCALE.md rounds 10-12) prescribe — 'classic' at K<=64 at every
+    measured doc length (64 fused in-register rehash-mins beat OPH's
+    finer-grained aggregation even at 4096 shingles/doc); at K in the
+    hundreds, 'classic' for short docs and 'oph' once shingles-per-doc
+    clears `_TIER_LONG_DOC_SHINGLES` (bucket occupancy >> 1 makes
+    densification a near-no-op while classic pays K rehashes per
+    shingle). A 100 TB ingest consults this per corpus stratum — see
+    `dedup_signature_tier_census` for the registered census that
+    reports the prescription over a real corpus."""
+    if k <= 64:
+        return F.lit("classic")
+    return (
+        F.when(n_sh >= _TIER_LONG_DOC_SHINGLES, F.lit("oph"))
+        .otherwise(F.lit("classic"))
+    )
+
+
+_TIER_CENSUS_ORACLE = f"""
+WITH {_DUCK_SHINGLES_CTE},
+per_doc AS (
+  SELECT d.doc_id, coalesce(s.n_sh, 0) AS n_sh
+  FROM documents d
+  LEFT JOIN (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id) s
+    USING (doc_id)
+),
+strata AS (
+  SELECT CASE WHEN n_sh >= {_TIER_LONG_DOC_SHINGLES} THEN 'long'
+              ELSE 'short' END AS stratum,
+         n_sh
+  FROM per_doc
+)
+SELECT stratum,
+       count(*) AS n_docs,
+       CAST(sum(n_sh) AS BIGINT) AS total_shingles,
+       round(avg(n_sh), 2) AS avg_shingles,
+       CAST(max(n_sh) AS BIGINT) AS max_shingles,
+       'classic' AS scheme_k64,
+       CASE WHEN stratum = 'long' THEN 'oph' ELSE 'classic' END AS scheme_k256
+FROM strata
+GROUP BY stratum
+ORDER BY stratum
+"""
+
+
+@register(
+    "dedup_signature_tier_census",
+    oracle=_TIER_CENSUS_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_signature_tier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingles-per-doc census + signature-scheme prescription — the
+    planning pass a 100 TB dedup run makes BEFORE picking its MinHash
+    tier. Strata by distinct-3-shingle count per doc (threshold
+    `_TIER_LONG_DOC_SHINGLES`, between the two measured crossover
+    points); per stratum: doc count, total/avg/max shingles, and the
+    (scheme @ K=64, scheme @ K=256) the measured surface prescribes via
+    `signature_tier_select`. On the fixture corpus every stratum reads
+    'short' -> classic at both widths, which is itself the census's
+    finding: this corpus never reaches the OPH crossover regime, so no
+    long-document OPH query tier is registered for it (VERDICT r12 #7's
+    conditional). Map-only shingle sizing (no join: docs with <3 words
+    census as 0 shingles inline), one stratum-keyed aggregation —
+    2-row output at any corpus scale."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    words = parallelize_scan(docs.select("doc_id", "text"), "doc_id").select(
+        F.expr(_WORDS).alias("w")
+    )
+    per_doc = words.select(
+        F.when(
+            F.size("w") >= 3,
+            F.size(
+                F.expr(
+                    "array_distinct(transform(sequence(0, size(w) - 3), "
+                    "i -> concat(w[i], ' ', w[i+1], ' ', w[i+2])))"
+                )
+            ),
+        )
+        .otherwise(F.lit(0))
+        .alias("n_sh")
+    )
+    stratum = (
+        F.when(F.col("n_sh") >= _TIER_LONG_DOC_SHINGLES, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("stratum")
+    )
+    return (
+        per_doc.select(stratum, "n_sh")
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("total_shingles"),
+            F.round(F.avg("n_sh"), 2).alias("avg_shingles"),
+            F.max("n_sh").cast("long").alias("max_shingles"),
+        )
+        .select(
+            "stratum",
+            "n_docs",
+            "total_shingles",
+            "avg_shingles",
+            "max_shingles",
+            signature_tier_select(F.col("avg_shingles"), 64).alias("scheme_k64"),
+            signature_tier_select(F.col("avg_shingles"), 256).alias("scheme_k256"),
+        )
+        .orderBy("stratum")
+    )
 
 
 # ------------------------------------------- asymmetric containment pairs

@@ -1012,3 +1012,65 @@ def test_roc_auc_matches_bruteforce_pair_count(spark):
     assert abs(row["roc_auc"] - brute) < 1e-6, (row["roc_auc"], brute)
     assert row["roc_auc"] > 0.9
     assert abs(row["gini_index"] - (2 * row["roc_auc"] - 1)) < 2e-6
+
+
+def test_signature_tier_selector_surface(spark):
+    """`signature_tier_select` must encode the three measured crossover
+    points (SCALE.md rounds 10-12), and the census must route a
+    synthetic long document to the 'long'/OPH stratum while the fixture
+    corpus — max 97 shingles/doc — reads entirely 'short'/classic."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.dedup import (
+        _TIER_LONG_DOC_SHINGLES,
+        dedup_signature_tier_census,
+        signature_tier_select,
+    )
+
+    # the selector, evaluated at the measured points: classic at K=64
+    # for BOTH doc lengths; at K=256 classic short, oph long
+    probe = spark.createDataFrame([(128,), (4096,)], "n_sh int").select(
+        "n_sh",
+        signature_tier_select(F.col("n_sh"), 64).alias("k64"),
+        signature_tier_select(F.col("n_sh"), 256).alias("k256"),
+    )
+    got = {r.n_sh: (r.k64, r.k256) for r in probe.collect()}
+    assert got == {128: ("classic", "classic"), 4096: ("classic", "oph")}
+
+    # fixture corpus: one 'short' stratum, classic at both widths —
+    # i.e. the census itself documents that this corpus never reaches
+    # the OPH crossover regime
+    rows = dedup_signature_tier_census(spark, SF_SMOKE).collect()
+    assert [r.stratum for r in rows] == ["short"]
+    assert rows[0].scheme_k64 == "classic"
+    assert rows[0].scheme_k256 == "classic"
+    assert rows[0].max_shingles < _TIER_LONG_DOC_SHINGLES
+
+    # a synthetic book-length doc (>= threshold distinct shingles) lands
+    # in 'long' and gets the OPH prescription at K=256; a sub-3-word doc
+    # censuses as 0 shingles instead of being dropped
+    import uuid
+
+    long_text = " ".join(
+        uuid.uuid5(uuid.NAMESPACE_DNS, str(i)).hex for i in range(_TIER_LONG_DOC_SHINGLES + 2)
+    )
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc"), (3, "three word doc")],
+        "doc_id long, text string",
+    )
+    import mini_hive_server_spark.operators.dedup as dd
+    from mini_hive_server_spark import catalog
+
+    orig = catalog.load_tables
+    try:
+        catalog.load_tables = lambda s, d, **kw: {"documents": docs}
+        dd.load_tables = catalog.load_tables
+        out = {r.stratum: r for r in dedup_signature_tier_census(spark, "ignored").collect()}
+    finally:
+        catalog.load_tables = orig
+        dd.load_tables = orig
+    assert out["long"].n_docs == 1
+    assert out["long"].scheme_k256 == "oph"
+    assert out["long"].scheme_k64 == "classic"
+    assert out["short"].n_docs == 2
+    assert out["short"].total_shingles == 1  # 'three word doc'; 'tiny doc' -> 0
