@@ -1074,3 +1074,73 @@ def test_signature_tier_selector_surface(spark):
     assert out["long"].scheme_k64 == "classic"
     assert out["short"].n_docs == 2
     assert out["short"].total_shingles == 1  # 'three word doc'; 'tiny doc' -> 0
+
+
+def test_planted_skew_salting_mechanism(spark):
+    """The planted-hot-key operating point must really be at its design
+    regime, and the salt must really flatten it — measured, not prose:
+
+    * the NATURAL corpus's skew is mild (top user < 10% of clicks), so
+      the natural-corpus query alone cannot drive the defense;
+    * the plant re-keys >= 25% of clicks onto one user — the ~30%
+      bot-traffic shape an unsalted shuffle join funnels through one
+      reducer;
+    * after salting, the hottest (user_id, salt) group carries ~1/N of
+      the hot key's rows (uniformity slack 1.5x) — the per-reducer
+      ceiling the rewrite exists to enforce;
+    * salting changes NO output row: the salted result equals the plain
+      join on the identical planted relation (the DuckDB oracle proves
+      this against SQL; this pins it Spark-vs-Spark too)."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+    from mini_hive_server_spark.operators.behavior import (
+        _HOT_USER_ID,
+        _N_JOIN_SALT,
+        planted_skew_events,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    events = load_tables(spark, sf)["events"]
+    clicks = events.filter(F.col("event_type") == "click")
+    n_clicks = clicks.count()
+    natural_top = (
+        clicks.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert natural_top < 0.10 * n_clicks, (natural_top, n_clicks)
+
+    planted = planted_skew_events(events)
+    p_clicks = planted.filter(F.col("event_type") == "click")
+    hot = p_clicks.filter(F.col("user_id") == _HOT_USER_ID).count()
+    assert hot >= 0.25 * n_clicks, (hot, n_clicks)
+
+    salted_max = (
+        p_clicks.groupBy(
+            "user_id", (F.col("event_id") % _N_JOIN_SALT).alias("salt")
+        )
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert salted_max <= 1.5 * hot / _N_JOIN_SALT, (salted_max, hot)
+
+    from mini_hive_server_spark.operators.behavior import _salted_attribution
+
+    plain = (
+        p_clicks.select("user_id", F.col("ts").alias("cts"))
+        .join(
+            planted.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+            ),
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("pts") >= F.col("cts"))
+            & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_attributed"))
+        .orderBy(F.col("n_attributed").desc(), "user_id")
+        .limit(20)
+    )
+    assert [tuple(r) for r in _salted_attribution(planted).collect()] == [
+        tuple(r) for r in plain.collect()
+    ]
