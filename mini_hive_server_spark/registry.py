@@ -88,87 +88,83 @@ _QUERY_MODULES = (
 # ("Driver-window rotation history"); this comment documents only the
 # CURRENT window's rationale.
 #
-# Round-12 window — the fourth staleness-rotation round, draining the
-# documented round-12 queue in full (VERDICT r11 #1: all 22 r4-checked
-# queries, including `events_rollup_two_level`, which the COVERAGE.md
-# queue doc had omitted — VERDICT r11 #2). Composition: 1 round-12
-# addition (`dedup_lsh_df_capped_planted`, the planted-30%-df
-# boilerplate operating point for the hot-shingle defense — VERDICT r11
-# #8's suggested candidate) + the ENTIRE 22-query r4 queue + 5
-# REWORKED-this-round re-confirms (the similarity_pq_adc precedent:
-# refactored queries re-enter the window regardless of row age) —
-# `tokenizer_bpe_apply`/`tokenizer_bpe_merges` (r7 rows; the `_bpe_train`
-# persist moved from per-round state to the corpus-sized words agg,
-# VERDICT r11 #3 root-cause), `graph_bfs_3hop` (r8 row; body factored
-# into `bfs_census` for the scale curve, VERDICT r11 #4),
-# `dedup_lsh_df_capped` (r11 row; body factored into `_df_capped_pairs`
-# shared with the planted point), `source_bucketed_join` (r10 row; the
-# fresh-catalog fallback rewritten to catalog-only DDL, ADVICE r11 #1)
-# — + 22 re-confirms from the r5-checked set, prioritized by refactor
-# exposure: the two dedup.py neighbors of the df-cap factoring
-# (`dedup_containment`, `dedup_provenance_best`), the five connectors/
-# catalog queries next to the bucketed-registration rewrite, the two
-# graph.py queries adjacent to the BFS factoring, the three
-# similarity/embedding neighbors, the four text_analysis.py queries
-# sharing the reworked module, four events queries (the repair-history
-# carriers), and the two sliding sketches. After r12 the oldest driver
-# row anywhere is r5; the 20 remaining r5-checked queries form the
-# round-13 queue in COVERAGE.md.
+# Round-13 window — the fifth staleness-rotation round, draining the
+# documented round-13 queue in full (VERDICT r12 #1: all 20 r5-checked
+# queries). Composition: 2 round-13 additions (≤10 budget) —
+# `dedup_signature_tier_census` (the measured OPH/classic crossover
+# surface as an executable per-stratum prescription, VERDICT r12 #6)
+# and `join_salted_skew_planted` (the planted ~30%-hot-key operating
+# point for the salting defense, VERDICT r12 #7) — + the ENTIRE
+# 20-query r5 queue + 3 REWORKED-this-round re-confirms (the
+# similarity_pq_adc precedent: reworked queries re-enter the window
+# regardless of row age) — `dedup_simhash` (r8 row; the round-12 kernel
+# rework — WS_CLASS_PY tokenizer-contract alignment + the
+# NULL-fingerprint fix — landed after the r12 window froze, VERDICT r12
+# #2), `join_salted_skew` (r11 row; body factored into
+# `_salted_attribution` shared with the planted point this round),
+# `source_bucketed_join` (r12 row; its DDL fallback moved onto the
+# shared `_staged_lock` helper, ADVICE r12 #3) — + 25 r6 re-confirms by
+# refactor exposure: the 19 behavior.py module-mates of the salted-join
+# factoring, the two text_analysis.py module-mates of the BPE plan-pin
+# subject, and one query each from the streaming/graph/similarity/
+# setops modules. After r13 the oldest driver row anywhere is r6; the
+# 18 remaining r6-checked queries form the round-14 queue in
+# COVERAGE.md.
 _DRIVER_WINDOW = (
-    # --- round-12 additions (≤10 budget; 1 used) ---
-    "dedup_lsh_df_capped_planted",
-    # --- the round-12 staleness queue: ALL 22 r4-checked, in queue order ---
-    "events_rollup_two_level",
-    "events_type_transitions",
-    "events_value_outliers",
-    "events_value_regression",
-    "multimodal_audio_chunks",
-    "profile_table_columns",
-    "sketch_cms_heavy_hitters",
-    "sketch_hll_intersection",
-    "source_compaction_planner",
-    "source_incremental_rollup",
-    "source_mixture_weights",
-    "source_schema_evolution",
-    "source_zorder_layout",
-    "text_boilerplate_templates",
-    "text_geomean_chars_udaf",
-    "text_gopher_quality",
-    "text_perplexity_buckets",
-    "text_quality_classifier",
-    "text_quality_report",
-    "text_repetition_bigrams",
-    "text_rolling_fingerprint",
-    "text_winnowing_fingerprints",
-    # --- 5 reworked-this-round re-confirms (see comment) ---
-    "tokenizer_bpe_apply",
-    "tokenizer_bpe_merges",
-    "graph_bfs_3hop",
-    "dedup_lsh_df_capped",
+    # --- round-13 additions (≤10 budget; 2 used) ---
+    "dedup_signature_tier_census",
+    "join_salted_skew_planted",
+    # --- the round-13 staleness queue: ALL 20 r5-checked, in queue order ---
+    "agg_salted_hot_key",
+    "classifier_calibration_bins",
+    "constraint_referential_audit",
+    "corpus_epoch_shuffle",
+    "corpus_recipe_funnel",
+    "events_anomaly_mad",
+    "events_changepoint_cusum",
+    "events_conversion_hazard",
+    "events_dau_stickiness",
+    "events_variant_props",
+    "lineitem_interval_overlap",
+    "multimodal_scene_cuts",
+    "mutation_cascade_delete",
+    "orders_market_basket",
+    "orders_seasonal_decompose",
+    "orders_ship_latency_percentiles",
+    "orders_yoy_growth",
+    "ref_entity_resolution",
+    "sample_weighted_priority",
+    "sql_recursive_hierarchy",
+    # --- 3 reworked-this-round re-confirms (see comment) ---
+    "dedup_simhash",
+    "join_salted_skew",
     "source_bucketed_join",
-    # --- 22 r5 re-confirms (refactor-exposure order; see comment) ---
-    "dedup_containment",
-    "dedup_provenance_best",
-    "catalog_sql_view",
-    "source_json_corrupt_census",
-    "source_lang_kl_divergence",
-    "source_mixture_temperature",
-    "source_python_datasource",
-    "graph_pagerank_3iter",
-    "graph_triangle_count",
-    "similarity_hard_negatives",
-    "embedding_centroid_similarity",
-    "embedding_mapinarrow_normalize",
-    "events_asof_prev_click_tol",
-    "events_gapfill_hourly",
-    "events_top_paths",
-    "events_trailing_window_range",
-    "text_bigram_lm_xent",
-    "text_bm25_topk",
-    "text_oov_rate",
-    "text_zipf_slope",
-    "sketch_bloom_membership",
-    "sketch_hll_sliding_users",
+    # --- 25 r6 re-confirms (refactor-exposure order; see comment) ---
+    "customer_ltv_pareto",
+    "customers_tier_migration",
+    "events_abtest_cuped",
+    "events_abtest_power",
+    "events_abtest_srm",
+    "events_abtest_ttest",
+    "events_anova_oneway",
+    "events_behavior_entropy",
+    "events_bounce_rate",
+    "events_burstiness_index",
+    "events_engagement_tiers",
+    "events_gap_histogram",
+    "events_heatmap_hour_dow",
+    "events_new_vs_returning",
+    "events_type_mix_trend",
+    "events_user_activity_zipf",
+    "events_velocity_flags",
+    "orders_cohort_ltv",
+    "orders_repeat_purchase_curve",
+    "text_heaps_law",
+    "text_readability_fk",
+    "streaming_sliding_topk",
+    "graph_degree_distribution",
+    "embedding_kmeans_2iter",
+    "set_ops_all_variants",
 )
 
 
