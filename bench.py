@@ -388,6 +388,7 @@ def main() -> None:
         _bfs_scale_experiment,
         _rfm_scale_experiment,
         _pca_scale_experiment,
+        _salted_skew_scale_experiment,
     ):
         try:
             got = exp(spark, sf_dir)
@@ -1456,6 +1457,119 @@ def _pca_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         out[f"pca_power_{mult}x_sec"] = round(best, 3)
         q.unpersist()
         spark.catalog.clearCache()
+    return out
+
+
+def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
+    """Wall-clock payoff of manual key salting at its design regime
+    (round 13; the planted operating point `join_salted_skew_planted`
+    proves result-invariance — this measures the SPEED claim). Synthetic
+    events with ONE hot key carrying ~30% of both join sides (the
+    bot-traffic shape): within an SMJ key group the pairing work is
+    quadratic (hot_clicks x hot_purchases comparisons, the 1-hour window
+    applied as a post-join filter), so the unsalted AQE-less join puts
+    ~all of the work on one task while the salted twin caps every task
+    at ~1/8 of it — the per-reducer ceiling the rewrite exists to
+    enforce. Both arms run with AQE's skew-split OFF (manual salting's
+    stated regime: engines/stages where the split isn't available) and
+    auto-broadcast OFF (at 100 TB neither side is broadcastable; at the
+    experiment's row counts the purchase side would otherwise broadcast
+    and dodge the shuffle entirely). Arms must agree on the folded
+    output (checked; a silent semantic drift fails the experiment).
+    Scales 10k/100k events: within-key comparisons grow 100x (quadratic
+    in the hot share), so the salted win should hold ~constant at the
+    salt factor while absolute seconds grow."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.behavior import _salted_attribution
+
+    n_users = 1_000
+    range_s = 10_000 * 3600  # 10k hours: bounds the per-hour pair density
+    out: dict[str, float] = {}
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for label, n_events in (("10k", 10_000), ("100k", 100_000)):
+            ev = (
+                spark.range(n_events)
+                .select(
+                    F.col("id").alias("event_id"),
+                    F.when(
+                        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(100)) < 30,
+                        F.lit(-1),
+                    )
+                    .otherwise(F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users)))
+                    .cast("long")
+                    .alias("user_id"),
+                    F.when(F.pmod("id", F.lit(2)) == 0, F.lit("click"))
+                    .otherwise(F.lit("purchase"))
+                    .alias("event_type"),
+                    F.timestamp_seconds(
+                        F.lit(1704067200)
+                        + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(range_s))
+                    ).alias("ts"),
+                )
+                .repartition(2 * spark.sparkContext.defaultParallelism)
+                .persist()
+            )
+            ev.count()  # materialize outside the timed window
+            clicks = ev.filter(F.col("event_type") == "click").select(
+                "user_id", F.col("ts").alias("cts")
+            )
+            purchases = ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+            )
+            plain = (
+                clicks.join(
+                    purchases,
+                    (F.col("p_user_id") == F.col("user_id"))
+                    & (F.col("pts") >= F.col("cts"))
+                    & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+                )
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_attributed"))
+            )
+            for arm, df in (
+                ("plain", plain),
+                ("salted", _salted_attribution(ev)),
+            ):
+                # 1-row fold over the arm's output defeats pruning while
+                # keeping the collect bounded (the salted arm's registered
+                # shape already ends in limit(20) — the extra ordering of
+                # ~1k per-user rows is noise next to the join)
+                folded = df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("n_attributed").alias("s"),
+                )
+                t0 = time.perf_counter()
+                folded.collect()
+                out[f"salted_skew_{arm}_{label}_sec"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            # _salted_attribution ends in the registered query's
+            # orderBy+limit(20) — compare on the hot user's count, which
+            # both arms must agree on exactly (it dwarfs every other key)
+            hot_plain = plain.filter(F.col("user_id") == -1).collect()
+            hot_salted = (
+                _salted_attribution(ev).filter(F.col("user_id") == -1).collect()
+            )
+            if [tuple(r) for r in hot_plain] != [tuple(r) for r in hot_salted]:
+                raise AssertionError(
+                    f"salted/plain hot-key drift at {label}: "
+                    f"{hot_plain} vs {hot_salted}"
+                )
+            ev.unpersist()
+            spark.catalog.clearCache()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
     return out
 
 
