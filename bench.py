@@ -124,6 +124,13 @@ EXTENDED = (
     # assembles the census from the observed scalars (~3.2s). Tracked
     # here so a replay-tree regression shows up as a number
     "graph_bfs_3hop",
+    # Round-13 addition: the planted-hot-key salted join — the skew
+    # story's third measured number next to agg_salted_hot_key and
+    # events_click_attribution (those two measure the salted AGG and the
+    # AQE skew-split paths; this one measures the manual salted JOIN at
+    # its ~30%-hot design regime; the plain-vs-salted payoff curve lives
+    # in the salted_skew experiment block)
+    "join_salted_skew_planted",
 )
 
 HEADLINE = HEADLINE10 + EXTENDED
