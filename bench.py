@@ -1477,7 +1477,9 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     applied as a post-join filter), so the unsalted AQE-less join puts
     ~all of the work on one task while the salted twin caps every task
     at ~1/8 of it — the per-reducer ceiling the rewrite exists to
-    enforce. Both arms run with AQE's skew-split OFF (manual salting's
+    enforce. Two salted arms since the round-13 rework: `salted` is the
+    live `_salted_attribution` (TARGETED — census-picked hot keys only),
+    `salted_all` is the blanket first cut kept inline for the A/B. Both arms run with AQE's skew-split OFF (manual salting's
     stated regime: engines/stages where the split isn't available) and
     auto-broadcast OFF (at 100 TB neither side is broadcastable; at the
     experiment's row counts the purchase side would otherwise broadcast
@@ -1485,7 +1487,25 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     output (checked; a silent semantic drift fails the experiment).
     Scales 10k/100k events: within-key comparisons grow 100x (quadratic
     in the hot share), so the salted win should hold ~constant at the
-    salt factor while absolute seconds grow."""
+    salt factor while absolute seconds grow.
+
+    Third/fourth arms (round 13 follow-up): the SAME plain join under
+    AQE's own skew-split, with thresholds scaled to the experiment's
+    KB-sized partitions (production defaults are 256MB; the
+    fixture-scaling pattern is `test_attribution_skew_join_splits_hot_key`).
+    `salted_skew_aqe_split_fired_*` records whether the executed plan
+    actually carried `skew=true`, so a threshold mis-scale reads as an
+    invalid arm, not a fake win. First measurement (round 13): on THIS
+    shape the default-conf arm's flag read 0.0 — the attribution join
+    feeds a groupBy on the join key, the SMJ's output partitioning
+    satisfies the aggregation's required distribution, and AQE refuses
+    a split that would break it (time ≈ plain: the defense never
+    engages). That is the `join_salted_skew` docstring's "stage whose
+    partitioning AQE will not break" regime, located empirically — the
+    attribution shape ITSELF is it, not an exotic corner. The fourth
+    arm (`spark.sql.adaptive.forceOptimizeSkewedJoin=true`) makes AQE
+    split anyway and re-shuffle for the aggregation — the conf a 100 TB
+    operator must know about before trusting "AQE handles skew"."""
     import time
 
     from pyspark.sql import functions as F
@@ -1499,7 +1519,24 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         "spark.sql.adaptive.skewJoin.enabled": "false",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k) for k in confs}
+    # the AQE arm re-enables the skew-split with thresholds scaled to
+    # this experiment's KB-sized shuffle partitions (defaults: 256MB /
+    # 5x median — nothing here would ever register as skewed under them)
+    aqe_confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "32KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+    }
+    saved = {
+        k: spark.conf.get(k)
+        for k in {
+            **confs,
+            **aqe_confs,
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": None,
+        }
+    }
     try:
         for k, v in confs.items():
             spark.conf.set(k, v)
@@ -1543,8 +1580,40 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
                 .groupBy("user_id")
                 .agg(F.count(F.lit(1)).alias("n_attributed"))
             )
+            # the blanket salt-all shape (the round-13 FIRST CUT of
+            # _salted_attribution, kept inline as a measurement arm):
+            # every probe row salted, the ENTIRE build side replicated
+            # N x. The targeted rework exists because this arm measured
+            # 3.7x behind AQE's forced split — keep measuring it so the
+            # comparison lives in one record, same epoch, same data.
+            n_salt = 8
+            salts = F.array(*[F.lit(i) for i in range(n_salt)])
+            all_clicks = ev.filter(F.col("event_type") == "click").select(
+                "user_id",
+                F.col("ts").alias("cts"),
+                (F.col("event_id") % n_salt).cast("int").alias("salt"),
+            )
+            all_purchases = ev.filter(
+                F.col("event_type") == "purchase"
+            ).select(
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("pts"),
+                F.explode(salts).alias("p_salt"),
+            )
+            salted_all = (
+                all_clicks.join(
+                    all_purchases,
+                    (F.col("p_user_id") == F.col("user_id"))
+                    & (F.col("p_salt") == F.col("salt"))
+                    & (F.col("pts") >= F.col("cts"))
+                    & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+                )
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_attributed"))
+            )
             for arm, df in (
                 ("plain", plain),
+                ("salted_all", salted_all),
                 ("salted", _salted_attribution(ev)),
             ):
                 # 1-row fold over the arm's output defeats pruning while
@@ -1559,6 +1628,47 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
                 folded.collect()
                 out[f"salted_skew_{arm}_{label}_sec"] = round(
                     time.perf_counter() - t0, 3
+                )
+            # third/fourth arms: the identical plain join under AQE
+            # skew-split — default rules, then forced. A FRESH .agg()
+            # Dataset is built after each conf flip — QueryExecution is
+            # cached per-Dataset, so re-collecting the existing `folded`
+            # would silently reuse the previous arm's plan.
+            try:
+                for arm, force in (("aqe", "false"), ("aqe_forced", "true")):
+                    for k, v in aqe_confs.items():
+                        spark.conf.set(k, v)
+                    spark.conf.set(
+                        "spark.sql.adaptive.forceOptimizeSkewedJoin", force
+                    )
+                    aqe_folded = plain.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("n_attributed").alias("s"),
+                    )
+                    t0 = time.perf_counter()
+                    aqe_folded.collect()
+                    out[f"salted_skew_{arm}_{label}_sec"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                    plan = (
+                        aqe_folded._jdf.queryExecution()
+                        .executedPlan()
+                        .toString()
+                    )
+                    out[f"salted_skew_{arm}_split_fired_{label}"] = float(
+                        "skew=true" in plan
+                    )
+            finally:
+                # restore the manual-salting regime for the next size
+                # label (and the agreement check below)
+                for k, v in confs.items():
+                    spark.conf.set(k, v)
+                for k in aqe_confs:
+                    if k not in confs:
+                        spark.conf.set(k, saved[k])
+                spark.conf.set(
+                    "spark.sql.adaptive.forceOptimizeSkewedJoin",
+                    saved["spark.sql.adaptive.forceOptimizeSkewedJoin"],
                 )
             # _salted_attribution ends in the registered query's
             # orderBy+limit(20) — compare on the hot user's count, which

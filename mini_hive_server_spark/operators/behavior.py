@@ -367,6 +367,16 @@ def events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _N_JOIN_SALT = 8
 
+# a key is "hot" when its probe-side row count exceeds FACTOR x the mean
+# rows-per-key; only hot keys are salted (and only their build rows
+# replicated). Measured motivation (SCALE.md round 13): blanket salting
+# replicates the ENTIRE build side N x and left 3.7x on the table vs
+# AQE's forced skew-split at the planted 30%-hot-key point — targeted
+# salting pays the replication only where the skew is. The census is
+# capped at 64 keys so the hot set always broadcasts.
+_HOT_KEY_FACTOR = 8
+_HOT_KEY_CAP = 64
+
 # the salted-join twin must return the IDENTICAL result as the plain
 # attribution join — salting is a physical rewrite, not a semantic one
 # — so the oracle IS the attribution oracle, aliased rather than
@@ -382,45 +392,100 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     the split would break a required distribution). Same logical result as
     `events_click_attribution` (the oracle is the identical plain-join
     SQL — salting must be result-invariant), different physical strategy:
+    TARGETED salting (see `_salted_attribution`) — a broadcast-capped
+    heavy-hitter census picks the hot keys; only their probe rows get a
+    salt in [0, N) (`event_id % N`) and only their build rows replicate
+    over the salt domain; everything else joins exactly as the plain
+    query does, through the same single (user_id, salt) equi-join.
 
-    * probe side (clicks): each row gets a deterministic salt in
-      [0, N) — `event_id % N`, so a hot user's rows spread across N
-      reducers instead of one;
-    * build side (purchases): replicated N× via posexplode over the salt
-      domain, so every (user, salt) probe partition still sees all of
-      that user's purchases;
-    * join on (user_id, salt) — a plain equi-join whose hottest partition
-      carries 1/N of the hot key.
-
-    Cost model vs AQE skew-split: replication multiplies the build side
-    by N unconditionally, so production salts ONLY identified hot keys
-    (split the relation on a heavy-hitter list — see
-    `agg_salted_two_stage` for the aggregation analog); AQE's split is
-    the better default because it pays only for partitions actually
-    oversized at runtime. Both are provided because at 100 TB some
-    pipelines run the join inside a larger stage whose partitioning AQE
-    will not break."""
+    Cost model vs AQE skew-split, measured round 13 (SCALE.md four-arm
+    experiment at the planted 30%-hot-key point): AQE's DEFAULT skew
+    rules decline this exact shape — the join feeds a groupBy on the
+    join key, so the split would break the aggregation's required
+    distribution (`skew=true` never appears; wall ≈ plain). Forcing it
+    (`spark.sql.adaptive.forceOptimizeSkewedJoin=true`) splits only the
+    oversized partitions and won decisively over the blanket salt-all
+    first cut (2.1 s vs 7.6 s) — which is why this operator now salts
+    only census-identified hot keys instead of replicating the whole
+    build side N×. The manual rewrite stays the portable defense: no
+    conf surgery, works with AQE disabled, and works where the join's
+    output partitioning is pinned by a downstream stage — exactly the
+    regime where the default AQE path measured as a no-op."""
     return _salted_attribution(load_tables(spark, sf_dir)["events"])
 
 
 def _salted_attribution(events: DataFrame) -> DataFrame:
     """The salted attribution join body, shared by the natural-corpus
     query and the planted-hot-key operating point (round 13 factoring —
-    the `_df_capped_pairs` pattern): salt the probe side on
-    `event_id % N`, replicate the build side N×, equi-join on
-    (user_id, salt)."""
-    salts = F.array(*[F.lit(i) for i in range(_N_JOIN_SALT)])
-    clicks = events.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("cts"),
-        (F.col("event_id") % _N_JOIN_SALT).cast("int").alias("salt"),
+    the `_df_capped_pairs` pattern), TARGETED form (round 13 rework):
+
+    1. heavy-hitter census on the probe side — one partial-agg'd
+       groupBy(user_id).count vs `_HOT_KEY_FACTOR` x the mean, capped at
+       `_HOT_KEY_CAP` keys so the hot set is broadcastable at any scale;
+    2. probe rows of hot keys get salt `event_id % N`, everything else
+       salt 0 — cold keys never fan out;
+    3. build rows replicate over the full salt domain ONLY for hot keys
+       (posexplode over a per-row `sequence(0, hot ? N-1 : 0)`), cold
+       build rows stay single;
+    4. one equi-join on (user_id, salt) — the hottest partition carries
+       ~1/N of the hot key, and the build side grew by at most
+       CAP x N x (rows of the hot keys), not N x the whole relation.
+
+    The blanket salt-all first cut replicated the ENTIRE build side N x;
+    the round-13 four-arm measurement (SCALE.md) read it at 7.6 s vs
+    AQE-forced-split 2.1 s at the planted 100k point — the unconditional
+    replication was the gap, and this rewrite removes it while keeping
+    the defense portable (no AQE, no conf surgery, works where the
+    join's output partitioning is pinned by a downstream stage)."""
+    from ..persistence import tracked_persist
+
+    clicks_raw = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", F.col("ts").alias("cts")
+    )
+    # tracked_persist the KEY-CARDINALITY-sized census relation: the
+    # chain below consumes it three times (mean agg, threshold filter,
+    # top-CAP ordering) and the hot set feeds TWO broadcast flag-joins —
+    # unpersisted, every consumer re-ran the corpus-wide groupBy as its
+    # own sub-job (measured: census 3.7 s of repeated scans at the 100k
+    # experiment point vs ~1 s persisted; SCALE.md round 13)
+    counts = tracked_persist(
+        clicks_raw.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    )
+    mean_n = counts.agg(F.avg("n").alias("avg_n"))  # 1 row, broadcast
+    hot_keys = tracked_persist(
+        counts.crossJoin(F.broadcast(mean_n))
+        .filter(F.col("n") > _HOT_KEY_FACTOR * F.col("avg_n"))
+        .orderBy(F.col("n").desc(), "user_id")
+        .limit(_HOT_KEY_CAP)
+        .select("user_id", F.lit(True).alias("is_hot"))
+    )
+    clicks = (
+        clicks_raw.join(F.broadcast(hot_keys), "user_id", "left")
+        .select(
+            "user_id",
+            "cts",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                (F.col("event_id") % _N_JOIN_SALT).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("salt"),
+        )
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(hot_keys), "user_id", "left")
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("pts"),
-            F.explode(salts).alias("p_salt"),
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.when(
+                        F.col("is_hot").isNotNull(), F.lit(_N_JOIN_SALT - 1)
+                    ).otherwise(F.lit(0)),
+                )
+            ).alias("p_salt"),
         )
     )
     return (

@@ -63,6 +63,8 @@ _BNLJ_BOUNDED = {
     "orders_winsorized_stats",  # 1-row p01/p99 cut-points crossed
     "events_key_skew_report",  # bucket rows x 1-row skew summary
     "retrieval_rrf_hybrid",  # 1-row corpus stats + 1-row query vector crossed
+    "join_salted_skew",  # per-key counts x 1-row mean (heavy-hitter census)
+    "join_salted_skew_planted",  # same census inside _salted_attribution
     "retrieval_mmr_diverse",  # 1-row query vector crossed; pool bounded at 64
     "orders_sen_trend",  # month-series self-pairing (calendar-bounded) + 1-row count
     "events_abtest_ks",  # CDF rows x 1-row arm totals crossed
