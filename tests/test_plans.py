@@ -295,6 +295,79 @@ def test_attribution_skew_join_splits_hot_key(spark):
             spark.conf.set(k, v)
 
 
+def test_attribution_groupby_shape_declines_skew_split(spark):
+    """The round-13 counterpart of the test above, pinning the MEASURED
+    decline (SCALE.md round 13): when the same skewed join feeds a
+    groupBy ON THE JOIN KEY, the SMJ's output partitioning satisfies the
+    aggregation's required distribution and AQE refuses the skew split —
+    `skew=true` must NOT appear even under thresholds that make the
+    global-count twin split. With `forceOptimizeSkewedJoin=true` the
+    split fires on the identical query. Together the pair proves the
+    skew defense a pipeline relies on is SHAPE-dependent — the reason
+    `join_salted_skew`'s portable manual rewrite exists."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.catalog import load_tables
+
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+    )
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        ev = load_tables(spark, SF_SMOKE)["events"]
+        hot = (
+            ev.filter(F.col("user_id") == 0)
+            .withColumn("r", F.explode(F.sequence(F.lit(1), F.lit(500))))
+            .withColumn("ts", F.col("ts") + F.make_interval(secs=F.col("r")))
+            .drop("r")
+        )
+        skewed = ev.unionByName(hot).repartition(8)
+        clicks = skewed.filter(F.col("event_type") == "click").select(
+            "user_id", F.col("ts").alias("cts")
+        )
+        purchases = skewed.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user_id"), F.col("ts").alias("pts")
+        )
+
+        def attributed():
+            # groupBy on the JOIN KEY — the production attribution shape
+            return (
+                clicks.join(
+                    purchases,
+                    (F.col("p_user_id") == F.col("user_id"))
+                    & (F.col("pts") >= F.col("cts"))
+                    & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
+                )
+                .groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_attributed"))
+            )
+
+        for force, expect_split in (("false", False), ("true", True)):
+            spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", force)
+            out = attributed()  # fresh Dataset per conf (QueryExecution caches)
+            # collect() THIS Dataset — .count() would execute a derived
+            # plan and leave out's own QueryExecution un-finalized
+            # (isFinalPlan=false, skew markers never materialize)
+            assert len(out.collect()) > 0
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert ("skew=true" in plan) == expect_split, (force, plan)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+
+
 def _broadcast_hint_subtrees(df) -> list[str]:
     """Stringified child subtree of every ResolvedHint in the analyzed
     logical plan (indentation-sliced)."""
