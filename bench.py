@@ -1489,7 +1489,7 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     in the hot share), so the salted win should hold ~constant at the
     salt factor while absolute seconds grow.
 
-    Third/fourth arms (round 13 follow-up): the SAME plain join under
+    The AQE arms (round 13 follow-up): the SAME plain join under
     AQE's own skew-split, with thresholds scaled to the experiment's
     KB-sized partitions (production defaults are 256MB; the
     fixture-scaling pattern is `test_attribution_skew_join_splits_hot_key`).
@@ -1502,7 +1502,7 @@ def _salted_skew_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
     a split that would break it (time ≈ plain: the defense never
     engages). That is the `join_salted_skew` docstring's "stage whose
     partitioning AQE will not break" regime, located empirically — the
-    attribution shape ITSELF is it, not an exotic corner. The fourth
+    attribution shape ITSELF is it, not an exotic corner. The forced
     arm (`spark.sql.adaptive.forceOptimizeSkewedJoin=true`) makes AQE
     split anyway and re-shuffle for the aggregation — the conf a 100 TB
     operator must know about before trusting "AQE handles skew"."""
