@@ -1144,3 +1144,35 @@ def test_planted_skew_salting_mechanism(spark):
     assert [tuple(r) for r in _salted_attribution(planted).collect()] == [
         tuple(r) for r in plain.collect()
     ]
+
+
+def test_salted_attribution_is_targeted_not_blanket(spark):
+    """Structural pin for the round-13 TARGETED rework: output equality
+    (the oracle and the test above) cannot distinguish targeted salting
+    from the blanket first cut — both are result-invariant — so this
+    pins the PLAN. The analyzed plan must carry (a) the per-row
+    conditional `sequence(...)` replication domain (blanket used a
+    constant 8-element array literal: every build row always fanned
+    out), and (b) the heavy-hitter census aggregate feeding broadcast
+    flag-joins. A future refactor silently reverting to
+    replicate-everything re-opens the N x build shuffle at 100 TB;
+    this fails it in seconds instead."""
+    from pyspark.sql import functions as F
+
+    from mini_hive_server_spark.operators.behavior import _salted_attribution
+
+    events = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") % 10).alias("user_id"),
+        F.when(F.pmod("id", F.lit(2)) == 0, F.lit("click"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id")).alias("ts"),
+    )
+    plan = str(
+        _salted_attribution(events)._jdf.queryExecution().analyzed()
+    )
+    assert "sequence(" in plan, plan  # conditional replication domain
+    # the census: a count-per-key aggregate and its mean threshold
+    assert plan.count("ResolvedHint") >= 2, plan  # hot-set broadcasts
+    assert "avg(" in plan, plan  # the FACTOR x mean threshold
