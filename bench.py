@@ -236,10 +236,20 @@ def build_stdout_record(
 # The absolute floor still applies when wall time is unknown.
 NOISE_STEAL_FRAC = 0.05
 NOISE_STEAL_S = 30.0  # floor used only when the run's wall time is unknown
+# Probe gate (round 13): the calibration probe's quiet-window range on
+# this host is 1.14-1.59 across many sessions (SCALE.md); a start-of-run
+# reading above this marks a degraded epoch even when steal/load look
+# clean (both degraded r13 attempts passed the steal rule). SCALE.md's
+# refinement says do-not-start above it; mechanized here as record
+# routing so a run that starts anyway cannot land on the quiet path.
+CALIBRATION_GATE = 1.6
 
 
 def local_record_path(
-    steal_s: float | None, load1: float | None, wall_s: float | None = None
+    steal_s: float | None,
+    load1: float | None,
+    wall_s: float | None = None,
+    calibration: float | None = None,
 ) -> tuple[str, bool]:
     """Where main() writes the COMPLETE local record, and whether this
     run is noise-suspect under the SCALE.md adjudication rule.
@@ -261,7 +271,9 @@ def local_record_path(
     else:
         steal_suspect = steal_s > NOISE_STEAL_S
     suspect = bool(
-        steal_suspect or (load1 is not None and load1 > 2 * ncpu)
+        steal_suspect
+        or (load1 is not None and load1 > 2 * ncpu)
+        or (calibration is not None and calibration > CALIBRATION_GATE)
     )
     if explicit:
         return explicit, suspect
@@ -467,7 +479,10 @@ def main() -> None:
         "noise": {"before": noise_before, "after": noise_after},
     }
     local_path, suspect = local_record_path(
-        steal_s, load1, wall_s=time.perf_counter() - wall_t0
+        steal_s,
+        load1,
+        wall_s=time.perf_counter() - wall_t0,
+        calibration=calibration,
     )
     full["noise_suspect"] = suspect
     try:

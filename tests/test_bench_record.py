@@ -123,6 +123,19 @@ def test_noise_suspect_run_never_clobbers_quiet_record(monkeypatch):
     assert bench.local_record_path(3.2, float(min(ncpu, 2 * ncpu - 1))) == (
         "BENCH_local.json", False,
     )
+    # probe gate (round 13): a degraded-epoch calibration reading marks
+    # the run suspect even when steal/load pass — both degraded r13
+    # attempts (probes 1.909 and 2.271) sailed through the steal rule
+    assert bench.local_record_path(3.2, 1.0, wall_s=wall, calibration=1.909) == (
+        "BENCH_local_noisy.json", True,
+    )
+    # the committed r12/r13 quiet probes stay on the quiet path
+    assert bench.local_record_path(3.2, 1.0, wall_s=wall, calibration=1.349) == (
+        "BENCH_local.json", False,
+    )
+    assert bench.local_record_path(3.2, 1.0, wall_s=wall, calibration=None) == (
+        "BENCH_local.json", False,
+    )
     # unadjudicable (no /proc markers): keep the canonical path
     assert bench.local_record_path(None, None) == ("BENCH_local.json", False)
     # explicit operator override wins unconditionally, but the suspect
