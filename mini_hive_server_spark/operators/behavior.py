@@ -427,16 +427,43 @@ def _salted_attribution(events: DataFrame) -> DataFrame:
     3. build rows replicate over the full salt domain ONLY for hot keys
        (posexplode over a per-row `sequence(0, hot ? N-1 : 0)`), cold
        build rows stay single;
-    4. one equi-join on (user_id, salt) — the hottest partition carries
-       ~1/N of the hot key, and the build side grew by at most
-       CAP x N x (rows of the hot keys), not N x the whole relation.
+    4. one equi-join on (user_id, salt, hour_bucket) — the hottest
+       partition carries ~1/N of the hot key's rows PER HOUR, and the
+       build side grew by at most CAP x N x (rows of the hot keys), not
+       N x the whole relation.
 
     The blanket salt-all first cut replicated the ENTIRE build side N x;
     the round-13 four-arm measurement (SCALE.md) read it at 7.6 s vs
     AQE-forced-split 2.1 s at the planted 100k point — the unconditional
     replication was the gap, and this rewrite removes it while keeping
     the defense portable (no AQE, no conf surgery, works where the
-    join's output partitioning is pinned by a downstream stage)."""
+    join's output partitioning is pinned by a downstream stage).
+
+    Round-13 optimization pass (guide §3.3/§2.5), two measured fixes:
+
+    * TIME-BUCKETED interval join: the pairing predicate is a 1-hour
+      range, so the equi-join key gains `floor(unix_ts/3600)` — each
+      click explodes to its 2 admissible purchase-hour buckets (pts in
+      [cts, cts+1h] implies bucket(pts) in {bucket(cts), bucket(cts)+1},
+      exact range predicates retained, so the output is bit-identical).
+      Candidate enumeration drops from clicks x purchases PER USER to
+      per (user, salt, HOUR) — at the planted sf0.1 point (~6k hot
+      clicks x ~6k hot purchases over a 30-day span) that is ~360x fewer
+      candidate pairs, and a burst-bot whose traffic all lands in ONE
+      hour still gets the salt's 1/N spread (the two defenses compose).
+    * EXPLICIT probe-side exchange `repartition(P, user_id, salt,
+      bucket)` (P = spark.sql.shuffle.partitions — conf-derived, not a
+      local constant): left to ENSURE_REQUIREMENTS, AQE broadcast the
+      small build side and ran the probe at SCAN parallelism — the
+      executed plan showed the whole pair blowup in ONE task (2.9-3.5 s
+      of the query's 4.0 s, measured via event-log profile), the salt
+      spreading nothing. The explicit numPartitions exchange is exempt
+      from AQE coalescing, so the spread survives at every data size —
+      which is the manual defense's entire contract.
+
+    Measured at sf0.1 (planted point, median-of-3, quiet window):
+    4.0 s -> ~1.0 s; output pinned equal by the oracle and
+    tests/test_llm_ops.py's plain-join equality."""
     from ..persistence import tracked_persist
 
     clicks_raw = events.filter(F.col("event_type") == "click").select(
@@ -459,6 +486,13 @@ def _salted_attribution(events: DataFrame) -> DataFrame:
         .limit(_HOT_KEY_CAP)
         .select("user_id", F.lit(True).alias("is_hot"))
     )
+    # the 1-hour pairing window quantized to hour buckets: an exact
+    # equi-join key (see docstring — the range predicates below keep the
+    # output bit-identical; the bucket only bounds candidate enumeration)
+    hour_bucket = lambda c: F.floor(F.unix_timestamp(c) / 3600)
+    par = int(
+        events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
     clicks = (
         clicks_raw.join(F.broadcast(hot_keys), "user_id", "left")
         .select(
@@ -470,7 +504,17 @@ def _salted_attribution(events: DataFrame) -> DataFrame:
             )
             .otherwise(F.lit(0))
             .alias("salt"),
+            # each click admits purchases from exactly 2 hour buckets
+            F.explode(
+                F.array(
+                    hour_bucket(F.col("cts")), hour_bucket(F.col("cts")) + 1
+                )
+            ).alias("cbkt"),
         )
+        # EXPLICIT exchange (AQE-coalescing-exempt): the spread the salt
+        # promises — ENSURE_REQUIREMENTS alone let AQE broadcast the
+        # build and run the whole pair blowup at scan parallelism
+        .repartition(par, "user_id", "salt", "cbkt")
     )
     purchases = (
         events.filter(F.col("event_type") == "purchase")
@@ -478,6 +522,7 @@ def _salted_attribution(events: DataFrame) -> DataFrame:
         .select(
             F.col("user_id").alias("p_user_id"),
             F.col("ts").alias("pts"),
+            hour_bucket(F.col("ts")).alias("pbkt"),
             F.explode(
                 F.sequence(
                     F.lit(0),
@@ -493,6 +538,7 @@ def _salted_attribution(events: DataFrame) -> DataFrame:
             purchases,
             (F.col("p_user_id") == F.col("user_id"))
             & (F.col("p_salt") == F.col("salt"))
+            & (F.col("pbkt") == F.col("cbkt"))
             & (F.col("pts") >= F.col("cts"))
             & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")),
         )
