@@ -1020,7 +1020,24 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
     k-core), where the build dominated end-to-end latency (VERDICT r7
     #3); `graph_triangle_count` keeps the explicit self-join as the
     classic formulation demo."""
-    arrs = li.groupBy("l_orderkey").agg(
+    # EXPLICIT conf-width exchange (round-13 optimization pass, guide
+    # §2.5 "synthetic partitioning" / §2.2): left to ENSURE_REQUIREMENTS,
+    # AQE's byte-based coalescing ran this stage in 3-4 tasks at sf0.1
+    # (event-log profile: 0.59 s of the ~1.05 s build) — but the stage is
+    # COMPUTE-dense, not byte-dense: it builds per-order sets and then
+    # explodes the QUADRATIC per-order pair expansion, so its output
+    # volume far exceeds its input bytes, the exact case where byte-based
+    # coalescing under-provisions. An explicit numPartitions exchange is
+    # AQE-coalescing-exempt; width = the session's shuffle-partition conf
+    # (scales with the cluster, honors the driver's lower-core runs).
+    # Measured at sf0.1 (BFS/CC/k-core each pay this build once per
+    # invocation): the agg job 0.59-0.84 s -> ~0.37 s, and end-to-end
+    # BFS 3.88 -> 2.56, CC 3.01 -> 2.12, k-core 2.77 -> 1.79 (medians
+    # under bench's clearCache-between-reps protocol).
+    par = int(
+        li.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    arrs = li.repartition(par, "l_orderkey").groupBy("l_orderkey").agg(
         F.sort_array(F.collect_set("l_partkey")).alias("ps")
     )
     pairs = arrs.select(
