@@ -1519,7 +1519,21 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-    edges = (
+    from ..persistence import tracked_persist
+
+    # tracked_persist `edges` — the CORPUS-SCAN boundary (round-13
+    # optimization pass, guide §5 caching): `und` below references edges
+    # TWICE (the union's two arms), and BOTH `degs` and `contrib_edges`
+    # materialize through `und`, so without this persist the
+    # tokenize→adjacency→edge-aggregate pipeline — the only
+    # corpus-proportional work in the query — executed FOUR times (2
+    # union arms x 2 persist materializations; event-log profile showed
+    # 4-5 near-identical 32-task tokenize stages of 0.27-0.51 s each).
+    # The persisted relation is the distinct-bigram edge list —
+    # vocabulary-bounded (Heaps), NOT corpus-proportional, so the cache
+    # is as scale-safe as the two downstream persists. Measured at
+    # sf0.1: 2.66 s -> 1.87 s median-of-5.
+    edges = tracked_persist(
         adj.filter(F.col("a") != F.col("b"))
         .groupBy(
             F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
@@ -1529,7 +1543,6 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = edges.unionAll(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
-    from ..persistence import tracked_persist
 
     # persist BOTH vocabulary-bounded loop relations: the whole query is
     # one lazy plan (3 unrolled iterations, one action), and `nodes`
