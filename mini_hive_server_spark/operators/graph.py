@@ -896,12 +896,32 @@ def bfs_census(spark: SparkSession, edges: DataFrame, hops: int) -> DataFrame:
     # carries no lineage into them.
     ckpts: list[DataFrame] = []
     try:
-        nodes, n_nodes = _ckpt_observed(
-            und.select(F.col("u").alias("node")).distinct()
+        # ONE checkpoint job for the node census AND the source tier
+        # (round-13 optimization pass): the sources are a pure filter of
+        # the node set, so n_nodes and n0 ride the same observe and the
+        # frontier derives from the checkpointed nodes with no second
+        # eager job — was two sequential checkpoint jobs.
+        obs0 = Observation()
+        nodes = (
+            und.select(F.col("u").alias("node"))
+            .distinct()
+            .coalesce(par)
+            .observe(
+                obs0,
+                F.count(F.lit(1)).alias("n"),
+                F.count_if((F.col("node") % 10) == 0).alias("n0"),
+            )
+            .localCheckpoint()
         )
+        got0 = _observed(
+            obs0,
+            nodes,
+            F.count(F.lit(1)).alias("n"),
+            F.count_if((F.col("node") % 10) == 0).alias("n0"),
+        )
+        n_nodes, n0 = int(got0["n"]), int(got0["n0"])
         ckpts.append(nodes)
-        frontier, n0 = _ckpt_observed(nodes.filter(F.col("node") % 10 == 0))
-        ckpts.append(frontier)
+        frontier = nodes.filter(F.col("node") % 10 == 0)
         counts = [n0]
         visited = frontier
         for _ in range(1, hops + 1):
