@@ -80,7 +80,6 @@ def main() -> None:
             files.append(c)
     jobs: dict[int, dict] = {}
     stages: dict[int, dict] = {}
-    import itertools
 
     def _lines():
         for fp in files:
@@ -95,7 +94,7 @@ def main() -> None:
                 with open(fp) as f:
                     yield from f
 
-    if True:
+    if files:
         for line in _lines():
             try:
                 ev = json.loads(line)
