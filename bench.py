@@ -320,6 +320,9 @@ def main() -> None:
             # janino codegen + first-touch shuffle setup — the source of
             # the dedup_exact 0.232-2.301s outlier class. One untimed
             # count() retires those one-time costs before timing starts.
+            # Job label (guide §1.5): maps every job/stage in an event
+            # log or UI back to its query (round-13 optimization pass).
+            spark.sparkContext.setJobDescription(f"warmup:{name}")
             qs[name](spark, sf_dir).count()
             spark.catalog.clearCache()
         except Exception as e:
@@ -333,6 +336,7 @@ def main() -> None:
             except Exception:
                 pass
 
+    spark.sparkContext.setJobDescription(None)
     # Repeat-median timing (since round 7; rounds 1-6 reported min-of-2):
     # three timed repetitions per query, report the per-query MEDIAN plus
     # the [min, max] spread. The executed warm-up above already paid the
@@ -352,6 +356,7 @@ def main() -> None:
         times: list[float] = []
         rows = 0
         try:
+            spark.sparkContext.setJobDescription(f"bench:{name}")
             for _ in range(3):
                 t0 = time.perf_counter()
                 rows = qs[name](spark, sf_dir).count()
@@ -380,6 +385,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    spark.sparkContext.setJobDescription(None)
     # NOTE for plan readers: any `WindowExec: No Partition Defined`
     # warnings below are EXPECTED — they come from the deliberate
     # single-partition `*_window` BASELINE arms of the scale experiments
