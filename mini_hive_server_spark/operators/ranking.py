@@ -109,44 +109,59 @@ def _prefix_offsets(
         .agg(*[col.alias(n) for n, col in per_partition.items()])
         .agg(F.collect_list(F.struct(_PID, *names)).alias("pc"))
     )
+    # ONE O(P) fold over the pid-sorted partials (round-13 optimization
+    # pass), replacing the per-pid transform ∘ filter ∘ aggregate form:
+    # that shape evaluated O(P^2) interpreted lambda steps inside a
+    # single task — ~1e8 steps at a 10k-partition cluster conf, a real
+    # 100 TB hazard — and its nested-lambda analysis cost ~0.24 s of
+    # driver time PER CALL (three calls in the RFM chain). The fold
+    # carries one running sum per name; element k's emitted offsets are
+    # the sums accumulated BEFORE folding element k, which is exactly
+    # "sum over all lower pids". array_sort orders the structs by their
+    # first field (pid — unique), so the fold order is the pid order.
+    # NULL semantics unchanged: a partition whose value column is ALL
+    # NULL aggregates to a NULL partial (sum semantics); coalesce keeps
+    # the fold from NULL-poisoning later offsets, while the window form
+    # this module promises bit-parity with simply skips NULLs (pinned by
+    # test_global_cumsum_null_partition_regression).
+    fields = ",".join(
+        [f"`{_PID}`:int"] + [f"`{n}`:bigint" for n in names]
+    )
+    init = F.struct(
+        F.expr(f"cast(array() as array<struct<{fields}>>)").alias("offs"),
+        *[F.lit(0).cast("bigint").alias(f"a_{n}") for n in names],
+    )
 
-    def _merge(n):
-        # closure factory: a default-arg lambda would read as 3-parameter
-        # to PySpark's higher-order-function arity inspection.
-        # coalesce: a partition whose value column is ALL NULL aggregates
-        # to a NULL partial (sum semantics) — without it the fold
-        # NULL-poisons every later partition's offset, while the window
-        # form this module promises bit-parity with simply skips NULLs
-        # (round-10 self-review; pinned by
-        # test_global_cumsum_null_partition_regression in
-        # tests/test_properties.py).
-        return lambda acc, y: acc + F.coalesce(y[n], F.lit(0).cast("bigint"))
+    def _fold(s, y):
+        return F.struct(
+            F.concat(
+                s["offs"],
+                F.array(
+                    F.struct(
+                        y[_PID].alias(_PID),
+                        *[s[f"a_{n}"].alias(n) for n in names],
+                    )
+                ),
+            ).alias("offs"),
+            *[
+                (
+                    s[f"a_{n}"]
+                    + F.coalesce(y[n], F.lit(0).cast("bigint"))
+                ).alias(f"a_{n}")
+                for n in names
+            ],
+        )
 
-    def offsets_struct(x):
-        fields = [x[_PID].alias(_PID)]
-        for n in names:
-            fields.append(
-                F.aggregate(
-                    F.filter(F.col("pc"), lambda y: y[_PID] < x[_PID]),
-                    F.lit(0).cast("bigint"),
-                    _merge(n),
-                ).alias(n)
-            )
-        return F.struct(*fields)
-
-    sel = [F.explode(F.transform("pc", offsets_struct)).alias("o")]
+    res = packed.select(
+        F.aggregate(F.array_sort("pc"), init, _fold).alias("r")
+    )
+    sel = [F.explode(F.col("r.offs")).alias("o")]
     out_cols = [f"o.{_PID}"] + [f"o.{n}" for n in names]
     if with_total:
-        sel.append(
-            F.aggregate(
-                F.col("pc"),
-                F.lit(0).cast("bigint"),
-                lambda acc, y: acc
-                + F.coalesce(y[names[0]], F.lit(0).cast("bigint")),
-            ).alias(_TOT)
-        )
+        # the fold's final running sum of the FIRST name IS the total
+        sel.append(F.col(f"r.a_{names[0]}").alias(_TOT))
         out_cols.append(_TOT)
-    return packed.select(*sel).select(*out_cols)
+    return res.select(*sel).select(*out_cols)
 
 
 def global_row_number(
