@@ -25,11 +25,29 @@ EVENT_DIR = "/tmp/mhs_profile_events"
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    # both `--reps N` and `--reps=N` are accepted (ADVICE r13: only the
+    # `=` form was parsed, so the advertised space form left a bare int
+    # in the query list and crashed in the registry lookup); any other
+    # `--` flag is an explicit error, not a silent query name
+    argv = sys.argv[1:]
+    args: list[str] = []
     reps = 2
-    for a in sys.argv[1:]:
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a == "--reps":
+            i += 1
+            reps = int(argv[i])
+        elif a.startswith("--"):
+            raise SystemExit(
+                f"unknown flag {a!r}; usage: python tools_profile_query.py"
+                " <query> [<query> ...] [--reps N]"
+            )
+        else:
+            args.append(a)
+        i += 1
     os.makedirs(EVENT_DIR, exist_ok=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -140,7 +158,6 @@ def main() -> None:
                 )
                 im = m.get("Input Metrics") or {}
                 st["input"] = st.get("input", 0) + im.get("Bytes Read", 0)
-                st["py_ms"] = st.get("py_ms", 0)
 
     for label, t0, t1 in marks:
         print(f"\n=== {label}: wall {t1 - t0:.3f}s ===")
