@@ -299,31 +299,29 @@ def _minhash_bands_k(sha: DataFrame, n_perm: int, n_bands: int) -> DataFrame:
     shh = sha.select("doc_id", F.explode_outer("sh_arr").alias("sh")).select(
         "doc_id", F.xxhash64("sh").alias("h")
     )
+    # SQL-string expressions (round 14, guide §5 "the driver"): the
+    # Column-API listcomps built the identical K-column min-agg and
+    # band array through hundreds of py4j round trips per call (~0.45 s
+    # of driver time at K=64 across the sig+band constructions); each
+    # expr() is one parse. Literals: `{i}` parses as int, matching the
+    # old F.lit(i), so every xxhash64 child type (and hence every hash
+    # value) is unchanged.
     sig = shh.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(i))).alias(f"m{i}")
-            for i in range(n_perm)
-        ]
+        *[F.expr(f"min(xxhash64(h, {i})) AS m{i}") for i in range(n_perm)]
     )
-    return sig.select(
-        "doc_id",
-        # explode_outer: the band array is never empty; avoid the
-        # implicit pushable filter re-evaluating the band hashes
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
-                        ).alias("bh"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    # inline_outer, not explode_outer-then-reselect: the band array is
+    # never empty (avoid the implicit pushable filter re-evaluating the
+    # band hashes), and inline flattens the struct in the same select
+    bands_sql = ",".join(
+        "named_struct('band', {b}, 'bh', xxhash64({b}, {ms}))".format(
+            b=b,
+            ms=",".join(
+                f"m{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return sig.select("doc_id", F.expr(f"inline_outer(array({bands_sql}))"))
 
 
 
@@ -681,8 +679,6 @@ def oph_bands(sha: DataFrame, buckets: int = _OPH_BUCKETS, n_bands: int = _N_BAN
     carries over; completeness at the fixture's planted >= 0.9
     similarities is pinned by tests/test_llm_ops.py::
     test_oph_candidates_cover_jaccard_pairs on both correctness SFs."""
-    from pyspark.sql import Window
-
     per_bucket = (
         sha.select("doc_id", F.explode_outer("sh_arr").alias("sh"))
         .select(
@@ -704,59 +700,50 @@ def oph_bands(sha: DataFrame, buckets: int = _OPH_BUCKETS, n_bands: int = _N_BAN
     # The equivalent ASC [current, unboundedFollowing] frame recomputes
     # the aggregate per row (O(64^2) per doc, measured ~2x slower at the
     # 100x curve point).
-    w_right = (
-        Window.partitionBy("doc_id")
-        .orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("doc_id")
-    nonempty = F.when(
-        F.col("mn").isNotNull(),
-        F.struct(F.col("bucket").alias("b"), F.col("mn").alias("v")),
-    )
-    nxt = F.min(nonempty).over(w_right)  # nearest non-empty at/right
-    fst = F.min(nonempty).over(w_all)  # circular wraparound source
+    #
+    # The fill expression is ONE SQL string (round 14, guide §5 "the
+    # driver"): the Column-API form built it through ~80 py4j round
+    # trips per call; expr() is one parse. The two textually identical
+    # window sub-expressions (nxt twice, fst twice) are deduplicated by
+    # ExtractWindowExpressions exactly like the shared Column objects
+    # were, so the physical plan is unchanged.
     # explicit when-chain, NOT coalesce over xxhash64: xxhash64 of a NULL
     # struct field is the non-null seed hash, which would shadow the
     # wraparound branch
+    nonempty = "CASE WHEN mn IS NOT NULL THEN named_struct('b', bucket, 'v', mn) END"
+    nxt = (
+        f"min({nonempty}) OVER (PARTITION BY doc_id ORDER BY bucket DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )  # nearest non-empty at/right
+    fst = f"min({nonempty}) OVER (PARTITION BY doc_id)"  # circular wraparound
     m = (
-        F.when(F.col("mn").isNotNull(), F.col("mn"))
-        .when(nxt.isNotNull(), F.xxhash64(nxt["v"], nxt["b"] - F.col("bucket")))
-        .otherwise(
-            F.xxhash64(fst["v"], fst["b"] + F.lit(buckets) - F.col("bucket"))
-        )
+        "CASE WHEN mn IS NOT NULL THEN mn "
+        f"WHEN {nxt} IS NOT NULL THEN xxhash64(({nxt}).v, ({nxt}).b - bucket) "
+        f"ELSE xxhash64(({fst}).v, ({fst}).b + {buckets} - bucket) END"
     )
     dense = (
-        slots.select("doc_id", "bucket", m.alias("m"))
+        slots.select("doc_id", "bucket", F.expr(m).alias("m"))
         .groupBy("doc_id")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("bucket", "m"))),
-                lambda e: e["m"],
+            F.expr(
+                "transform(array_sort(collect_list(struct(bucket, m))), e -> e.m)"
             ).alias("m")
         )
     )
     rows_per_band = buckets // n_bands
-    return dense.select(
-        "doc_id",
-        F.explode_outer(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.lit(b),
-                            *[
-                                F.col("m")[b * rows_per_band + r]
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("bh"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bh")
+    # inline_outer(array(named_struct(...))) — one parsed expression
+    # instead of the per-band Column listcomp (~150 py4j calls), same
+    # literal types (int band ids) so every band hash is unchanged
+    bands_sql = ",".join(
+        "named_struct('band', {b}, 'bh', xxhash64({b}, {ms}))".format(
+            b=b,
+            ms=",".join(
+                f"m[{b * rows_per_band + r}]" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(n_bands)
+    )
+    return dense.select("doc_id", F.expr(f"inline_outer(array({bands_sql}))"))
 
 
 @register("dedup_minhash_oph", oracle=_NGRAM_JACCARD_ORACLE, tags=("llm", "dedup"))

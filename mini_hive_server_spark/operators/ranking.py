@@ -77,7 +77,18 @@ def _ranged(df: DataFrame, cols: list[Column], num_partitions: int | None) -> Da
     built, so a caller that builds the NEXT registered query before
     collecting this one (ADVICE r6) cannot strand the consumer on a
     freshly-re-sampled exchange — persistence.py documents the
-    contract."""
+    contract.
+
+    Round-14 NEGATIVE result (kept as a persist on purpose): a lazy
+    ``localCheckpoint`` here would truncate the logical plan to a leaf
+    at build time and cut the ranking family's driver-side analysis
+    cost (~0.3 s of the RFM chain's build) — but under AQE the
+    checkpoint's ``toRdd`` materializes the upstream stages EAGERLY and
+    SEQUENTIALLY at build, adding a barrier per call. Interleaved
+    same-session A/B at sf0.1 (4 pairs each): RFM 2.91 ckpt vs 2.66
+    persist, ABC 1.44 vs 1.30, zipf wash — the barrier costs more than
+    the shallower analysis saves, the same serialized-vs-overlapped
+    lesson as r13's fidelity/RFM/OPH/PCA experiments."""
     from ..persistence import tracked_persist
 
     if num_partitions is None:
@@ -128,44 +139,37 @@ def _prefix_offsets(
     # the fold from NULL-poisoning later offsets, while the window form
     # this module promises bit-parity with simply skips NULLs (pinned by
     # test_global_cumsum_null_partition_regression).
-    fields = ",".join(
-        [f"`{_PID}`:int"] + [f"`{n}`:bigint" for n in names]
+    #
+    # The whole fold is ONE SQL string (round 14): the Column-API form
+    # built the identical expression through hundreds of py4j round
+    # trips (~0.14 s of driver time per call, 3 calls in the RFM chain);
+    # one expr() is one parse. The accumulator sums are positional
+    # (a_0..a_{k-1}, in `names` order) so no offset-name quoting is
+    # needed inside the lambda.
+    fields = ",".join([f"`{_PID}`:int"] + [f"`{n}`:bigint" for n in names])
+    acc_init = ",".join(f"cast(0 as bigint) AS a_{i}" for i in range(len(names)))
+    emitted = ",".join(
+        [f"'{_PID}', y.`{_PID}`"]
+        + [f"'{n}', s.a_{i}" for i, n in enumerate(names)]
     )
-    init = F.struct(
-        F.expr(f"cast(array() as array<struct<{fields}>>)").alias("offs"),
-        *[F.lit(0).cast("bigint").alias(f"a_{n}") for n in names],
+    acc_step = ",".join(
+        f"s.a_{i} + coalesce(y.`{n}`, cast(0 as bigint)) AS a_{i}"
+        for i, n in enumerate(names)
     )
-
-    def _fold(s, y):
-        return F.struct(
-            F.concat(
-                s["offs"],
-                F.array(
-                    F.struct(
-                        y[_PID].alias(_PID),
-                        *[s[f"a_{n}"].alias(n) for n in names],
-                    )
-                ),
-            ).alias("offs"),
-            *[
-                (
-                    s[f"a_{n}"]
-                    + F.coalesce(y[n], F.lit(0).cast("bigint"))
-                ).alias(f"a_{n}")
-                for n in names
-            ],
-        )
-
-    res = packed.select(
-        F.aggregate(F.array_sort("pc"), init, _fold).alias("r")
+    fold = (
+        f"aggregate(array_sort(pc), "
+        f"struct(cast(array() as array<struct<{fields}>>) AS offs, {acc_init}), "
+        f"(s, y) -> struct(concat(s.offs, array(named_struct({emitted}))) AS offs, {acc_step})"
+        f")"
     )
-    sel = [F.explode(F.col("r.offs")).alias("o")]
-    out_cols = [f"o.{_PID}"] + [f"o.{n}" for n in names]
+    res = packed.select(F.expr(fold).alias("r"))
+    # inline() flattens the offset structs straight into (_PID, *names)
+    # columns — one select instead of explode + re-select
+    sel = [F.expr("inline(r.offs)")]
     if with_total:
         # the fold's final running sum of the FIRST name IS the total
-        sel.append(F.col(f"r.a_{names[0]}").alias(_TOT))
-        out_cols.append(_TOT)
-    return res.select(*sel).select(*out_cols)
+        sel.append(F.col("r.a_0").alias(_TOT))
+    return res.select(*sel)
 
 
 def global_row_number(
@@ -189,12 +193,14 @@ def global_row_number(
         {_OFF: F.count(F.lit(1)).cast("bigint")},
         with_total=bool(total_col),
     )
-    out = local.join(F.broadcast(offsets), _PID).withColumn(
-        rank_col, (F.col(_OFF) + F.col("__rng_lrk")).cast("bigint")
-    )
+    # one select instead of withColumn + rename + drop (round 14: each
+    # DataFrame op is a full py4j-analysis round trip; the output column
+    # order is unchanged — df's columns, then total, then rank)
+    sel: list = list(df.columns)
     if total_col:
-        out = out.withColumnRenamed(_TOT, total_col)
-    return out.drop(_PID, "__rng_lrk", _OFF)
+        sel.append(F.col(_TOT).alias(total_col))
+    sel.append((F.col(_OFF) + F.col("__rng_lrk")).cast("bigint").alias(rank_col))
+    return local.join(F.broadcast(offsets), _PID).select(*sel)
 
 
 def global_ntile(
@@ -232,7 +238,7 @@ def global_ntile(
         f"ELSE (__nt_n % {n}) + ((__nt_rk - (__nt_n % {n}) * ((__nt_n div {n}) + 1) - 1) "
         f"div greatest(__nt_n div {n}, 1)) + 1 END AS INT)"
     )
-    return ranked.withColumn(bucket_col, bucket).drop("__nt_rk", "__nt_n")
+    return ranked.select(*df.columns, bucket.alias(bucket_col))
 
 
 def global_cumsum(
@@ -271,35 +277,32 @@ def global_cumsum(
         .orderBy(*cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = ranged
-    for v in value_cols:
-        local = local.withColumn(f"__cs_{v}", F.sum(v).over(w_run))
+    # one select for all local running sums, one for all outputs (round
+    # 14: withColumn-per-value paid one analysis round trip per column)
+    local = ranged.select(
+        "*", *[F.sum(v).over(w_run).alias(f"__cs_{v}") for v in value_cols]
+    )
     per_part: dict[str, Column] = {}
     for v in value_cols:
         per_part[f"__off_{v}"] = F.sum(v).cast("bigint")
         per_part[f"__nn_{v}"] = F.count(v).cast("bigint")
     offsets = _prefix_offsets(ranged, per_part, with_total=False)
-    out = local.join(F.broadcast(offsets), _PID)
     zero = F.lit(0).cast("bigint")
-    for v, c in zip(value_cols, cumsum_cols):
-        out = out.withColumn(
-            c,
-            F.when(
-                F.col(f"__cs_{v}").isNull() & (F.col(f"__nn_{v}") == 0),
-                F.lit(None).cast("bigint"),
-            ).otherwise(
-                (
-                    F.coalesce(F.col(f"__off_{v}"), zero)
-                    + F.coalesce(F.col(f"__cs_{v}"), zero)
-                ).cast("bigint")
-            ),
+    out_cols = [
+        F.when(
+            F.col(f"__cs_{v}").isNull() & (F.col(f"__nn_{v}") == 0),
+            F.lit(None).cast("bigint"),
         )
-    return out.drop(
-        _PID,
-        *[f"__cs_{v}" for v in value_cols],
-        *[f"__off_{v}" for v in value_cols],
-        *[f"__nn_{v}" for v in value_cols],
-    )
+        .otherwise(
+            (
+                F.coalesce(F.col(f"__off_{v}"), zero)
+                + F.coalesce(F.col(f"__cs_{v}"), zero)
+            ).cast("bigint")
+        )
+        .alias(c)
+        for v, c in zip(value_cols, cumsum_cols)
+    ]
+    return local.join(F.broadcast(offsets), _PID).select(*df.columns, *out_cols)
 
 
 def global_cummin(
@@ -348,30 +351,20 @@ def global_cummin(
     # (partition 0's offset is NULL — empty prefix) and `least` SKIPS
     # NULLs (returns the non-NULL arg), so an all-NULL partition's NULL
     # partial never poisons later offsets — the
-    # test_global_cummin_null_partition_regression contract.
-    init = F.struct(
-        F.expr(
-            f"cast(array() as array<struct<`{_PID}`:int,`{_OFF}`:bigint>>)"
-        ).alias("offs"),
-        F.lit(None).cast("bigint").alias("run"),
+    # test_global_cummin_null_partition_regression contract. Like
+    # `_prefix_offsets`, the fold is one SQL string: one parse instead
+    # of dozens of py4j expression round trips.
+    fold = (
+        f"aggregate(array_sort(pc), "
+        f"struct(cast(array() as array<struct<`{_PID}`:int,`{_OFF}`:bigint>>)"
+        f" AS offs, cast(null as bigint) AS run), "
+        f"(s, y) -> struct(concat(s.offs, array(named_struct("
+        f"'{_PID}', y.`{_PID}`, '{_OFF}', s.run))) AS offs, "
+        f"least(s.run, y.m) AS run))"
     )
-
-    def _fold(s, y):
-        return F.struct(
-            F.concat(
-                s["offs"],
-                F.array(F.struct(y[_PID].alias(_PID), s["run"].alias(_OFF))),
-            ).alias("offs"),
-            F.least(s["run"], y["m"]).alias("run"),
-        )
-
-    offsets = (
-        packed.select(F.aggregate(F.array_sort("pc"), init, _fold).alias("r"))
-        .select(F.explode(F.col("r.offs")).alias("o"))
-        .select(f"o.{_PID}", f"o.{_OFF}")
+    offsets = packed.select(F.expr(fold).alias("r")).select(
+        F.expr("inline(r.offs)")
     )
-    return (
-        local.join(F.broadcast(offsets), _PID)
-        .withColumn(cummin_col, F.least(F.col("__cm_loc"), F.col(_OFF)))
-        .drop(_PID, "__cm_loc", _OFF)
+    return local.join(F.broadcast(offsets), _PID).select(
+        *df.columns, F.least(F.col("__cm_loc"), F.col(_OFF)).alias(cummin_col)
     )

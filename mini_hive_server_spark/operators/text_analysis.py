@@ -1033,21 +1033,20 @@ def _bpe_pair_counts(state: DataFrame) -> DataFrame:
     -pair counts weighted by word frequency. Words with a single
     remaining token have no pairs (guarded — `sequence(0, -1)` would
     DESCEND, not empty)."""
-    arr = F.split(
-        F.expr("substring(s, 2, length(s) - 2)"), "\\]\\["
+    # ONE SQL string (round 14, guide §5 "the driver"): the Column-API
+    # form re-built the split() subtree per reference and paid ~60 py4j
+    # round trips per call (3 calls per BPE chain); expr() is one parse.
+    # The '\\]\\[' literal is the same `\]\[` regex the Column form
+    # passed to F.split.
+    arr = "split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')"
+    pairs = (
+        f"CASE WHEN size({arr}) >= 2 THEN "
+        f"transform(sequence(0, size({arr}) - 2), i -> named_struct("
+        f"'a', element_at({arr}, i + 1), 'b', element_at({arr}, i + 2))) "
+        f"ELSE cast(array() as array<struct<a:string,b:string>>) END"
     )
-    pairs = F.when(
-        F.size(arr) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(arr) - 2),
-            lambda i: F.struct(
-                F.element_at(arr, i + 1).alias("a"),
-                F.element_at(arr, i + 2).alias("b"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
     return (
-        state.select(F.explode(pairs).alias("p"), "freq")
+        state.select(F.expr(f"explode({pairs})").alias("p"), "freq")
         .groupBy("p.a", "p.b")
         .agg(F.sum("freq").cast("long").alias("c"))
     )
