@@ -1091,20 +1091,28 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     """Shared training chain: returns (final word-state, per-round merge
     rows). The state keeps the original word next to its merged token
-    string, so it doubles as the word→tokens map for application."""
-    # the ONE cache boundary the chain needs (round 12, VERDICT r11 #3):
-    # the round-11 fix persisted STATE per round, which closed the
-    # exponential replay but charged 3 extra stage boundaries per run —
-    # measured +0.35s at sf0.1 (1.44s -> 1.79s), the whole cross-HEAD
-    # tokenizer_bpe_apply regression. The expensive replay term is the
-    # corpus-sized explode+groupBy under `words`; everything the unrolled
-    # rounds duplicate ABOVE it is vocab-sized string replaces (replay
-    # factor ≤ 2^3 = 8 with the fixed 3-merge unroll — cheap at any
-    # corpus scale, since vocab grows sublinearly). Persisting only
-    # `words` keeps the 100 TB shape (the corpus is never re-scanned)
-    # without the per-round boundaries; a production vocab_size-depth
-    # loop would reinstate a periodic state persist (the replay factor
-    # is 2^k in merge depth, fine only because k is pinned at 3).
+    string, so it doubles as the word→tokens map for application.
+
+    The per-round argmax is COLLECTED to the driver (round 14) — one
+    bounded scalar row per merge round, the same driver-coordination
+    budget as the graph family's per-round convergence counts, and
+    exactly how production BPE training iterates on the aggregated
+    count table. Before, the argmax stayed lazy under a
+    crossJoin(broadcast(best)): state_{k-1} then appeared TWICE in round
+    k's plan (directly AND under best_k), so the final plan carried a
+    2^k-duplicated vocab-replace tree — the same three argmax jobs ran
+    anyway (as broadcast-exchange subqueries), plus ~0.5 s of analysis
+    over the duplicated trees and the replayed vocab replaces. With the
+    scalars in hand, each round's merge is a LITERAL string replace, the
+    plan is linear in merge depth, and the merge table is literal rows.
+    Interleaved same-session A/B at sf0.1 (4 pairs, bench protocol):
+    1.76 s → 1.23 s median, outputs row-identical. The `words` persist
+    (round 12) stays the one cache boundary — the corpus is still
+    scanned exactly once per invocation.
+
+    Tokens are [a-z]+ by construction (the regexp_extract_all below),
+    so interpolating them into the replace/lit expressions is
+    quote-safe."""
     words = tracked_persist(
         docs.select(
             F.explode(
@@ -1119,34 +1127,45 @@ def _bpe_train(docs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
         F.expr("regexp_replace(word, '(.)', '[$1]')").alias("s"),
         "freq",
     )
+    spark = docs.sparkSession
     merges = []
     for rank in range(1, _BPE_MERGES + 1):
-        best = (
+        rows = (
             _bpe_pair_counts(state)
             .orderBy(F.col("c").desc(), "a", "b")
             .limit(1)
+            .collect()
         )
+        if not rows:
+            # degenerate corpus (no adjacent pair anywhere): the old
+            # lazy form crossJoined an EMPTY best relation, emptying the
+            # state and the merge row — replicate that exactly
+            merges.append(
+                spark.range(0).select(
+                    F.lit(rank).cast("int").alias("merge_rank"),
+                    F.lit("").alias("tok_a"),
+                    F.lit("").alias("tok_b"),
+                    F.lit("").alias("merged"),
+                    F.lit(0).cast("long").alias("pair_count"),
+                )
+            )
+            state = state.filter(F.lit(False))
+            continue
+        a, b, c = rows[0]["a"], rows[0]["b"], int(rows[0]["c"])
         merges.append(
-            best.select(
+            spark.range(1).select(
                 F.lit(rank).cast("int").alias("merge_rank"),
-                F.col("a").alias("tok_a"),
-                F.col("b").alias("tok_b"),
-                F.concat("a", "b").alias("merged"),
-                F.col("c").alias("pair_count"),
+                F.lit(a).alias("tok_a"),
+                F.lit(b).alias("tok_b"),
+                F.lit(a + b).alias("merged"),
+                F.lit(c).cast("long").alias("pair_count"),
             )
         )
-        state = state.crossJoin(F.broadcast(best)).select(
+        state = state.select(
             "word",
-            F.expr(
-                "replace(s, concat('[', a, '][', b, ']'),"
-                " concat('[', a, b, ']'))"
-            ).alias("s"),
+            F.expr(f"replace(s, '[{a}][{b}]', '[{a}{b}]')").alias("s"),
             "freq",
         )
-        # NO per-round boundary: state_{k-1} appears twice in round k's
-        # plan (directly AND under best_k), but with `words` persisted
-        # the duplicated work is vocab-sized replaces only — see the
-        # words comment above
     return state, merges
 
 

@@ -456,19 +456,23 @@ def test_bpe_chain_words_persist_shape(spark):
 
     * exactly ONE tracked persist per BPE query (the `words` cache) —
       a refactor reinstating per-round state persists fails here;
-    * zero live corpus scans in `tokenizer_bpe_merges` (every merge
-      round reads the vocab-sized cache, never the corpus) and exactly
-      one in `tokenizer_bpe_apply` (the per-(source, word) counts —
-      `source` isn't in the cached vocab relation) — a refactor that
-      DROPS the words boundary re-opens the 2^k corpus replay and
-      fails here with merges seeing 2^3 live scans.
+    * zero live corpus scans in `tokenizer_bpe_merges` (since round 14
+      the per-round argmax is collected at build, so the merge table's
+      FINAL plan is literal rows — no scan of anything; the corpus-
+      scan-once property lives in the build-time argmax jobs over the
+      words cache) and exactly one in `tokenizer_bpe_apply` (the
+      per-(source, word) counts — `source` isn't in the cached vocab
+      relation; the vocab side must read the cache, pinned by the
+      InMemoryTableScan assertion) — a refactor that DROPS the words
+      boundary re-opens the 2^k corpus replay and fails here with
+      apply seeing multiple live scans.
     """
     from mini_hive_server_spark import persistence
 
     specs = registry.all_specs()
-    for name, want_live_scans in [
-        ("tokenizer_bpe_merges", 0),
-        ("tokenizer_bpe_apply", 1),
+    for name, want_live_scans, want_cache_scan in [
+        ("tokenizer_bpe_merges", 0, False),
+        ("tokenizer_bpe_apply", 1, True),
     ]:
         # count only persists ADDED by this query: correctness-bearing
         # _DeferredRelease entries from earlier queries legitimately
@@ -479,6 +483,7 @@ def test_bpe_chain_words_persist_shape(spark):
         assert len(new) == 1, (name, len(new))
         df.collect()  # materialize the cache; finalize the AQE plan
         plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan, name
+        if want_cache_scan:
+            assert "InMemoryTableScan" in plan, name
         got = _corpus_scans_outside_cache(plan, "documents")
         assert got == want_live_scans, (name, got, plan)
