@@ -385,6 +385,46 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Round-14 methodology twin (guide §1.4, VERDICT r13 #6): time every
+    # headline query a SECOND way through the noop sink, which computes
+    # every column of every row (count() lets Catalyst prune value
+    # expressions and sometimes whole subtrees). The twins live in the
+    # LOCAL record (`noop_queries`) and stderr ONLY: the driver-facing
+    # stdout `queries`/`value` stays count()-timed, because adding 33
+    # twin entries would (a) double the headline total and fake a 2x
+    # regression in the round-over-round comparison and (b) breach the
+    # ~2000-char stdout tail budget. Both methodologies now coexist in
+    # the committed record so a future round can switch with evidence.
+    noop_timings: dict[str, float] = {}
+    noop_spread: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        if name in failed:
+            continue
+        times = []
+        try:
+            spark.sparkContext.setJobDescription(f"bench-noop:{name}")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+        except Exception:
+            print(
+                f"# NOOP FAIL {name}: {traceback.format_exc()}",
+                file=sys.stderr,
+            )
+            try:
+                spark.catalog.clearCache()
+            except Exception:
+                pass
+            continue
+        times.sort()
+        noop_timings[name] = round(times[len(times) // 2], 3)
+        noop_spread[name] = [round(times[0], 3), round(times[-1], 3)]
+    print(f"# noop-sink twins: {json.dumps(noop_timings)}", file=sys.stderr)
+
     spark.sparkContext.setJobDescription(None)
     # NOTE for plan readers: any `WindowExec: No Partition Defined`
     # warnings below are EXPECTED — they come from the deliberate
@@ -480,6 +520,10 @@ def main() -> None:
         "timing": "median-of-3, executed warmup (r7: median-of-3 built-only"
         " warmup; r1-r6: min-of-2)",
         "spread": spread,
+        # guide §1.4 twins (round 14): same queries, noop-sink action —
+        # the stdout `queries` stays count()-timed for comparability
+        "noop_queries": noop_timings,
+        "noop_spread": noop_spread,
         "experiments": experiments,
         "failed_detail": failed,
         "noise": {"before": noise_before, "after": noise_after},
@@ -1275,6 +1319,22 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
 
     base = load_tables(spark, sf_dir)["embeddings"].count()
     out: dict[str, float] = {}
+    # Fixture-point training cost (VERDICT r13 #7): the registered
+    # `similarity_pq_adc` memoizes its codebook per (session, sf_dir),
+    # so the bench's timed reps measure encode+scan+re-rank but NOT
+    # per-rep retraining (training runs once, in the untimed warm-up).
+    # This entry makes that excluded cost visible in the record: one
+    # direct `_pq_codebook` fit over the real fixture embeddings
+    # (bypassing the memo), timed after the MLlib warm-up below.
+    from mini_hive_server_spark.catalog import parallelize_scan
+
+    emb_fix = parallelize_scan(
+        load_tables(spark, sf_dir)["embeddings"], "vec_id"
+    ).select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    emb_fix = emb_fix.withColumn(
+        "vn",
+        F.expr("transform(v, e -> e / sqrt(" + S._DOT.format(a="v", b="v") + "))"),
+    )
     # warm up MLlib before the timed trains: the first KMeans fit in a
     # session pays class-loading + codegen (measured ~23s of pure warmup
     # on the 10x point, which would fake an inverted train curve)
@@ -1290,6 +1350,10 @@ def _pq_adc_scale_experiment(spark, sf_dir: str) -> dict[str, float]:
         ).alias("features")
     )
     KMeans(k=4, seed=1, maxIter=2).fit(warm)
+    t0 = time.perf_counter()
+    S._pq_codebook(spark, emb_fix)
+    out["pq_adc_train_sf_sec"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.clearCache()
     for mult in (10, 100):
         n = base * mult
         emb = spark.range(n).select(
