@@ -659,21 +659,15 @@ def oph_bands(sha: DataFrame, buckets: int = _OPH_BUCKETS, n_bands: int = _N_BAN
     banding needs (slot j of two docs collides iff both borrow an equal
     source value at the SAME distance).
 
-    Round-10 rework (the r10 scale curve caught it): the original
-    densification was a per-doc Python loop over collect_list structs —
-    fine at fixture scale, but the curve measured 94s at 100x corpus
-    (500k docs) vs the classic tier's 3.6s, pure Arrow-struct unpack +
-    Python iteration. Densification is now ALL-JVM window dataflow:
-    explode a 64-slot spine per doc, left-join the per-bucket minima,
-    and fill each empty slot from `min(struct(bucket, mn))` over the
-    [current, unbounded following] frame (= nearest non-empty to the
-    right; struct min orders by bucket first) with a whole-partition min
-    as the circular wraparound, borrowing as xxhash64(source, distance)
-    — a rehash instead of the old `source + distance` offset, which
-    could overflow under ANSI and could collide across distances.
-    Windows partition by doc_id over exactly-64-row groups — bounded
-    partitions, no skew — and the whole pipeline is codegen'd (measured
-    at 100x: 94s → see BENCH_local experiments `oph_*`).
+    Densification history: the original per-doc Python loop measured 94s
+    at the 100x curve point (round-10 rework → all-JVM window dataflow:
+    64-row spine per doc, left-join, two window passes — 32.5 s at 100x);
+    round 14 removed the spine and the windows entirely — densify from a
+    per-doc bucket→min MAP in one map-only transform (see the inline
+    comment below), measured 4.2 s at the same 100x point, bit-equal.
+    Borrowing stays xxhash64(source, distance) — a rehash instead of the
+    pre-round-10 `source + distance` offset, which could overflow under
+    ANSI and could collide across distances.
 
     Banding: same 16x4 layout as the classic tier, so the recall analysis
     carries over; completeness at the fixture's planted >= 0.9
@@ -689,47 +683,42 @@ def oph_bands(sha: DataFrame, buckets: int = _OPH_BUCKETS, n_bands: int = _N_BAN
         .groupBy("doc_id", "bucket")
         .agg(F.min("h").alias("mn"))
     )
-    spine = sha.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(buckets - 1))).alias("bucket"),
-    )
-    slots = spine.join(per_bucket, ["doc_id", "bucket"], "left")
-    # running-min formulation: "nearest non-empty at/right" = min over
-    # buckets >= current, computed as a DESC-ordered [unboundedPreceding,
-    # current] frame — the incremental running-frame WindowExec path.
-    # The equivalent ASC [current, unboundedFollowing] frame recomputes
-    # the aggregate per row (O(64^2) per doc, measured ~2x slower at the
-    # 100x curve point).
-    #
-    # The fill expression is ONE SQL string (round 14, guide §5 "the
-    # driver"): the Column-API form built it through ~80 py4j round
-    # trips per call; expr() is one parse. The two textually identical
-    # window sub-expressions (nxt twice, fst twice) are deduplicated by
-    # ExtractWindowExpressions exactly like the shared Column objects
-    # were, so the physical plan is unchanged.
-    # explicit when-chain, NOT coalesce over xxhash64: xxhash64 of a NULL
-    # struct field is the non-null seed hash, which would shadow the
-    # wraparound branch
-    nonempty = "CASE WHEN mn IS NOT NULL THEN named_struct('b', bucket, 'v', mn) END"
-    nxt = (
-        f"min({nonempty}) OVER (PARTITION BY doc_id ORDER BY bucket DESC "
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-    )  # nearest non-empty at/right
-    fst = f"min({nonempty}) OVER (PARTITION BY doc_id)"  # circular wraparound
-    m = (
-        "CASE WHEN mn IS NOT NULL THEN mn "
-        f"WHEN {nxt} IS NOT NULL THEN xxhash64(({nxt}).v, ({nxt}).b - bucket) "
-        f"ELSE xxhash64(({fst}).v, ({fst}).b + {buckets} - bucket) END"
-    )
-    dense = (
-        slots.select("doc_id", "bucket", F.expr(m).alias("m"))
-        .groupBy("doc_id")
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(bucket, m))), e -> e.m)"
-            ).alias("m")
+    # Round-14 densification rework (the round's larger-SF A/B sweep,
+    # guide §2.4 remove-shuffles + §1.1 first-principles): densify from
+    # a per-doc bucket→min MAP in ONE expression instead of the round-10
+    # spine-explode + left-join + two window passes. The old form
+    # shuffled a 64-row spine per doc through a join and two WindowExecs
+    # (3 exchanges over a 64x-exploded relation); this form needs ONE
+    # (doc, bucket) aggregate and a map-only transform: slot j takes
+    # mp[j] when present, else the NEAREST non-empty bucket to the right
+    # (circular) found by folding distances d = 1..K-1 and keeping the
+    # FIRST hit — identical borrow-distance semantics, so borrowed
+    # values stay distinct across patterns (slot j of two docs collides
+    # iff both borrow an equal source value at the SAME distance).
+    # coalesce() short-circuits in codegen, so the O(K) distance fold
+    # runs only for EMPTY slots (~25% of 64 at fixture doc lengths).
+    # Measured (bit-equality-gated, exceptAll both ways = 0): 10x corpus
+    # 3.07 s → 0.92 s, 100x 32.5 s → 4.2 s for the signature+banding
+    # pipeline; the r13 'map_from_entries wash' verdict measured a
+    # variant that KEPT the spine join — eliminating the spine is what
+    # pays. NULL notes: a shingle-less doc still yields one per_bucket
+    # row (explode_outer emits NULL, xxhash64(NULL) = the seed), so the
+    # doc sets match the old spine's; mp values are never NULL, so
+    # coalesce/first-hit logic cannot confuse "empty slot" with a NULL
+    # minimum.
+    mp = per_bucket.groupBy("doc_id").agg(
+        F.expr("map_from_entries(collect_list(struct(bucket, mn)))").alias(
+            "mp"
         )
     )
+    k = buckets
+    fill = (
+        f"transform(sequence(0, {k - 1}), j -> coalesce(mp[j], "
+        f"aggregate(sequence(1, {k - 1}), cast(null as bigint), "
+        f"(acc, d) -> coalesce(acc, CASE WHEN mp[pmod(j + d, {k})] IS NOT NULL "
+        f"THEN xxhash64(mp[pmod(j + d, {k})], d) END))))"
+    )
+    dense = mp.select("doc_id", F.expr(fill).alias("m"))
     rows_per_band = buckets // n_bands
     # inline_outer(array(named_struct(...))) — one parsed expression
     # instead of the per-band Column listcomp (~150 py4j calls), same
