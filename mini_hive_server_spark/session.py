@@ -148,25 +148,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let AQE re-optimize (notably: coalesce) the plans that build
-        # CACHED relations (round 14, guide §2.2). Off (the Spark
-        # default), a persisted intermediate materializes at the full
-        # initial shuffle width, so the engine's vocabulary-bounded
-        # caches (textrank edges/degrees, dedup band relations) were
-        # pinned at shuffle.partitions-many near-empty partitions and
-        # every downstream stage scheduled that many tasks. The setting
-        # is scale-adaptive by construction — AQE sizes partitions by
-        # bytes, so big cached relations keep their width. Process-level
-        # A/B at sf0.1 (2 runs per arm, median-of-3 per query):
-        # text_textrank_keywords 2.39/2.43 -> 1.72/1.72 s; the other 7
-        # cache-heavy bench queries within noise, net sum -1.3 s on the
-        # cleaner run pair. Ranking's ranged persist stays correct:
-        # coalescing merges ADJACENT range partitions, so captured pids
-        # remain range-ordered (the module docstring's invariant).
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
-        )
         .config("spark.sql.session.timeZone", "UTC")
         # events.ts encoding varies by fixture vintage (ns-as-long vs
         # timestamp[us]); catalog.events_ts_encoding probes the footer and
